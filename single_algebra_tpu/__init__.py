@@ -1,0 +1,18 @@
+"""single-algebra-tpu: TPU-native sparse linear algebra & dimensionality reduction.
+
+A ground-up JAX/XLA/Pallas rebuild of the capability surface of
+SingleRust/single-algebra v0.9.2 (sparse CSR/CSC statistics, Normalize/Log1P
+preprocessing, SparsePCA / MaskedSparsePCA over Lanczos or randomized SVD,
+similarity measures, t-SNE), designed for TPU: padded-ELL layouts feeding
+MXU SpMM kernels, jitted SVD loops, and shard_map row-sharding over device
+meshes.
+"""
+
+from .types import (  # noqa: F401
+    Direction,
+    PowerIterationNormalizer,
+    SVDMethod,
+)
+from .sparse import SparseMatrix, csr_matrix, csc_matrix, random_sparse  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,101 @@
+"""Sparse @ dense products over the padded-ELL layout.
+
+This is the rebuild's keystone primitive: the reference's SVD engine is
+generic over "anything providing matvec/dims" (``single-svdlib``'s
+``svd_las2``/``randomized_svd`` accept both ``CsrMatrix`` and
+``MaskedCSRMatrix``, reference ``src/dimred/pca/sparse/mod.rs:137`` vs
+``sparse_masked/mod.rs:322-329``); we preserve that seam and make SpMM the
+single hot kernel every higher layer wraps. Column statistics, masked
+statistics, and batch group-by statistics all reduce to ``A^T @ m`` for small
+dense ``m`` (ones / mask / one-hot codes), so one optimized kernel serves the
+whole library.
+
+Two implementations:
+
+* :func:`ell_spmm` — pure-XLA row-blocked gather + contraction. Works on any
+  backend (CPU tests, interpret mode) and is the correctness reference.
+* a Pallas TPU kernel (``ops/pallas/spmm_kernel.py``) that the dispatcher
+  prefers on TPU for large operands.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..types import MATMUL_PRECISION
+
+__all__ = ["ell_spmm", "ell_spmm_xla"]
+
+# Elements budget for the gathered [BR, W, k] intermediate per row block.
+_GATHER_BUDGET = 1 << 22
+
+
+def _row_block(W: int, k: int, R: int) -> int:
+    br = max(8, _GATHER_BUDGET // max(W * k, 1))
+    br = (br // 8) * 8
+    return min(br, R)
+
+
+@jax.jit
+def ell_spmm_xla(
+    ell_data: jnp.ndarray,
+    ell_ids: jnp.ndarray,
+    B: jnp.ndarray,
+) -> jnp.ndarray:
+    """``out[r, :] = sum_w ell_data[r, w] * B[ell_ids[r, w], :]``.
+
+    Padding slots have ``data == 0`` / ``id == 0`` so they contribute exact
+    zeros; no validity mask is needed. Processes rows in blocks to bound the
+    gathered intermediate at ~16 MB.
+    """
+
+    R, W = ell_data.shape
+    k = B.shape[1]
+    br = _row_block(W, k, R)
+    nb = -(-R // br)
+    Rp = nb * br
+    if Rp != R:
+        ell_data = jnp.pad(ell_data, ((0, Rp - R), (0, 0)))
+        ell_ids = jnp.pad(ell_ids, ((0, Rp - R), (0, 0)))
+
+    data_b = ell_data.reshape(nb, br, W)
+    ids_b = ell_ids.reshape(nb, br, W)
+
+    def block(args):
+        d, i = args
+        g = jnp.take(B, i, axis=0)  # [br, W, k]
+        return jax.lax.dot_general(
+            d[:, None, :],
+            g,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=MATMUL_PRECISION,
+        )[:, 0, :]
+
+    out = jax.lax.map(block, (data_b, ids_b))
+    return out.reshape(Rp, k)[:R]
+
+
+def ell_spmm(
+    ell_data: jnp.ndarray,
+    ell_ids: jnp.ndarray,
+    B: jnp.ndarray,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Dispatching SpMM: Pallas TPU kernel when profitable, XLA otherwise."""
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and ell_data.shape[0] * ell_data.shape[1] >= (1 << 16)
+        )
+    if use_pallas:
+        try:
+            from .pallas.spmm_kernel import ell_spmm_pallas
+
+            return ell_spmm_pallas(ell_data, ell_ids, B)
+        except Exception:  # pragma: no cover - fall back if kernel unsupported
+            pass
+    return ell_spmm_xla(ell_data, ell_ids, B)

@@ -1,0 +1,166 @@
+"""Host-side sparse format conversion: CSR/CSC/COO -> blocked padded ELL.
+
+This is the TPU-native replacement for the reference's storage layer
+(nalgebra-sparse ``CsrMatrix``/``CscMatrix``/``CooMatrix``, surfaced at
+reference ``src/sparse/csr.rs:27-29``). Where the reference keeps ragged
+CSR arrays and walks them with Rayon threads, the TPU rebuild re-lays the
+matrix out as **padded ELL**: a dense ``[rows_padded, width_padded]`` grid of
+(value, minor-index) pairs, one row per major-axis line, padded with zeros.
+Static shapes mean XLA can tile the arrays into (8, 128) vregs and every
+statistic becomes a fused masked reduction; SpMM becomes a gather-free or
+gather-light contraction.
+
+The hot conversion loop is O(nnz) host work. A C++ implementation lives in
+``single_algebra_tpu/native`` (used automatically when its shared library is
+buildable); this module provides the vectorized-numpy fallback and the shared
+shape logic.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+_SUBLANE = 8
+_LANE = 128
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_width(max_nnz: int) -> int:
+    """Pad the ELL width.
+
+    Small widths round to the sublane multiple (8); widths past one lane
+    round to a lane multiple (128) so vregs tile cleanly.
+    """
+
+    if max_nnz == 0:
+        return _SUBLANE
+    if max_nnz <= _LANE:
+        return round_up(max_nnz, _SUBLANE)
+    return round_up(max_nnz, _LANE)
+
+
+def pad_rows(n_rows: int) -> int:
+    return max(round_up(n_rows, _SUBLANE), _SUBLANE)
+
+
+def csr_to_ell_numpy(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    n_rows: int,
+    width: int | None = None,
+    rows_padded: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Convert CSR arrays to padded ELL (vectorized numpy).
+
+    Returns ``(ell_data [R, W], ell_ids [R, W], row_nnz [R])`` where padding
+    entries carry ``data == 0`` and ``id == 0`` (safe for SpMM gathers) and
+    validity is derived from ``row_nnz`` — explicit stored zeros remain valid
+    entries, matching the reference's "stored entry" semantics (e.g. nonzero
+    counts iterate col_indices, reference src/sparse/csr.rs:50-52).
+    """
+
+    indptr = np.asarray(indptr, dtype=np.int64)
+    row_nnz = np.diff(indptr).astype(np.int32)
+    max_nnz = int(row_nnz.max()) if n_rows > 0 else 0
+    if width is None:
+        width = pad_width(max_nnz)
+    elif max_nnz > width:
+        raise ValueError(f"width {width} < max row nnz {max_nnz}")
+    if rows_padded is None:
+        rows_padded = pad_rows(n_rows)
+
+    ell_data = np.zeros((rows_padded, width), dtype=data.dtype)
+    ell_ids = np.zeros((rows_padded, width), dtype=np.int32)
+
+    if len(indices) > 0 and n_rows > 0:
+        # position of each nnz within its row
+        pos_in_row = np.arange(len(indices), dtype=np.int64) - np.repeat(
+            indptr[:-1], row_nnz
+        )
+        row_of_nnz = np.repeat(
+            np.arange(n_rows, dtype=np.int64), row_nnz
+        )
+        ell_data[row_of_nnz, pos_in_row] = data
+        ell_ids[row_of_nnz, pos_in_row] = indices.astype(np.int32)
+
+    row_nnz_padded = np.zeros(rows_padded, dtype=np.int32)
+    row_nnz_padded[:n_rows] = row_nnz
+    return ell_data, ell_ids, row_nnz_padded
+
+
+def csr_transpose_numpy(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CSR -> CSC of the same logical matrix == CSR of the transpose.
+
+    Counting-sort construction, O(nnz); minor indices within each output row
+    come out sorted, matching nalgebra-sparse invariants.
+    """
+
+    nnz = len(indices)
+    counts = np.bincount(indices, minlength=n_cols).astype(np.int64)
+    out_indptr = np.zeros(n_cols + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_indptr[1:])
+    out_indices = np.empty(nnz, dtype=np.int32)
+    out_data = np.empty(nnz, dtype=data.dtype)
+    if nnz:
+        row_of_nnz = np.repeat(
+            np.arange(n_rows, dtype=np.int32), np.diff(indptr).astype(np.int64)
+        )
+        # stable sort by column gives CSC order with sorted row indices
+        order = np.argsort(indices, kind="stable")
+        out_indices[:] = row_of_nnz[order]
+        out_data[:] = data[order]
+    return out_indptr, out_indices, out_data
+
+
+def coo_to_csr_numpy(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    sum_duplicates: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """COO triplets -> CSR with sorted columns (duplicates summed)."""
+
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix((vals, (rows, cols)), shape=(n_rows, n_cols))
+    csr = coo.tocsr()
+    if sum_duplicates:
+        csr.sum_duplicates()
+    csr.sort_indices()
+    return (
+        csr.indptr.astype(np.int64),
+        csr.indices.astype(np.int32),
+        csr.data,
+    )
+
+
+def slab_row_ranges(n_rows: int, n_slabs: int) -> list[tuple[int, int]]:
+    """Split rows into ``n_slabs`` contiguous slabs of near-equal padded size.
+
+    Each slab is a multiple of the sublane (8) except possibly the last,
+    so device shards tile cleanly.
+    """
+
+    per = round_up(int(math.ceil(n_rows / n_slabs)), _SUBLANE)
+    ranges = []
+    start = 0
+    for _ in range(n_slabs):
+        end = min(start + per, n_rows)
+        ranges.append((start, end))
+        start = end
+    return ranges

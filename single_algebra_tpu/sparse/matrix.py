@@ -1,0 +1,714 @@
+"""``SparseMatrix`` — the TPU-native sparse container and its operation surface.
+
+Rebuilds the reference's L0/L1/L2 stack (nalgebra-sparse ``CsrMatrix``/
+``CscMatrix`` + the seven operation traits of ``src/sparse/mod.rs:35-220`` +
+the ``Normalize``/``Log1P`` preprocessing traits of ``src/utils/mod.rs:6-17``)
+as ONE class:
+
+* Device-resident data is a blocked **padded-ELL** grid (``ell_data``,
+  ``ell_ids``, ``row_nnz``) along the matrix's *major* axis — rows for CSR,
+  columns for CSC. Every major-axis statistic is a fused masked reduction;
+  every minor-axis statistic is the same reduction over the lazily built,
+  host-cached transpose. SpMM gathers the dense operand through ``ell_ids``.
+* Host-side CSR structure (numpy ``indptr``/``indices``) is kept for O(nnz)
+  format conversion, scipy round-trips, and building the transpose — the role
+  the reference delegates to nalgebra-sparse.
+
+The class is a JAX pytree (ELL arrays are children), so instances pass
+through ``jit``/``shard_map`` untouched; methods that need host work
+(``transpose``, conversions) must be called eagerly, which is how the
+higher layers (PCA, preprocessing pipelines) are orchestrated.
+
+Divergences from the reference (each deliberate, none copied):
+
+* ``normalize``/``log1p`` return a **new** matrix instead of mutating —
+  JAX arrays are immutable; the semantics (zero-sum lines untouched,
+  reference ``csr.rs:1021-1030``) are preserved exactly.
+* ``sum_row_squared`` returns ``nrows`` values (the reference sizes it by
+  ``ncols``, ``csr.rs:614`` — a defect we do not copy).
+* ``var_row`` normalizes by the length of the reduced axis (the reference
+  divides row variances by ``nrows``, ``csr.rs:689-691``).
+* ``*_chunk`` methods are functional: they take the accumulator and return
+  the updated value.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import stats as _st
+from ..ops.spmm import ell_spmm
+from ..types import Direction, canonical_float_dtype
+from . import convert as _cv
+
+__all__ = ["SparseMatrix", "csr_matrix", "csc_matrix", "random_sparse"]
+
+
+class SparseMatrix:
+    """Sparse matrix in padded-ELL layout (CSR- or CSC-major)."""
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    def __init__(
+        self,
+        ell_data: jnp.ndarray,
+        ell_ids: jnp.ndarray,
+        row_nnz: jnp.ndarray,
+        shape: Tuple[int, int],
+        nnz: int,
+        fmt: str = "csr",
+        h_indptr: Optional[np.ndarray] = None,
+        h_indices: Optional[np.ndarray] = None,
+    ):
+        if fmt not in ("csr", "csc"):
+            raise ValueError(f"format must be 'csr' or 'csc', got {fmt!r}")
+        self.ell_data = ell_data
+        self.ell_ids = ell_ids
+        self.row_nnz = row_nnz
+        self.shape = tuple(shape)
+        self.nnz = int(nnz)
+        self.format = fmt
+        # host-side structure (major-axis CSR of the stored layout)
+        self._h_indptr = h_indptr
+        self._h_indices = h_indices
+        self._transpose_cache: Optional["SparseMatrix"] = None
+
+    # -- pytree protocol ------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.ell_data, self.ell_ids, self.row_nnz)
+        aux = (self.shape, self.nnz, self.format)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape, nnz, fmt = aux
+        obj = cls.__new__(cls)
+        obj.ell_data, obj.ell_ids, obj.row_nnz = children
+        obj.shape, obj.nnz, obj.format = tuple(shape), nnz, fmt
+        obj._h_indptr = None
+        obj._h_indices = None
+        obj._transpose_cache = None
+        return obj
+
+    # -- factory methods -------------------------------------------------
+
+    @classmethod
+    def from_scipy(cls, mat, fmt: Optional[str] = None, dtype=None) -> "SparseMatrix":
+        """Build from any scipy.sparse matrix.
+
+        ``fmt`` selects the major layout ('csr' default; 'csc' stores the
+        transpose-major layout like the reference's CscMatrix).
+        """
+
+        import scipy.sparse as sp
+
+        if fmt is None:
+            fmt = "csc" if sp.issparse(mat) and mat.format == "csc" else "csr"
+        if dtype is not None:
+            dt = canonical_float_dtype(dtype)
+        elif np.issubdtype(mat.dtype, np.floating):
+            if mat.dtype == np.float64 and not jax.config.read("jax_enable_x64"):
+                dt = np.dtype(np.float32)  # silent downcast absent x64 mode
+            else:
+                dt = canonical_float_dtype(mat.dtype)
+        else:
+            dt = np.dtype(np.float32)
+
+        if fmt == "csr":
+            m = mat.tocsr()
+            m.sort_indices()
+            major, shape = m, (m.shape[0], m.shape[1])
+            n_major = shape[0]
+        else:
+            m = mat.tocsc()
+            m.sort_indices()
+            shape = (m.shape[0], m.shape[1])
+            # CSC arrays are a CSR description of the transpose
+            major = m
+            n_major = shape[1]
+
+        indptr = major.indptr.astype(np.int64)
+        indices = major.indices.astype(np.int32)
+        data = major.data.astype(dt)
+        ell_data, ell_ids, row_nnz = _cv.csr_to_ell_numpy(
+            indptr, indices, data, n_major
+        )
+        return cls(
+            jnp.asarray(ell_data),
+            jnp.asarray(ell_ids),
+            jnp.asarray(row_nnz),
+            shape,
+            int(len(indices)),
+            fmt,
+            h_indptr=indptr,
+            h_indices=indices,
+        )
+
+    @classmethod
+    def from_dense(cls, arr, fmt: str = "csr", dtype=None) -> "SparseMatrix":
+        import scipy.sparse as sp
+
+        arr = np.asarray(arr)
+        mat = sp.csr_matrix(arr) if fmt == "csr" else sp.csc_matrix(arr)
+        return cls.from_scipy(mat, fmt=fmt, dtype=dtype or arr.dtype)
+
+    @classmethod
+    def from_coo(
+        cls,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        vals: np.ndarray,
+        shape: Tuple[int, int],
+        fmt: str = "csr",
+        dtype=None,
+    ) -> "SparseMatrix":
+        import scipy.sparse as sp
+
+        coo = sp.coo_matrix((vals, (rows, cols)), shape=shape)
+        return cls.from_scipy(coo, fmt=fmt, dtype=dtype or vals.dtype)
+
+    # ------------------------------------------------------------------
+    # basic properties / conversion
+    # ------------------------------------------------------------------
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.ell_data.dtype
+
+    @property
+    def n_major(self) -> int:
+        """Logical length of the major (stored) axis."""
+
+        return self.shape[0] if self.format == "csr" else self.shape[1]
+
+    @property
+    def n_minor(self) -> int:
+        return self.shape[1] if self.format == "csr" else self.shape[0]
+
+    @property
+    def ell_width(self) -> int:
+        return self.ell_data.shape[1]
+
+    def _require_host_structure(self):
+        if self._h_indptr is None or self._h_indices is None:
+            # reconstruct from ELL (device pull) — happens only for matrices
+            # produced inside jit-free elementwise ops where we dropped it
+            row_nnz = np.asarray(self.row_nnz)[: self.n_major]
+            indptr = np.zeros(self.n_major + 1, dtype=np.int64)
+            np.cumsum(row_nnz, out=indptr[1:])
+            ids = np.asarray(self.ell_ids)
+            mask = (
+                np.arange(ids.shape[1])[None, :]
+                < np.asarray(self.row_nnz)[:, None]
+            )
+            self._h_indices = ids[mask].astype(np.int32)[: int(indptr[-1])]
+            self._h_indptr = indptr
+
+    def _csr_data_host(self) -> np.ndarray:
+        """Stored values in major-CSR order (host numpy)."""
+
+        self._require_host_structure()
+        d = np.asarray(self.ell_data)
+        mask = (
+            np.arange(d.shape[1])[None, :]
+            < np.asarray(self.row_nnz)[:, None]
+        )
+        return d[mask]
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        self._require_host_structure()
+        data = self._csr_data_host()
+        if self.format == "csr":
+            return sp.csr_matrix(
+                (data, self._h_indices, self._h_indptr), shape=self.shape
+            )
+        return sp.csc_matrix(
+            (data, self._h_indices, self._h_indptr), shape=self.shape
+        )
+
+    def to_dense(self) -> np.ndarray:
+        return self.to_scipy().toarray()
+
+    def transpose(self) -> "SparseMatrix":
+        """Matrix with major/minor layouts swapped (cached; host O(nnz)).
+
+        ``m.transpose()`` represents the SAME logical matrix stored along the
+        other axis — the TPU equivalent of the reference's CSR<->CSC pairing.
+        """
+
+        if self._transpose_cache is None:
+            self._require_host_structure()
+            data = self._csr_data_host()
+            t_indptr, t_indices, t_data = _cv.csr_transpose_numpy(
+                self._h_indptr,
+                self._h_indices,
+                data,
+                self.n_major,
+                self.n_minor,
+            )
+            ell_data, ell_ids, row_nnz = _cv.csr_to_ell_numpy(
+                t_indptr, t_indices, t_data, self.n_minor
+            )
+            other = SparseMatrix(
+                jnp.asarray(ell_data),
+                jnp.asarray(ell_ids),
+                jnp.asarray(row_nnz),
+                self.shape,
+                self.nnz,
+                "csc" if self.format == "csr" else "csr",
+                h_indptr=t_indptr,
+                h_indices=t_indices,
+            )
+            other._transpose_cache = self
+            self._transpose_cache = other
+        return self._transpose_cache
+
+    # ------------------------------------------------------------------
+    # internal helpers: map row/col endpoint -> major/minor layout
+    # ------------------------------------------------------------------
+
+    def _layout_for(self, axis: str) -> "SparseMatrix":
+        """Matrix whose MAJOR axis is ``axis`` ('row' or 'col')."""
+
+        major_axis = "row" if self.format == "csr" else "col"
+        return self if axis == major_axis else self.transpose()
+
+    def _n_of(self, axis: str) -> int:
+        return self.nrows if axis == "row" else self.ncols
+
+    def _check_mask(self, mask, expected: int, what: str) -> jnp.ndarray:
+        mask = np.asarray(mask)
+        if mask.shape[0] < expected:
+            raise ValueError(
+                f"Mask length ({mask.shape[0]}) is less than number of "
+                f"{what} ({expected})"
+            )
+        return jnp.asarray(mask[:expected].astype(bool))
+
+    def _major_stat(self, axis: str, fn, *extra):
+        m = self._layout_for(axis)
+        out = fn(m.ell_data, m.ell_ids, m.row_nnz, *extra)
+        return out[: self._n_of(axis)]
+
+    # ------------------------------------------------------------------
+    # MatrixNonZero (reference src/sparse/mod.rs:35-61)
+    # ------------------------------------------------------------------
+
+    def nonzero_row(self, dtype=jnp.int32) -> jnp.ndarray:
+        m = self._layout_for("row")
+        return m.row_nnz[: self.nrows].astype(dtype)
+
+    def nonzero_col(self, dtype=jnp.int32) -> jnp.ndarray:
+        m = self._layout_for("col")
+        return m.row_nnz[: self.ncols].astype(dtype)
+
+    def nonzero_row_masked(self, mask, dtype=jnp.int32) -> jnp.ndarray:
+        """Per-row stored-entry count over masked-in COLUMNS (csr.rs:185)."""
+
+        mk = self._check_mask(mask, self.ncols, "columns")
+        m = self._layout_for("row")
+        return _st.count_major_masked(m.ell_ids, m.row_nnz, mk)[
+            : self.nrows
+        ].astype(dtype)
+
+    def nonzero_col_masked(self, mask, dtype=jnp.int32) -> jnp.ndarray:
+        """Per-column stored-entry count over masked-in ROWS (csr.rs:153)."""
+
+        mk = self._check_mask(mask, self.nrows, "rows")
+        m = self._layout_for("col")
+        return _st.count_major_masked(m.ell_ids, m.row_nnz, mk)[
+            : self.ncols
+        ].astype(dtype)
+
+    def nonzero_row_chunk(self, acc) -> np.ndarray:
+        return _accumulate_chunk(acc, np.asarray(self.nonzero_row()))
+
+    def nonzero_col_chunk(self, acc) -> np.ndarray:
+        return _accumulate_chunk(acc, np.asarray(self.nonzero_col()))
+
+    # ------------------------------------------------------------------
+    # MatrixSum (reference src/sparse/mod.rs:67-102)
+    # ------------------------------------------------------------------
+
+    def sum_row(self, dtype=None) -> jnp.ndarray:
+        out = self._major_stat("row", lambda d, i, n: _st.sum_major(d))
+        return out.astype(dtype) if dtype else out
+
+    def sum_col(self, dtype=None) -> jnp.ndarray:
+        out = self._major_stat("col", lambda d, i, n: _st.sum_major(d))
+        return out.astype(dtype) if dtype else out
+
+    def sum_row_squared(self, dtype=None) -> jnp.ndarray:
+        out = self._major_stat("row", lambda d, i, n: _st.sum_major_squared(d))
+        return out.astype(dtype) if dtype else out
+
+    def sum_col_squared(self, dtype=None) -> jnp.ndarray:
+        out = self._major_stat("col", lambda d, i, n: _st.sum_major_squared(d))
+        return out.astype(dtype) if dtype else out
+
+    def sum_row_masked(self, mask, dtype=None) -> jnp.ndarray:
+        mk = self._check_mask(mask, self.ncols, "columns")
+        out = self._major_stat("row", _st.sum_major_masked, mk)
+        return out.astype(dtype) if dtype else out
+
+    def sum_col_masked(self, mask, dtype=None) -> jnp.ndarray:
+        mk = self._check_mask(mask, self.nrows, "rows")
+        out = self._major_stat("col", _st.sum_major_masked, mk)
+        return out.astype(dtype) if dtype else out
+
+    def sum_row_chunk(self, acc) -> np.ndarray:
+        return _accumulate_chunk(acc, np.asarray(self.sum_row()))
+
+    def sum_col_chunk(self, acc) -> np.ndarray:
+        return _accumulate_chunk(acc, np.asarray(self.sum_col()))
+
+    # ------------------------------------------------------------------
+    # MatrixVariance (reference src/sparse/mod.rs:108-142)
+    # ------------------------------------------------------------------
+
+    def var_col(self, dtype=None) -> jnp.ndarray:
+        """Bessel-corrected column variance over ALL rows incl. implicit
+        zeros (reference csr.rs:632-678)."""
+
+        s = self.sum_col()
+        sq = self.sum_col_squared()
+        out = _st.var_bessel_dense(s, sq, self.nrows)
+        return out.astype(dtype) if dtype else out
+
+    def var_row(self, dtype=None) -> jnp.ndarray:
+        """Bessel-corrected row variance over ALL columns incl. implicit
+        zeros. (Divergence: the reference divides by nrows — csr.rs:689 —
+        we use the reduced-axis length, ncols.)"""
+
+        s = self.sum_row()
+        sq = self.sum_row_squared()
+        out = _st.var_bessel_dense(s, sq, self.ncols)
+        return out.astype(dtype) if dtype else out
+
+    def var_col_chunk(self, acc=None, dtype=None) -> np.ndarray:
+        """Population variance of stored entries per column (overwrites the
+        accumulator like the reference, csr.rs:729-765)."""
+
+        out = self._major_stat("col", _st.var_stored_major)
+        out = np.asarray(out.astype(dtype) if dtype else out)
+        if acc is None:
+            return out
+        acc = np.asarray(acc)
+        if acc.shape[0] != self.ncols:
+            raise ValueError(
+                f"Reference slice length {acc.shape[0]} does not match "
+                f"number of columns {self.ncols}"
+            )
+        return out.astype(acc.dtype)
+
+    def var_row_chunk(self, acc=None, dtype=None) -> np.ndarray:
+        out = self._major_stat("row", _st.var_stored_major)
+        out = np.asarray(out.astype(dtype) if dtype else out)
+        if acc is None:
+            return out
+        acc = np.asarray(acc)
+        if acc.shape[0] != self.nrows:
+            raise ValueError(
+                f"Reference slice length {acc.shape[0]} does not match "
+                f"number of rows {self.nrows}"
+            )
+        return out.astype(acc.dtype)
+
+    def var_col_masked(self, mask, dtype=None) -> jnp.ndarray:
+        """Population variance of stored entries in masked-in rows
+        (csr.rs:816-866)."""
+
+        mk = self._check_mask(mask, self.nrows, "rows")
+        out = self._major_stat("col", _st.var_stored_major_masked, mk)
+        return out.astype(dtype) if dtype else out
+
+    def var_row_masked(self, mask, dtype=None) -> jnp.ndarray:
+        mk = self._check_mask(mask, self.ncols, "columns")
+        out = self._major_stat("row", _st.var_stored_major_masked, mk)
+        return out.astype(dtype) if dtype else out
+
+    # ------------------------------------------------------------------
+    # MatrixMinMax (reference src/sparse/mod.rs:148-166)
+    # ------------------------------------------------------------------
+
+    def min_max_row(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        m = self._layout_for("row")
+        mins, maxs = _st.min_max_major(m.ell_data, m.ell_ids, m.row_nnz)
+        return mins[: self.nrows], maxs[: self.nrows]
+
+    def min_max_col(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        m = self._layout_for("col")
+        mins, maxs = _st.min_max_major(m.ell_data, m.ell_ids, m.row_nnz)
+        return mins[: self.ncols], maxs[: self.ncols]
+
+    def min_max_row_chunk(self, acc: Tuple) -> Tuple[np.ndarray, np.ndarray]:
+        mins, maxs = self.min_max_row()
+        return _merge_min_max(acc, np.asarray(mins), np.asarray(maxs))
+
+    def min_max_col_chunk(self, acc: Tuple) -> Tuple[np.ndarray, np.ndarray]:
+        mins, maxs = self.min_max_col()
+        return _merge_min_max(acc, np.asarray(mins), np.asarray(maxs))
+
+    # ------------------------------------------------------------------
+    # Batch group-by stats (reference src/sparse/mod.rs:172-208)
+    # ------------------------------------------------------------------
+
+    def _batch_codes(self, batches: Sequence, expected: int, what: str):
+        if len(batches) != expected:
+            raise ValueError(
+                f"Batch vector length ({len(batches)}) doesn't match matrix "
+                f"{what} count ({expected})"
+            )
+        labels = list(dict.fromkeys(batches))  # stable unique
+        code_of = {b: i for i, b in enumerate(labels)}
+        codes = np.fromiter(
+            (code_of[b] for b in batches), dtype=np.int32, count=len(batches)
+        )
+        return labels, codes
+
+    def _batch_spmm(self, axis: str, codes: np.ndarray, transform: str):
+        """[axis-length, n_batches] of per-batch sums via one SpMM pass.
+
+        Group-by statistics are SpMM against one-hot batch indicators — the
+        TPU-native replacement for the reference's per-batch HashMap loops
+        (csr.rs:1081-1345).
+        """
+
+        m = self._layout_for(axis)
+        nb = int(codes.max()) + 1 if len(codes) else 1
+        onehot = jnp.asarray(
+            np.eye(nb, dtype=np.asarray(m.ell_data).dtype)[codes]
+        )
+        if transform == "sum":
+            data = m.ell_data
+        elif transform == "sumsq":
+            data = m.ell_data * m.ell_data
+        elif transform == "count":
+            data = _st.valid_mask(m.ell_ids, m.row_nnz).astype(m.ell_data.dtype)
+        else:  # pragma: no cover
+            raise ValueError(transform)
+        out = ell_spmm(data, m.ell_ids, onehot)
+        return out[: self._n_of(axis)]
+
+    def mean_batch_row(self, batches: Sequence) -> Dict:
+        """Per-row means within COLUMN batches, zeros included in the
+        denominator (reference csr.rs:1205-1249: batches.len == ncols,
+        mean = batch sum / batch column count)."""
+
+        labels, codes = self._batch_codes(batches, self.ncols, "column")
+        sums = np.asarray(self._batch_spmm("row", codes, "sum"))
+        sizes = np.bincount(codes, minlength=len(labels)).astype(sums.dtype)
+        means = sums / sizes[None, :]
+        return {b: jnp.asarray(means[:, i]) for i, b in enumerate(labels)}
+
+    def mean_batch_col(self, batches: Sequence) -> Dict:
+        """Per-column means within ROW batches (csr.rs:1252-1297)."""
+
+        labels, codes = self._batch_codes(batches, self.nrows, "row")
+        sums = np.asarray(self._batch_spmm("col", codes, "sum"))
+        sizes = np.bincount(codes, minlength=len(labels)).astype(sums.dtype)
+        means = sums / sizes[None, :]
+        return {b: jnp.asarray(means[:, i]) for i, b in enumerate(labels)}
+
+    def var_batch_row(self, batches: Sequence) -> Dict:
+        """Per-column variance of stored entries within ROW batches,
+        ``(sumsq - sum^2/count)/(count - 1)``, 0 when count <= 1
+        (reference csr.rs:1087-1161)."""
+
+        labels, codes = self._batch_codes(batches, self.nrows, "row")
+        return self._batch_var(labels, codes, axis="col")
+
+    def var_batch_col(self, batches: Sequence) -> Dict:
+        """Per-row variance of stored entries within COLUMN batches
+        (reference csr.rs:1163-1203)."""
+
+        labels, codes = self._batch_codes(batches, self.ncols, "column")
+        return self._batch_var(labels, codes, axis="row")
+
+    def _batch_var(self, labels, codes, axis: str) -> Dict:
+        sums = np.asarray(self._batch_spmm(axis, codes, "sum"))
+        sumsq = np.asarray(self._batch_spmm(axis, codes, "sumsq"))
+        counts = np.asarray(self._batch_spmm(axis, codes, "count"))
+        safe = np.maximum(counts, 1.0)
+        ss = sumsq - sums * sums / safe
+        var = np.where(counts > 1, ss / np.maximum(counts - 1, 1), 0.0)
+        return {b: jnp.asarray(var[:, i]) for i, b in enumerate(labels)}
+
+    # ------------------------------------------------------------------
+    # MatrixNTop (reference src/sparse/mod.rs:214-220)
+    # ------------------------------------------------------------------
+
+    def sum_row_n_top(self, n: int, dtype=None) -> jnp.ndarray:
+        out = self._major_stat("row", _st.sum_major_n_top, n)
+        return out.astype(dtype) if dtype else out
+
+    # ------------------------------------------------------------------
+    # Normalize / Log1P (reference src/utils/mod.rs:6-17, csr.rs:1013-1079)
+    # ------------------------------------------------------------------
+
+    def normalize(self, sums, target, direction: Direction) -> "SparseMatrix":
+        """Scale rows/columns so each sums to ``target``.
+
+        Zero-or-negative-sum lines are left untouched (reference guard
+        ``if sum > 0 { scale } else { 0 }`` then ``if scale > 0``,
+        csr.rs:1021-1030, 1041).  Returns a new matrix.
+        """
+
+        sums = jnp.asarray(sums, dtype=self.dtype)
+        axis = "row" if direction == Direction.ROW else "col"
+        n_axis = self._n_of(axis)
+        if sums.shape[0] != n_axis:
+            raise ValueError(
+                f"Length of sums ({sums.shape[0]}) does not match number of "
+                f"{axis}s ({n_axis})"
+            )
+        scale = jnp.where(sums > 0, jnp.asarray(target, self.dtype) / sums, 0)
+
+        major_axis = "row" if self.format == "csr" else "col"
+        if axis == major_axis:
+            pad = self.ell_data.shape[0] - n_axis
+            scale_p = jnp.pad(scale, (0, pad))
+            factor = scale_p[:, None]
+        else:
+            factor = jnp.take(scale, self.ell_ids, axis=0, mode="clip")
+        new_data = jnp.where(factor > 0, self.ell_data * factor, self.ell_data)
+        return self._with_data(new_data)
+
+    def log1p_normalize(self) -> "SparseMatrix":
+        """ln(1 + v) on stored values; implicit zeros stay zero
+        (reference csr.rs:1070-1079)."""
+
+        return self._with_data(jnp.log1p(self.ell_data))
+
+    def _with_data(self, new_ell_data: jnp.ndarray) -> "SparseMatrix":
+        out = SparseMatrix(
+            new_ell_data,
+            self.ell_ids,
+            self.row_nnz,
+            self.shape,
+            self.nnz,
+            self.format,
+            h_indptr=self._h_indptr,
+            h_indices=self._h_indices,
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    # products
+    # ------------------------------------------------------------------
+
+    def matmul_dense(self, B: jnp.ndarray) -> jnp.ndarray:
+        """``self @ B`` for dense ``B [ncols, k]`` -> ``[nrows, k]``."""
+
+        B = jnp.asarray(B)
+        m = self._layout_for("row")
+        return ell_spmm(m.ell_data, m.ell_ids, B)[: self.nrows]
+
+    def rmatmul_dense(self, C: jnp.ndarray) -> jnp.ndarray:
+        """``self.T @ C`` for dense ``C [nrows, k]`` -> ``[ncols, k]``."""
+
+        C = jnp.asarray(C)
+        m = self._layout_for("col")
+        return ell_spmm(m.ell_data, m.ell_ids, C)[: self.ncols]
+
+    def __matmul__(self, B):
+        return self.matmul_dense(B)
+
+    def __repr__(self):
+        return (
+            f"SparseMatrix(shape={self.shape}, nnz={self.nnz}, "
+            f"format={self.format!r}, dtype={self.dtype}, "
+            f"ell_width={self.ell_width})"
+        )
+
+
+jax.tree_util.register_pytree_node(
+    SparseMatrix,
+    lambda m: m.tree_flatten(),
+    SparseMatrix.tree_unflatten,
+)
+
+
+# ---------------------------------------------------------------------------
+# chunk helpers (functional versions of the reference's in-place streams)
+# ---------------------------------------------------------------------------
+
+
+def _accumulate_chunk(acc, stat: np.ndarray) -> np.ndarray:
+    """acc + stat over the overlapping prefix (reference skips out-of-range
+    indices, csr.rs:126-130)."""
+
+    acc = np.array(acc, copy=True)
+    k = min(acc.shape[0], stat.shape[0])
+    acc[:k] = acc[:k] + stat[:k].astype(acc.dtype)
+    return acc
+
+
+def _merge_min_max(acc, mins: np.ndarray, maxs: np.ndarray):
+    amin = np.array(acc[0], copy=True)
+    amax = np.array(acc[1], copy=True)
+    k = min(amin.shape[0], mins.shape[0])
+    amin[:k] = np.minimum(amin[:k], mins[:k].astype(amin.dtype))
+    amax[:k] = np.maximum(amax[:k], maxs[:k].astype(amax.dtype))
+    return amin, amax
+
+
+# ---------------------------------------------------------------------------
+# convenience constructors
+# ---------------------------------------------------------------------------
+
+
+def csr_matrix(mat, dtype=None) -> SparseMatrix:
+    """Reference ``CsrMatrix`` equivalent (row-major storage)."""
+
+    return SparseMatrix.from_scipy(mat, fmt="csr", dtype=dtype)
+
+
+def csc_matrix(mat, dtype=None) -> SparseMatrix:
+    """Reference ``CscMatrix`` equivalent (column-major storage)."""
+
+    return SparseMatrix.from_scipy(mat, fmt="csc", dtype=dtype)
+
+
+def random_sparse(
+    n_rows: int,
+    n_cols: int,
+    density: float,
+    seed: int = 42,
+    fmt: str = "csr",
+    dtype=np.float32,
+    rng_format: str = "uniform",
+) -> SparseMatrix:
+    """Seeded synthetic matrix mirroring the reference benches' generator
+    (uniform values in [0, 1), benches/csr_matrix_benchmark.rs:18-35)."""
+
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    mat = sp.random(
+        n_rows,
+        n_cols,
+        density=density,
+        format=fmt,
+        dtype=np.float64,
+        random_state=rng,
+        data_rvs=(rng.standard_normal if rng_format == "normal" else rng.random),
+    )
+    return SparseMatrix.from_scipy(mat, fmt=fmt, dtype=dtype)
