@@ -1,0 +1,10 @@
+"""SVD engines over the operator seam (rebuild of single-svdlib's role)."""
+
+from .operators import (  # noqa: F401
+    CenteredOperator,
+    DenseOperator,
+    MaskedOperator,
+    SparseOperator,
+)
+from .svd import SvdResult, randomized_svd, svd_flip  # noqa: F401
+from .lanczos import lanczos_svd, default_lanczos_steps  # noqa: F401

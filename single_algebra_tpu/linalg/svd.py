@@ -1,0 +1,125 @@
+"""Randomized truncated SVD and the deterministic sign convention.
+
+TPU-native rebuild of ``single-svdlib::randomized`` as pinned by the
+reference's call sites (``randomized_svd(matrix, n_components, n_oversamples,
+n_power_iterations, normalizer, center, seed, verbose)`` at
+``src/dimred/pca/sparse/mod.rs:170-179``; ``svd_flip(u, vt, u_based=false)``
+at ``sparse/mod.rs:201-206``). Halko-Martinsson-Tropp randomized range
+finding with oversampling and normalized power iterations, expressed as a
+jitted XLA computation over the operator seam — the sketch SpMM ``A @ Omega``
+and power passes run on the SpMM kernel; QR/LU/small-SVD run on the MXU via
+``jnp.linalg``.
+
+Seeding uses ``jax.random`` — reproducible per seed, but not bitwise equal
+to the Rust rand stream; parity with the reference is statistical (explained
+variance / subspace angles), per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import MATMUL_PRECISION, PowerIterationNormalizer
+
+__all__ = ["SvdResult", "randomized_svd", "svd_flip"]
+
+
+class SvdResult(NamedTuple):
+    """Mirror of single-svdlib's result struct fields ``.u/.s/.vt``
+    (reference usage src/dimred/pca/sparse/mod.rs:201-214)."""
+
+    u: jnp.ndarray  # [n, k]
+    s: jnp.ndarray  # [k]
+    vt: jnp.ndarray  # [k, p]
+
+
+def _orthonormalize(Y: jnp.ndarray, normalizer: PowerIterationNormalizer):
+    if normalizer == PowerIterationNormalizer.QR:
+        q, _ = jnp.linalg.qr(Y)
+        return q
+    if normalizer == PowerIterationNormalizer.LU:
+        import jax.scipy.linalg as jsl
+
+        pl_ = jsl.lu(Y, permute_l=True)[0]
+        return pl_
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_components",
+        "n_oversamples",
+        "n_power_iterations",
+        "normalizer",
+    ),
+)
+def randomized_svd(
+    op,
+    n_components: int,
+    n_oversamples: int = 10,
+    n_power_iterations: int = 7,
+    normalizer: PowerIterationNormalizer = PowerIterationNormalizer.QR,
+    seed: int | jnp.ndarray = 42,
+) -> SvdResult:
+    """Truncated SVD of ``op`` (any operator with ``mv``/``rmv``/``shape``).
+
+    Centering is handled by wrapping ``op`` in a ``CenteredOperator`` —
+    the equivalent of the reference's ``center: bool`` flag.
+    """
+
+    n, p = op.shape
+    l = min(n_components + n_oversamples, min(n, p))
+    dtype = jnp.result_type(op.mv(jnp.zeros((p, 1))).dtype)
+
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+    omega = jax.random.normal(key, (p, l), dtype=dtype)
+
+    Y = op.mv(omega)  # [n, l]
+
+    # normalized power iterations (subspace iteration on A A^T), rolled into
+    # a fori_loop so the body — two SpMM passes + two normalizations — is
+    # compiled once regardless of q
+    def power_body(_, Yc):
+        Yc = _orthonormalize(Yc, normalizer)
+        Z = op.rmv(Yc)  # [p, l]
+        Z = _orthonormalize(Z, normalizer)
+        return op.mv(Z)
+
+    if n_power_iterations > 0:
+        Y = jax.lax.fori_loop(0, n_power_iterations, power_body, Y)
+
+    Q, _ = jnp.linalg.qr(Y)  # [n, l]
+    Bt = op.rmv(Q)  # [p, l] == (Q^T A)^T
+    ub, s, vt = jnp.linalg.svd(Bt.T, full_matrices=False)  # [l,l],[l],[l,p]
+    U = jnp.dot(Q, ub, precision=MATMUL_PRECISION)
+    return SvdResult(
+        u=U[:, :n_components], s=s[:n_components], vt=vt[:n_components]
+    )
+
+
+@partial(jax.jit, static_argnames=("u_based_decision",))
+def svd_flip(
+    u: jnp.ndarray, vt: jnp.ndarray, u_based_decision: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic sign convention for (U, Vt).
+
+    sklearn ``svd_flip`` semantics; the reference calls the V-based variant
+    after both SVD methods (``svd_flip(u, vt, false)``,
+    src/dimred/pca/sparse/mod.rs:203). Signs are chosen from the
+    largest-|.|-entry of each right singular vector (row of Vt) so that
+    entry is positive.
+    """
+
+    if u_based_decision:
+        idx = jnp.argmax(jnp.abs(u), axis=0)
+        signs = jnp.sign(u[idx, jnp.arange(u.shape[1])])
+    else:
+        idx = jnp.argmax(jnp.abs(vt), axis=1)
+        signs = jnp.sign(vt[jnp.arange(vt.shape[0]), idx])
+    signs = jnp.where(signs == 0, 1.0, signs).astype(u.dtype)
+    return u * signs[None, :], vt * signs[:, None]

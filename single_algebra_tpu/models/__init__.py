@@ -1,0 +1,4 @@
+"""Fitted-model layer: PCA variants and t-SNE (reference src/dimred/)."""
+
+from .pca import SparsePCA, SparsePCABuilder  # noqa: F401
+from .masked_pca import MaskedSparsePCA, MaskedSparsePCABuilder  # noqa: F401

@@ -1,0 +1,304 @@
+"""MaskedSparsePCA — PCA restricted to a boolean feature subset.
+
+Rebuild of the reference's masked variant
+(``MaskedSparsePCA``/``MaskedSparsePCABuilder``,
+``src/dimred/pca/sparse_masked/mod.rs:37-620``). The reference wraps the
+matrix in a zero-copy ``MaskedCSRMatrix`` view and remaps columns through a
+HashMap at transform time (``sparse_masked/mod.rs:455-466``); here the view
+is a :class:`MaskedOperator` — an int32 index gather — and the transform is
+one masked SpMM minus a rank-1 centering term.
+
+Preserved reference semantics:
+
+* mask length must equal n_features exactly (``sparse_masked/mod.rs:258-262``).
+* ``mean_`` is FULL width (p), computed over all columns; total variance is
+  summed over masked columns only (``sparse_masked/mod.rs:279-311``).
+* Lanczos path does not center (raw masked operator).
+* ``components_`` is k x p_masked; ``feature_importances`` covers masked
+  features only.
+
+Divergences (documented, not copied):
+
+* the reference's transform subtracts the mean only at stored-entry
+  positions (``sparse_masked/mod.rs:488-529``), which drops the
+  ``-mu_j * v_kj`` contribution of implicit zeros; we compute the intended
+  full projection ``T = (X[:, mask] - 1 mu[mask]^T) V^T``.
+* the reference's unconditional debug ``println!`` of dimensions
+  (``sparse_masked/mod.rs:373-378``) is gated behind ``verbose``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..linalg import (
+    CenteredOperator,
+    MaskedOperator,
+    SparseOperator,
+    lanczos_svd,
+    randomized_svd,
+    svd_flip,
+)
+from ..sparse.matrix import SparseMatrix
+from ..types import SVDMethod
+from .pca import _as_matrix
+
+__all__ = ["MaskedSparsePCA", "MaskedSparsePCABuilder"]
+
+
+class MaskedSparsePCA:
+    def __init__(
+        self,
+        mask: Sequence[bool],
+        n_components: int = 50,
+        alpha: float = 1.0,
+        tolerance: float = 1e-6,
+        random_seed: int = 42,
+        center: bool = True,
+        verbose: bool = False,
+        svd_method: SVDMethod = SVDMethod.lanczos(),
+    ):
+        self.mask = np.asarray(mask, dtype=bool)
+        self.n_components = n_components
+        self.alpha = alpha
+        self.tolerance = tolerance
+        self.random_seed = random_seed
+        self.center = center
+        self.verbose = verbose
+        self.svd_method = svd_method
+        self.components_: Optional[jnp.ndarray] = None
+        self.explained_variance_: Optional[jnp.ndarray] = None
+        self.mean_: Optional[jnp.ndarray] = None
+        self.total_variance_: Optional[float] = None
+        self.noise_variance_: Optional[float] = None
+
+    def _mask_idx(self) -> jnp.ndarray:
+        return jnp.asarray(np.where(self.mask)[0].astype(np.int32))
+
+    def fit(self, x) -> "MaskedSparsePCA":
+        m = _as_matrix(x)
+        n_samples, n_cols = m.shape
+        if n_cols != self.mask.shape[0]:
+            raise ValueError(
+                "The mask vector length and the number of features (columns)"
+                " have to be the same!"
+            )
+        k = self.n_components
+        t0 = time.perf_counter()
+        idx = self._mask_idx()
+        n_features = int(self.mask.sum())
+
+        op = SparseOperator.from_matrix(m)
+        mop = MaskedOperator(op, idx)
+
+        col_sums = m.sum_col()
+        n_f = jnp.asarray(n_samples, col_sums.dtype)
+        if self.center:
+            if self.verbose:
+                print("PCA | SparseMasked | Initializing centering...")
+            self.mean_ = col_sums / n_f  # FULL width, reference semantic
+        else:
+            self.mean_ = jnp.zeros((n_cols,), col_sums.dtype)
+
+        total_var = None
+        if self.center and n_samples > 1:
+            col_sq = m.sum_col_squared()
+            mean = col_sums / n_f
+            var_all = (col_sq - mean * col_sums) / (n_f - 1)
+            total_var = float(jnp.sum(jnp.take(var_all, idx)))
+
+        if self.svd_method.is_random:
+            if self.verbose:
+                print("PCA | SparseMasked | Computing Randomized SVD....")
+            svd_op = (
+                CenteredOperator(mop, jnp.take(self.mean_, idx))
+                if self.center
+                else mop
+            )
+            res = randomized_svd(
+                svd_op,
+                k,
+                self.svd_method.n_oversamples,
+                self.svd_method.n_power_iterations,
+                self.svd_method.normalizer,
+                seed=self.random_seed,
+            )
+        else:
+            if self.verbose:
+                print("PCA | SparseMasked | Computing Lanczos SVD....")
+            res = lanczos_svd(mop, k, seed=self.random_seed)
+
+        u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
+        self.components_ = vt  # k x p_masked
+        n_minus_1 = max(n_samples - 1, 1)
+        self.explained_variance_ = (res.s**2) / n_minus_1
+
+        if total_var is None:
+            total_var = float(jnp.sum(self.explained_variance_))
+        self.total_variance_ = total_var
+
+        min_dim = min(n_samples, n_features)
+        if k < min_dim:
+            self.noise_variance_ = (
+                total_var - float(jnp.sum(self.explained_variance_))
+            ) / (min_dim - k)
+        else:
+            self.noise_variance_ = 0.0
+
+        if self.verbose:
+            print(
+                f"s-dim: {res.s.shape}, components: {k}, "
+                f"nfeatures: {n_features}"
+            )
+            print("PCA completed successfully:")
+            print(
+                f"  Input shape: {n_samples} samples x {n_cols} features "
+                f"(using {n_features} features with mask)"
+            )
+            print(f"  Reduced to: {k} components")
+            if total_var:
+                pct = (
+                    float(jnp.sum(self.explained_variance_)) / total_var * 100
+                )
+                print(f"  Total variance explained: {pct:.2f}%")
+            print(f"  Fit took {time.perf_counter() - t0:.3f}s")
+        return self
+
+    def transform(self, x) -> jnp.ndarray:
+        self._check_fitted()
+        m = _as_matrix(x)
+        if m.shape[1] != self.mask.shape[0]:
+            raise ValueError(
+                "The mask vector length and the number of features (columns)"
+                " have to be the same!"
+            )
+        idx = self._mask_idx()
+        op = MaskedOperator(SparseOperator.from_matrix(m), idx)
+        if self.center:
+            op = CenteredOperator(op, jnp.take(self.mean_, idx))
+        return op.mv(self.components_.T)
+
+    def fit_transform(self, x) -> jnp.ndarray:
+        m = _as_matrix(x)  # convert once; fit and transform share layouts
+        self.fit(m)
+        return self.transform(m)
+
+    def feature_importances(self) -> jnp.ndarray:
+        self._check_fitted()
+        return self.components_**2
+
+    def explained_variance_ratio(self) -> jnp.ndarray:
+        self._check_fitted()
+        ev = self.explained_variance_
+        return ev / jnp.sum(ev)
+
+    def cumulative_explained_variance_ratio(self) -> jnp.ndarray:
+        return jnp.cumsum(self.explained_variance_ratio())
+
+    def _check_fitted(self):
+        if self.components_ is None:
+            raise RuntimeError("Must be fitted before transform!")
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            components=np.asarray(self.components_),
+            explained_variance=np.asarray(self.explained_variance_),
+            mean=np.asarray(self.mean_),
+            mask=self.mask,
+            meta=np.array(
+                [
+                    self.n_components,
+                    int(self.center),
+                    self.random_seed,
+                    self.total_variance_ or 0.0,
+                    self.noise_variance_ or 0.0,
+                ],
+                dtype=np.float64,
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "MaskedSparsePCA":
+        with np.load(path) as z:
+            meta = z["meta"]
+            obj = cls(
+                mask=z["mask"],
+                n_components=int(meta[0]),
+                center=bool(meta[1]),
+                random_seed=int(meta[2]),
+            )
+            obj.components_ = jnp.asarray(z["components"])
+            obj.explained_variance_ = jnp.asarray(z["explained_variance"])
+            obj.mean_ = jnp.asarray(z["mean"])
+            obj.total_variance_ = float(meta[3])
+            obj.noise_variance_ = float(meta[4])
+        return obj
+
+
+@dataclasses.dataclass
+class MaskedSparsePCABuilder:
+    """Builder with the reference's defaults + required ``mask``
+    (``sparse_masked/mod.rs:37-160``)."""
+
+    _mask: Optional[np.ndarray] = None
+    _n_components: int = 50
+    _alpha: float = 1.0
+    _tolerance: float = 1e-6
+    _random_seed: int = 42
+    _center: bool = True
+    _verbose: bool = False
+    _svd_method: SVDMethod = dataclasses.field(
+        default_factory=SVDMethod.lanczos
+    )
+
+    def mask(self, m) -> "MaskedSparsePCABuilder":
+        self._mask = np.asarray(m, dtype=bool)
+        return self
+
+    def n_components(self, n: int) -> "MaskedSparsePCABuilder":
+        self._n_components = n
+        return self
+
+    def alpha(self, a: float) -> "MaskedSparsePCABuilder":
+        self._alpha = a
+        return self
+
+    def tolerance(self, t: float) -> "MaskedSparsePCABuilder":
+        self._tolerance = t
+        return self
+
+    def random_seed(self, s: int) -> "MaskedSparsePCABuilder":
+        self._random_seed = s
+        return self
+
+    def center(self, c: bool) -> "MaskedSparsePCABuilder":
+        self._center = c
+        return self
+
+    def verbose(self, v: bool) -> "MaskedSparsePCABuilder":
+        self._verbose = v
+        return self
+
+    def svd_method(self, m: SVDMethod) -> "MaskedSparsePCABuilder":
+        self._svd_method = m
+        return self
+
+    def build(self) -> MaskedSparsePCA:
+        if self._mask is None:
+            raise ValueError("MaskedSparsePCABuilder requires a mask")
+        return MaskedSparsePCA(
+            mask=self._mask,
+            n_components=self._n_components,
+            alpha=self._alpha,
+            tolerance=self._tolerance,
+            random_seed=self._random_seed,
+            center=self._center,
+            verbose=self._verbose,
+            svd_method=self._svd_method,
+        )

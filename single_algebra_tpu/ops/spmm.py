@@ -61,9 +61,6 @@ def ell_spmm_xla(
         ell_data = jnp.pad(ell_data, ((0, Rp - R), (0, 0)))
         ell_ids = jnp.pad(ell_ids, ((0, Rp - R), (0, 0)))
 
-    data_b = ell_data.reshape(nb, br, W)
-    ids_b = ell_ids.reshape(nb, br, W)
-
     def block(args):
         d, i = args
         g = jnp.take(B, i, axis=0)  # [br, W, k]
@@ -74,6 +71,11 @@ def ell_spmm_xla(
             precision=MATMUL_PRECISION,
         )[:, 0, :]
 
+    if nb == 1:
+        return block((ell_data, ell_ids))[:R]
+
+    data_b = ell_data.reshape(nb, br, W)
+    ids_b = ell_ids.reshape(nb, br, W)
     out = jax.lax.map(block, (data_b, ids_b))
     return out.reshape(Rp, k)[:R]
 

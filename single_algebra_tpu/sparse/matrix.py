@@ -65,6 +65,7 @@ class SparseMatrix:
         fmt: str = "csr",
         h_indptr: Optional[np.ndarray] = None,
         h_indices: Optional[np.ndarray] = None,
+        h_data: Optional[np.ndarray] = None,
     ):
         if fmt not in ("csr", "csc"):
             raise ValueError(f"format must be 'csr' or 'csc', got {fmt!r}")
@@ -74,9 +75,12 @@ class SparseMatrix:
         self.shape = tuple(shape)
         self.nnz = int(nnz)
         self.format = fmt
-        # host-side structure (major-axis CSR of the stored layout)
+        # host-side structure (major-axis CSR of the stored layout); keeping
+        # the VALUES on host too means transpose/scipy round-trips never pull
+        # device buffers back through the (slow) accelerator tunnel
         self._h_indptr = h_indptr
         self._h_indices = h_indices
+        self._h_data = h_data
         self._transpose_cache: Optional["SparseMatrix"] = None
 
     # -- pytree protocol ------------------------------------------------
@@ -94,6 +98,7 @@ class SparseMatrix:
         obj.shape, obj.nnz, obj.format = tuple(shape), nnz, fmt
         obj._h_indptr = None
         obj._h_indices = None
+        obj._h_data = None
         obj._transpose_cache = None
         return obj
 
@@ -149,6 +154,7 @@ class SparseMatrix:
             fmt,
             h_indptr=indptr,
             h_indices=indices,
+            h_data=data,
         )
 
     @classmethod
@@ -220,9 +226,12 @@ class SparseMatrix:
             self._h_indptr = indptr
 
     def _csr_data_host(self) -> np.ndarray:
-        """Stored values in major-CSR order (host numpy)."""
+        """Stored values in major-CSR order (host numpy, no device pull
+        when the construction-time host copy is still valid)."""
 
         self._require_host_structure()
+        if self._h_data is not None:
+            return self._h_data
         d = np.asarray(self.ell_data)
         mask = (
             np.arange(d.shape[1])[None, :]
@@ -275,6 +284,7 @@ class SparseMatrix:
                 "csc" if self.format == "csr" else "csr",
                 h_indptr=t_indptr,
                 h_indices=t_indices,
+                h_data=t_data,
             )
             other._transpose_cache = self
             self._transpose_cache = other
@@ -607,6 +617,7 @@ class SparseMatrix:
             self.format,
             h_indptr=self._h_indptr,
             h_indices=self._h_indices,
+            h_data=None,  # values changed on device; host copy is stale
         )
         return out
 

@@ -9,7 +9,6 @@ hit the reference's 1e-10 tolerances.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# NOTE: the axon TPU-tunnel plugin ignores the JAX_PLATFORMS env var; the
+# programmatic config is the only override that sticks in this environment.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -1,0 +1,264 @@
+"""PCA parity tests vs sklearn + reference-semantic tests.
+
+Covers what the reference's suite never did (its only PCA test asserts
+``fit().is_ok()`` on a stress shape, src/dimred/pca/sparse/mod.rs:540-562):
+golden-value parity against sklearn PCA, masked-vs-sliced equivalence,
+the Lanczos-does-not-center semantic, builder defaults, and persistence.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from single_algebra_tpu.models import (
+    MaskedSparsePCA,
+    MaskedSparsePCABuilder,
+    SparsePCA,
+    SparsePCABuilder,
+)
+from single_algebra_tpu.types import PowerIterationNormalizer as PIN
+from single_algebra_tpu.types import SVDMethod
+
+
+def cluster_counts(n, p, n_clusters=8, seed=0, density=0.1):
+    """scRNA-like synthetic counts: cluster-structured Poisson rates.
+
+    Gives a genuinely gapped spectrum (n_clusters-1 signal directions), the
+    regime where randomized SVD parity at 1e-6 is well-posed.
+    """
+
+    rng = np.random.default_rng(seed)
+    base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
+        rng.random((n_clusters, p)) < 0.5
+    )
+    scale = np.geomspace(8, 1, n_clusters)[:, None]
+    lam = base * scale * (density / max(base.mean(), 1e-9))
+    labels = rng.integers(0, n_clusters, n)
+    X = rng.poisson(lam[labels]).astype(np.float64)
+    return sp.csr_matrix(X)
+
+
+RAND = SVDMethod.random(10, 7, PIN.QR)
+
+
+@pytest.fixture(scope="module")
+def data():
+    return cluster_counts(800, 300, n_clusters=16, seed=1)
+
+
+def test_randomized_pca_explained_variance_parity(data):
+    from sklearn.decomposition import PCA as SkPCA
+
+    pca = SparsePCABuilder().n_components(10).svd_method(RAND).build()
+    pca.fit(data)
+    sk = SkPCA(n_components=10, svd_solver="full").fit(data.toarray())
+    rel = (
+        np.abs(np.asarray(pca.explained_variance_) - sk.explained_variance_)
+        / sk.explained_variance_
+    )
+    # the BASELINE bar: explained-variance parity <= 1e-6 on well-separated
+    # signal directions (16 clusters -> ~15; the last computed components sit
+    # at the bulk edge where no solver pins them to 1e-6)
+    assert rel[:8].max() < 1e-6
+    assert rel.max() < 1e-4
+    # total variance matches the exact dense computation
+    total = data.toarray().var(0, ddof=1).sum()
+    np.testing.assert_allclose(pca.total_variance_, total, rtol=1e-10)
+
+
+def test_randomized_pca_transform_parity(data):
+    from sklearn.decomposition import PCA as SkPCA
+
+    k = 5
+    pca = SparsePCABuilder().n_components(k).svd_method(RAND).build()
+    T = np.asarray(pca.fit_transform(data))
+    sk = SkPCA(n_components=k, svd_solver="full").fit(data.toarray())
+    Tsk = sk.transform(data.toarray())
+    # svd_flip on both sides -> signs must agree, not just magnitudes
+    np.testing.assert_allclose(T, Tsk, rtol=1e-4, atol=1e-6 * np.abs(Tsk).max())
+
+
+def test_lanczos_is_uncentered_svd(data):
+    """Reference semantic: Lanczos path = truncated SVD of RAW X, even with
+    center=true; the mean only enters at transform time (SURVEY §3.2)."""
+
+    k = 6
+    pca = SparsePCABuilder().n_components(k).build()  # default Lanczos
+    T = np.asarray(pca.fit_transform(data))
+
+    dense = data.toarray()
+    u, s, vt = np.linalg.svd(dense, full_matrices=False)
+    # explained variance from RAW singular values
+    np.testing.assert_allclose(
+        np.asarray(pca.explained_variance_),
+        s[:k] ** 2 / (dense.shape[0] - 1),
+        rtol=1e-8,
+    )
+    # transform subtracts the mean despite the uncentered fit
+    from sklearn.utils.extmath import svd_flip as sk_flip
+
+    _, vt_f = sk_flip(
+        u[:, :k].copy(), vt[:k].copy(), u_based_decision=False
+    )
+    expected = (dense - dense.mean(0)) @ vt_f.T
+    np.testing.assert_allclose(T, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_uncentered_pca(data):
+    pca = (
+        SparsePCABuilder()
+        .n_components(4)
+        .center(False)
+        .svd_method(RAND)
+        .build()
+    )
+    T = np.asarray(pca.fit_transform(data))
+    dense = data.toarray()
+    s = np.linalg.svd(dense, compute_uv=False)
+    np.testing.assert_allclose(
+        np.asarray(pca.explained_variance_),
+        s[:4] ** 2 / (dense.shape[0] - 1),
+        rtol=1e-6,
+    )
+    # mean_ must be feature-width zeros (reference bug: zeros(n_samples))
+    assert np.asarray(pca.mean_).shape == (dense.shape[1],)
+    assert np.all(np.asarray(pca.mean_) == 0)
+
+
+def test_ratio_semantics(data):
+    """Reference: ratios normalize over computed components and sum to 1
+    (sparse/mod.rs:312-322)."""
+
+    pca = SparsePCABuilder().n_components(6).svd_method(RAND).build()
+    pca.fit(data)
+    ratios = np.asarray(pca.explained_variance_ratio())
+    np.testing.assert_allclose(ratios.sum(), 1.0, rtol=1e-12)
+    cum = np.asarray(pca.cumulative_explained_variance_ratio())
+    np.testing.assert_allclose(cum, np.cumsum(ratios), rtol=1e-12)
+    fi = np.asarray(pca.feature_importances())
+    assert fi.shape == (6, data.shape[1])
+    np.testing.assert_allclose(
+        fi, np.asarray(pca.components_) ** 2, rtol=1e-12
+    )
+
+
+def test_unfitted_errors(data):
+    pca = SparsePCABuilder().build()
+    with pytest.raises(RuntimeError, match="fitted"):
+        pca.transform(data)
+    with pytest.raises(RuntimeError, match="fitted"):
+        pca.feature_importances()
+
+
+def test_masked_pca_equals_sliced(data):
+    """Masked PCA == PCA on the physically sliced matrix (the equivalence
+    the reference never tests)."""
+
+    from sklearn.decomposition import PCA as SkPCA
+
+    rng = np.random.default_rng(3)
+    mask = rng.random(data.shape[1]) < 0.5
+    k = 5
+    mp = (
+        MaskedSparsePCABuilder()
+        .mask(mask)
+        .n_components(k)
+        .svd_method(RAND)
+        .build()
+    )
+    T = np.asarray(mp.fit_transform(data))
+    sliced = data.toarray()[:, mask]
+    sk = SkPCA(n_components=k, svd_solver="full").fit(sliced)
+    rel = (
+        np.abs(np.asarray(mp.explained_variance_) - sk.explained_variance_)
+        / sk.explained_variance_
+    )
+    assert rel[:4].max() < 1e-6
+    np.testing.assert_allclose(
+        T[:, :4],
+        sk.transform(sliced)[:, :4],
+        rtol=1e-4,
+        atol=1e-5 * np.abs(T).max(),
+    )
+    # components_ is k x p_masked; mean_ is FULL width (reference semantic)
+    assert np.asarray(mp.components_).shape == (k, int(mask.sum()))
+    assert np.asarray(mp.mean_).shape == (data.shape[1],)
+
+
+def test_masked_lanczos(data):
+    rng = np.random.default_rng(4)
+    mask = rng.random(data.shape[1]) < 0.6
+    mp = MaskedSparsePCABuilder().mask(mask).n_components(4).build()
+    mp.fit(data)
+    s_ref = np.linalg.svd(data.toarray()[:, mask], compute_uv=False)
+    np.testing.assert_allclose(
+        np.asarray(mp.explained_variance_),
+        s_ref[:4] ** 2 / (data.shape[0] - 1),
+        rtol=1e-8,
+    )
+
+
+def test_masked_mask_validation(data):
+    mp = MaskedSparsePCABuilder().mask([True] * 10).n_components(2).build()
+    with pytest.raises(ValueError, match="mask vector length"):
+        mp.fit(data)
+    with pytest.raises(ValueError, match="requires a mask"):
+        MaskedSparsePCABuilder().build()
+
+
+def test_builder_defaults():
+    pca = SparsePCABuilder().build()
+    assert pca.n_components == 50
+    assert pca.alpha == 1.0
+    assert pca.tolerance == 1e-6
+    assert pca.random_seed == 42
+    assert pca.center is True
+    assert pca.verbose is False
+    assert not pca.svd_method.is_random  # Lanczos default
+
+
+def test_save_load(tmp_path, data):
+    pca = SparsePCABuilder().n_components(4).svd_method(RAND).build()
+    T = np.asarray(pca.fit_transform(data))
+    path = str(tmp_path / "pca.npz")
+    pca.save(path)
+    loaded = SparsePCA.load(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded.transform(data)), T, rtol=1e-10
+    )
+
+    rng = np.random.default_rng(5)
+    mask = rng.random(data.shape[1]) < 0.5
+    mp = (
+        MaskedSparsePCABuilder()
+        .mask(mask)
+        .n_components(3)
+        .svd_method(RAND)
+        .build()
+    )
+    Tm = np.asarray(mp.fit_transform(data))
+    mpath = str(tmp_path / "mpca.npz")
+    mp.save(mpath)
+    mloaded = MaskedSparsePCA.load(mpath)
+    np.testing.assert_allclose(
+        np.asarray(mloaded.transform(data)), Tm, rtol=1e-10
+    )
+
+
+def test_seed_determinism(data):
+    a = SparsePCABuilder().n_components(4).svd_method(RAND).random_seed(7).build()
+    b = SparsePCABuilder().n_components(4).svd_method(RAND).random_seed(7).build()
+    np.testing.assert_array_equal(
+        np.asarray(a.fit_transform(data)), np.asarray(b.fit_transform(data))
+    )
+
+
+def test_csc_input(data):
+    from single_algebra_tpu import SparseMatrix
+
+    mc = SparseMatrix.from_scipy(data.tocsc(), fmt="csc")
+    pca = SparsePCABuilder().n_components(4).svd_method(RAND).build()
+    T_csc = np.asarray(pca.fit_transform(mc))
+    pca2 = SparsePCABuilder().n_components(4).svd_method(RAND).build()
+    T_csr = np.asarray(pca2.fit_transform(data))
+    np.testing.assert_allclose(T_csc, T_csr, rtol=1e-8, atol=1e-10)
