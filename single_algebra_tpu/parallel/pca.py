@@ -1,0 +1,87 @@
+"""Multi-device PCA: the north-star workload sharded over a mesh.
+
+Composes the row-sharded operator with the jitted randomized-SVD engine.
+The partitioning follows the scaling-book recipe for this problem class:
+rows (cells) sharded over the mesh axis, all l-width sketch matrices and
+p-width statistics replicated, collectives limited to one ``psum`` per
+``A^T @ ...`` product and per column-stat pass — all riding ICI.
+
+Single-device meshes degenerate to the plain path, so this is also the
+entry point the driver's ``dryrun_multichip`` exercises.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..linalg import CenteredOperator, randomized_svd, svd_flip
+from ..sparse.matrix import SparseMatrix
+from ..types import PowerIterationNormalizer, SVDMethod
+from .sharded import Mesh, ShardedSpMM, make_mesh
+
+__all__ = ["ShardedPCAResult", "sharded_pca_fit_transform"]
+
+
+class ShardedPCAResult(NamedTuple):
+    transformed: jnp.ndarray  # [n, k] row-sharded
+    components: jnp.ndarray  # [k, p] replicated
+    explained_variance: jnp.ndarray  # [k]
+    mean: jnp.ndarray  # [p]
+    total_variance: jnp.ndarray  # []
+
+
+def sharded_pca_fit_transform(
+    x,
+    n_components: int = 50,
+    mesh: Mesh | None = None,
+    svd_method: SVDMethod | None = None,
+    center: bool = True,
+    seed: int = 42,
+) -> ShardedPCAResult:
+    """Centered randomized PCA of a row-sharded sparse matrix.
+
+    ``x`` may be a SparseMatrix (sharded here) or a prebuilt
+    :class:`ShardedSpMM`.
+    """
+
+    if svd_method is None:
+        svd_method = SVDMethod.random(10, 7, PowerIterationNormalizer.QR)
+    if not svd_method.is_random:
+        raise NotImplementedError(
+            "sharded PCA currently supports the randomized SVD path"
+        )
+    if isinstance(x, ShardedSpMM):
+        op = x
+    else:
+        if not isinstance(x, SparseMatrix):
+            x = SparseMatrix.from_scipy(x)
+        op = ShardedSpMM.from_matrix(x, mesh or make_mesh())
+
+    n, p = op.shape
+    s, sq, _ = op.col_stats()
+    n_f = jnp.asarray(n, s.dtype)
+    mean = s / n_f
+    if center:
+        total_var = jnp.sum((sq - mean * s) / jnp.maximum(n_f - 1, 1))
+        svd_op = CenteredOperator(op, mean)
+    else:
+        mean = jnp.zeros_like(mean)
+        svd_op = op
+
+    res = randomized_svd(
+        svd_op,
+        n_components,
+        svd_method.n_oversamples,
+        svd_method.n_power_iterations,
+        svd_method.normalizer,
+        seed=seed,
+    )
+    u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
+    expl = (res.s**2) / jnp.maximum(n_f - 1, 1)
+    if not center:
+        total_var = jnp.sum(expl)
+
+    T = svd_op.mv(vt.T)
+    return ShardedPCAResult(T, vt, expl, mean, total_var)

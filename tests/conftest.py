@@ -44,3 +44,17 @@ def make_random_csr(n, p, density=0.1, seed=42, dtype=np.float64, fmt="csr"):
 @pytest.fixture
 def small_csr():
     return make_random_csr(50, 37, density=0.15, seed=1)
+
+
+def cluster_counts(n, p, n_clusters=8, seed=0, density=0.1):
+    """scRNA-like synthetic counts with a genuinely gapped spectrum."""
+
+    rng = np.random.default_rng(seed)
+    base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
+        rng.random((n_clusters, p)) < 0.5
+    )
+    scale = np.geomspace(8, 1, n_clusters)[:, None]
+    lam = base * scale * (density / max(base.mean(), 1e-9))
+    labels = rng.integers(0, n_clusters, n)
+    X = rng.poisson(lam[labels]).astype(np.float64)
+    return sp.csr_matrix(X)

@@ -20,22 +20,7 @@ from single_algebra_tpu.types import PowerIterationNormalizer as PIN
 from single_algebra_tpu.types import SVDMethod
 
 
-def cluster_counts(n, p, n_clusters=8, seed=0, density=0.1):
-    """scRNA-like synthetic counts: cluster-structured Poisson rates.
-
-    Gives a genuinely gapped spectrum (n_clusters-1 signal directions), the
-    regime where randomized SVD parity at 1e-6 is well-posed.
-    """
-
-    rng = np.random.default_rng(seed)
-    base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
-        rng.random((n_clusters, p)) < 0.5
-    )
-    scale = np.geomspace(8, 1, n_clusters)[:, None]
-    lam = base * scale * (density / max(base.mean(), 1e-9))
-    labels = rng.integers(0, n_clusters, n)
-    X = rng.poisson(lam[labels]).astype(np.float64)
-    return sp.csr_matrix(X)
+from tests.conftest import cluster_counts
 
 
 RAND = SVDMethod.random(10, 7, PIN.QR)

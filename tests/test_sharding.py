@@ -1,0 +1,107 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Verifies the sharded operator and sharded PCA agree with the single-device
+path bit-for-bit (same seed, same algorithm) — the distributed-test story
+the reference entirely lacks (SURVEY.md §4).
+"""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from single_algebra_tpu import SparseMatrix
+from single_algebra_tpu.linalg import CenteredOperator, SparseOperator, randomized_svd
+from single_algebra_tpu.parallel import ShardedSpMM, make_mesh, sharded_pca_fit_transform
+from single_algebra_tpu.types import PowerIterationNormalizer as PIN, SVDMethod
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    X = sp.random(403, 97, density=0.2, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random)
+    return X, SparseMatrix.from_scipy(X, dtype=np.float64)
+
+
+def test_sharded_products_match(problem):
+    X, m = problem
+    mesh = make_mesh(8)
+    op = ShardedSpMM.from_matrix(m, mesh)
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((97, 6))
+    C = rng.standard_normal((403, 6))
+    np.testing.assert_allclose(np.asarray(op.mv(B)), X @ B, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.rmv(C)), X.T @ C, rtol=1e-10)
+
+
+def test_sharded_col_stats(problem):
+    X, m = problem
+    op = ShardedSpMM.from_matrix(m, make_mesh(8))
+    s, sq, cnt = op.col_stats()
+    dense = X.toarray()
+    np.testing.assert_allclose(np.asarray(s), dense.sum(0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sq), (dense**2).sum(0), rtol=1e-10)
+    np.testing.assert_array_equal(np.asarray(cnt), (dense != 0).sum(0))
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_svd_matches_single_device(problem, ndev):
+    X, m = problem
+    op1 = SparseOperator.from_matrix(m)
+    res1 = randomized_svd(op1, 5, 10, 4, PIN.QR, seed=3)
+    opn = ShardedSpMM.from_matrix(m, make_mesh(ndev))
+    resn = randomized_svd(opn, 5, 10, 4, PIN.QR, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(resn.s), np.asarray(res1.s), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(resn.u)), np.abs(np.asarray(res1.u)), atol=1e-7
+    )
+
+
+def test_sharded_pca_matches_sklearn():
+    from sklearn.decomposition import PCA as SkPCA
+    from tests.conftest import cluster_counts
+
+    X = cluster_counts(500, 120, n_clusters=10, seed=2)
+    res = sharded_pca_fit_transform(
+        X, n_components=6, mesh=make_mesh(8),
+        svd_method=SVDMethod.random(10, 7, PIN.QR), seed=42,
+    )
+    sk = SkPCA(n_components=6, svd_solver="full").fit(X.toarray())
+    rel = (
+        np.abs(np.asarray(res.explained_variance) - sk.explained_variance_)
+        / sk.explained_variance_
+    )
+    assert rel[:5].max() < 1e-6
+    np.testing.assert_allclose(
+        float(res.total_variance),
+        X.toarray().var(0, ddof=1).sum(),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.transformed)[:, :5],
+        sk.transform(X.toarray())[:, :5],
+        rtol=1e-3, atol=1e-5 * np.abs(np.asarray(res.transformed)).max(),
+    )
+
+
+def test_sharded_centered_operator(problem):
+    X, m = problem
+    op = ShardedSpMM.from_matrix(m, make_mesh(4))
+    mu = np.asarray(X.mean(axis=0)).ravel()
+    cop = CenteredOperator(op, mu)
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((97, 3))
+    C = rng.standard_normal((403, 3))
+    np.testing.assert_allclose(
+        np.asarray(cop.mv(B)), (X.toarray() - mu) @ B, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(cop.rmv(C)), (X.toarray() - mu).T @ C, rtol=1e-9
+    )
