@@ -1,0 +1,195 @@
+"""Benchmark: the north-star workload on real hardware.
+
+Measures 50-component randomized-SVD PCA ``fit_transform`` (oversamples=10,
+power iterations=7, QR normalizer — the reference README's recommended
+config) on a seeded synthetic scRNA-scale CSR matrix, on whatever backend
+JAX selects (the one real TPU chip under the driver).
+
+Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
+``value`` is the fit_transform wall time; ``vs_baseline`` is the speedup
+against a single-core CPU reference pipeline (sklearn randomized_svd on the
+implicitly centered scipy matrix — the closest faithful stand-in for the
+64-core Rayon reference, which cannot be built here: no Rust toolchain).
+The CPU reference is measured once and cached in ``BASELINE_LOCAL.json``;
+delete that file to re-measure.
+
+Usage: ``python bench.py`` (full size) or ``python bench.py --smoke``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# full-size default: ~60M nnz, ELL fits comfortably in 16 GB HBM
+FULL = dict(n=200_000, p=20_000, density=0.015, k=50)
+SMOKE = dict(n=20_000, p=2_000, density=0.02, k=20)
+SEED = 42
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_LOCAL.json")
+
+
+def make_matrix(n, p, density, seed=SEED):
+    """Seeded scRNA-like count matrix (integer UMI-style values)."""
+
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    mat = sp.random(
+        n,
+        p,
+        density=density,
+        format="csr",
+        dtype=np.float64,
+        random_state=rng,
+        data_rvs=lambda size: (rng.poisson(1.5, size) + 1).astype(np.float64),
+    )
+    return mat.astype(np.float32)
+
+
+def run_tpu(X, k):
+    from single_algebra_tpu import SparseMatrix
+    from single_algebra_tpu.models import SparsePCABuilder
+    from single_algebra_tpu.types import (
+        PowerIterationNormalizer,
+        SVDMethod,
+    )
+
+    method = SVDMethod.random(10, 7, PowerIterationNormalizer.QR)
+
+    from single_algebra_tpu.linalg import DensifiedOperator
+
+    t0 = time.perf_counter()
+    dense_path = DensifiedOperator.fits(X.shape)
+    # dense engine never touches the sparse device layouts — keep them
+    # host-side and skip the transpose build
+    m = SparseMatrix.from_scipy(X, device=not dense_path)
+    if not dense_path:
+        m.transpose()  # sparse path needs both ELL orientations
+    t_load = time.perf_counter() - t0
+
+    def one_fit():
+        pca = (
+            SparsePCABuilder()
+            .n_components(k)
+            .svd_method(method)
+            .random_seed(SEED)
+            .build()
+        )
+        t1 = time.perf_counter()
+        T = pca.fit_transform(m)
+        np.asarray(T)  # full sync through the host
+        return time.perf_counter() - t1, pca
+
+    t_cold, _ = one_fit()  # includes compile
+    t_warm, pca = one_fit()
+    return dict(load=t_load, cold=t_cold, warm=t_warm, pca=pca)
+
+
+def run_cpu_reference(X, k):
+    """Single-core CPU pipeline: implicitly centered Halko randomized SVD
+    over scipy sparse matmuls — the same algorithm the reference's
+    single-svdlib implements (Gaussian sketch, QR-normalized power
+    iterations, oversampling), so timings are apples-to-apples."""
+
+    import scipy.linalg as sla
+
+    mu = np.asarray(X.mean(axis=0)).ravel().astype(X.dtype)
+    n = X.shape[0]
+
+    def mv(V):  # (X - 1 mu^T) @ V
+        corr = mu @ V
+        return X @ V - np.broadcast_to(corr, (n, V.shape[1]))
+
+    def rmv(V):  # (X - 1 mu^T)^T @ V
+        return X.T @ V - np.outer(mu, V.sum(axis=0))
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(SEED)
+    l = min(k + 10, min(X.shape))
+    Y = mv(rng.standard_normal((X.shape[1], l)).astype(X.dtype))
+    for _ in range(7):
+        Y, _ = sla.qr(Y, mode="economic")
+        Z = rmv(Y)
+        Z, _ = sla.qr(Z, mode="economic")
+        Y = mv(Z)
+    Q, _ = sla.qr(Y, mode="economic")
+    B = rmv(Q).T  # [l, p]
+    ub, s, vt = sla.svd(B, full_matrices=False)
+    T = mv(vt[:k].T)
+    del T
+    dt = time.perf_counter() - t0
+    return dt, s[:k]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--skip-cpu", action="store_true")
+    args = ap.parse_args()
+    cfg = SMOKE if args.smoke else FULL
+
+    X = make_matrix(cfg["n"], cfg["p"], cfg["density"])
+    tpu = run_tpu(X, cfg["k"])
+
+    key = f"{cfg['n']}x{cfg['p']}x{cfg['density']}x{cfg['k']}"
+    cpu_time = None
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                cache = json.load(f)
+            cpu_time = cache.get(key)
+        except Exception:
+            cache = {}
+    else:
+        cache = {}
+    if cpu_time is None and not args.skip_cpu:
+        cpu_time, _ = run_cpu_reference(X, cfg["k"])
+        cache[key] = cpu_time
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cache, f)
+
+    vs = (cpu_time / tpu["warm"]) if cpu_time else None
+    out = {
+        "metric": (
+            f"PCA fit_transform (randomized k={cfg['k']}, os=10, q=7, QR) "
+            f"on {cfg['n']}x{cfg['p']} CSR d={cfg['density']} "
+            f"({X.nnz} nnz), warm wall time on "
+            f"{_backend_name()}; vs_baseline = speedup over 1-core CPU "
+            "Halko randomized-SVD reference"
+        ),
+        "value": round(tpu["warm"], 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
+    print(json.dumps(out))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "load_s": round(tpu["load"], 3),
+                    "cold_s": round(tpu["cold"], 3),
+                    "warm_s": round(tpu["warm"], 4),
+                    "cpu_reference_s": (
+                        round(cpu_time, 3) if cpu_time else None
+                    ),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def _backend_name():
+    import jax
+
+    d = jax.devices()[0]
+    return f"{d.platform}:{d.device_kind}"
+
+
+if __name__ == "__main__":
+    main()

@@ -3,8 +3,9 @@
 from .operators import (  # noqa: F401
     CenteredOperator,
     DenseOperator,
+    DensifiedOperator,
     MaskedOperator,
     SparseOperator,
 )
-from .svd import SvdResult, randomized_svd, svd_flip  # noqa: F401
+from .svd import SvdResult, cholesky_qr2, randomized_svd, svd_flip  # noqa: F401
 from .lanczos import lanczos_svd, default_lanczos_steps  # noqa: F401

@@ -64,6 +64,11 @@ def lanczos_svd(
     dtype = op.mv(jnp.zeros((p, 1))).dtype
     eps = jnp.asarray(jnp.finfo(dtype).tiny * 1e8, dtype)
 
+    # Lanczos recurrences are sensitive to matvec error; densified bf16
+    # operators expose hi+lo precise products — always use them here
+    op_mv = getattr(op, "mv_precise", op.mv)
+    op_rmv = getattr(op, "rmv_precise", op.rmv)
+
     key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
     v0 = jax.random.normal(key, (p,), dtype=dtype)
     v0 = v0 / jnp.linalg.norm(v0)
@@ -86,7 +91,7 @@ def lanczos_svd(
         U, V, alphas, betas, u_prev, v_cur, beta_prev = carry
         V = V.at[j].set(v_cur)
 
-        u = op.mv(v_cur[:, None])[:, 0] - beta_prev * u_prev
+        u = op_mv(v_cur[:, None])[:, 0] - beta_prev * u_prev
         u = reorth(U, u)
         alpha = jnp.linalg.norm(u)
         inv_a = jnp.where(alpha > eps, 1.0 / jnp.maximum(alpha, eps), 0.0)
@@ -94,7 +99,7 @@ def lanczos_svd(
         U = U.at[j].set(u)
         alphas = alphas.at[j].set(alpha)
 
-        w = op.rmv(u[:, None])[:, 0] - alpha * v_cur
+        w = op_rmv(u[:, None])[:, 0] - alpha * v_cur
         w = reorth(V, w)
         beta = jnp.linalg.norm(w)
         inv_b = jnp.where(beta > eps, 1.0 / jnp.maximum(beta, eps), 0.0)

@@ -26,6 +26,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.spmm import ell_spmm
 from ..types import MATMUL_PRECISION
@@ -158,9 +159,162 @@ class CenteredOperator:
         col_tot = jnp.sum(C, axis=0)  # [k]
         return self.base.rmv(C) - self.mu[:, None] * col_tot[None, :]
 
+    def mv_precise(self, B):
+        base = getattr(self.base, "mv_precise", self.base.mv)
+        corr = jnp.dot(self.mu, B, precision=MATMUL_PRECISION)
+        return base(B) - corr[None, :]
+
+    def rmv_precise(self, C):
+        base = getattr(self.base, "rmv_precise", self.base.rmv)
+        col_tot = jnp.sum(C, axis=0)
+        return base(C) - self.mu[:, None] * col_tot[None, :]
+
     def tree_flatten(self):
         return (self.base, self.mu), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+def _to_bf16_split(chunk: "np.ndarray"):
+    import ml_dtypes  # ships with jax
+
+    hi = chunk.astype(ml_dtypes.bfloat16)
+    lo = (chunk - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DensifiedOperator:
+    """Dense-bf16 fast path for matrices whose dense form fits HBM.
+
+    At single-cell densities (1-15%) a [n, p] bf16 densification often fits
+    comfortably in HBM, and the MXU then runs the sketching SpMMs at dense
+    matmul speed — far past any gather-based sparse kernel. Accuracy story:
+
+    * ``hi`` holds bf16(x). For raw count matrices with values <= 256 this
+      is EXACT (bf16 has an 8-bit mantissa), so nothing is lost.
+    * ``lo`` holds bf16(x - hi): together ~16 mantissa bits. ``mv_precise``/
+      ``rmv_precise`` contract both halves (two MXU passes, f32
+      accumulation); the SVD engine uses the precise form for the final
+      projection, while power iterations ride the fast hi-only path —
+      subspace perturbations enter explained variance only at second order.
+    * ``lo`` is dropped entirely when the input is bf16-exact.
+
+    Construction densifies on the HOST in row chunks (numpy) to avoid
+    device scatter; the dense array is laid out [n, p] and both products
+    are XLA ``dot_general`` contractions (no explicit transpose).
+    """
+
+    hi: jnp.ndarray  # [n, p] bfloat16
+    lo: jnp.ndarray | None  # [n, p] bfloat16 or None when exact
+    shape: Tuple[int, int]
+
+    @classmethod
+    def from_matrix(cls, m) -> "DensifiedOperator":
+        import ml_dtypes
+
+        sp_mat = m.to_scipy().tocsr()
+        n, p = m.shape
+        # cheap exactness check on the nnz values alone: is bf16 lossless?
+        vals = sp_mat.data.astype(np.float32)
+        exact = not np.any(
+            vals - vals.astype(ml_dtypes.bfloat16).astype(np.float32)
+        )
+        hi_np = np.empty((n, p), dtype=ml_dtypes.bfloat16)
+        lo_np = (
+            None if exact else np.empty((n, p), dtype=ml_dtypes.bfloat16)
+        )
+        step = max(1, (1 << 27) // max(p, 1))
+        for r0 in range(0, n, step):
+            chunk = sp_mat[r0 : r0 + step].toarray().astype(np.float32)
+            h, l = _to_bf16_split(chunk)
+            hi_np[r0 : r0 + step] = h
+            if lo_np is not None:
+                lo_np[r0 : r0 + step] = l
+        hi = jnp.asarray(hi_np)
+        del hi_np
+        lo = None if exact else jnp.asarray(lo_np)
+        return cls(hi, lo, (n, p))
+
+    @staticmethod
+    def fits(shape, budget_bytes: int = 9 << 30) -> bool:
+        n, p = shape
+        return 2 * n * p <= budget_bytes  # hi only; lo doubles it if needed
+
+    # fast path: bf16 inputs, f32 accumulation
+    def mv(self, B):
+        return jax.lax.dot_general(
+            self.hi,
+            B.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(B.dtype)
+
+    def rmv(self, C):
+        return jax.lax.dot_general(
+            self.hi,
+            C.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(C.dtype)
+
+    # precise path: both the matrix AND the dense operand are split into
+    # bf16 hi+lo halves (2-4 bf16 MXU passes with f32 accumulation) — each
+    # elementwise product is computed exactly, so the result carries full
+    # f32-class accuracy. Splitting only the matrix is NOT enough: rounding
+    # the operand (e.g. the orthonormal Q of the final projection) injects
+    # first-order error into the singular values.
+    @staticmethod
+    def _split(B):
+        hi = B.astype(jnp.bfloat16)
+        lo = (B - hi.astype(B.dtype)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def _precise(self, B, dims):
+        b_hi, b_lo = self._split(B)
+        parts = [self.hi]
+        if self.lo is not None:
+            parts.append(self.lo)
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(dims, ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        out = None
+        for a in parts:
+            term = dot(a, b_hi) + dot(a, b_lo)
+            out = term if out is None else out + term
+        return out.astype(B.dtype)
+
+    def mv_precise(self, B):
+        return self._precise(B, ((1,), (0,)))
+
+    def rmv_precise(self, C):
+        return self._precise(C, ((0,), (0,)))
+
+    @jax.jit
+    def col_stats(self):
+        """(sum, sum_sq) per column — one fused f32 VPU pass over the dense
+        array (x = hi + lo reconstructed exactly in f32 before squaring)."""
+
+        x = self.hi.astype(jnp.float32)
+        if self.lo is not None:
+            x = x + self.lo.astype(jnp.float32)
+        return jnp.sum(x, axis=0), jnp.sum(x * x, axis=0)
+
+    def tree_flatten(self):
+        if self.lo is None:
+            return (self.hi,), (self.shape, False)
+        return (self.hi, self.lo), (self.shape, True)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape, has_lo = aux
+        if has_lo:
+            return cls(children[0], children[1], shape)
+        return cls(children[0], None, shape)

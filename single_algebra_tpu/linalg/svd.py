@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..types import MATMUL_PRECISION, PowerIterationNormalizer
 
-__all__ = ["SvdResult", "randomized_svd", "svd_flip"]
+__all__ = ["SvdResult", "randomized_svd", "svd_flip", "cholesky_qr2"]
 
 
 class SvdResult(NamedTuple):
@@ -37,8 +37,48 @@ class SvdResult(NamedTuple):
     vt: jnp.ndarray  # [k, p]
 
 
+def cholesky_qr2(Y: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal basis of range(Y) via two shifted-CholeskyQR rounds.
+
+    Tall-skinny QR built from MXU Gram matrices + tiny Cholesky factors —
+    an order of magnitude faster than Householder QR on TPU for
+    [n >> l] sketches. The first round's diagonal shift keeps the
+    Cholesky factorization positive-definite even when Y is very
+    ill-conditioned; the second (unshifted) round restores orthogonality
+    to ~sqrt(eps).
+    """
+
+    def round_(Yc, shift):
+        g = jax.lax.dot_general(
+            Yc, Yc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=MATMUL_PRECISION,
+        )
+        if shift:
+            l = g.shape[0]
+            s = (
+                jnp.finfo(jnp.float32).eps
+                * jnp.trace(g)
+                * jnp.asarray(11 * (Yc.shape[0] + l + 1), jnp.float32)
+            )
+            g = g + s * jnp.eye(l, dtype=g.dtype)
+        r = jnp.linalg.cholesky(g.astype(Yc.dtype), upper=True)
+        return jax.lax.linalg.triangular_solve(
+            r, Yc, left_side=False, lower=False
+        )
+
+    return round_(round_(Y, True), False)
+
+
+# Householder QR beats CholeskyQR2's extra Gram passes below this many rows
+_CHOLQR_MIN_ROWS = 16384
+
+
 def _orthonormalize(Y: jnp.ndarray, normalizer: PowerIterationNormalizer):
     if normalizer == PowerIterationNormalizer.QR:
+        if Y.shape[0] >= _CHOLQR_MIN_ROWS and Y.dtype == jnp.float32:
+            return cholesky_qr2(Y)
         q, _ = jnp.linalg.qr(Y)
         return q
     if normalizer == PowerIterationNormalizer.LU:
@@ -94,7 +134,9 @@ def randomized_svd(
         Y = jax.lax.fori_loop(0, n_power_iterations, power_body, Y)
 
     Q, _ = jnp.linalg.qr(Y)  # [n, l]
-    Bt = op.rmv(Q)  # [p, l] == (Q^T A)^T
+    # final projection at full precision (hi+lo path on densified operators)
+    rmv_final = getattr(op, "rmv_precise", op.rmv)
+    Bt = rmv_final(Q)  # [p, l] == (Q^T A)^T
     ub, s, vt = jnp.linalg.svd(Bt.T, full_matrices=False)  # [l,l],[l],[l,p]
     U = jnp.dot(Q, ub, precision=MATMUL_PRECISION)
     return SvdResult(

@@ -2,3 +2,4 @@
 
 from .pca import SparsePCA, SparsePCABuilder  # noqa: F401
 from .masked_pca import MaskedSparsePCA, MaskedSparsePCABuilder  # noqa: F401
+from . import tsne  # noqa: F401

@@ -40,6 +40,7 @@ import numpy as np
 
 from ..linalg import (
     CenteredOperator,
+    DensifiedOperator,
     SparseOperator,
     lanczos_svd,
     randomized_svd,
@@ -74,8 +75,11 @@ class SparsePCA:
         center: bool = True,
         verbose: bool = False,
         svd_method: SVDMethod = SVDMethod.lanczos(),
+        engine: str = "auto",
     ):
         self.n_components = n_components
+        self.engine = engine
+        self._fit_cache = None  # (id(matrix), operator)
         self.alpha = alpha  # parity field; unused, as in the reference
         self.tolerance = tolerance
         self.random_seed = random_seed
@@ -96,9 +100,13 @@ class SparsePCA:
         k = self.n_components
         t0 = time.perf_counter()
 
-        op = SparseOperator.from_matrix(m)
+        op = self._make_operator(m)
 
-        col_sums = m.sum_col()
+        if isinstance(op, DensifiedOperator):
+            col_sums, col_sq = op.col_stats()
+        else:
+            col_sums = m.sum_col()
+            col_sq = None
         n_f = jnp.asarray(n_samples, col_sums.dtype)
         if self.center:
             self.mean_ = col_sums / n_f
@@ -107,7 +115,8 @@ class SparsePCA:
 
         total_var = None
         if self.center and n_samples > 1:
-            col_sq = m.sum_col_squared()
+            if col_sq is None:
+                col_sq = m.sum_col_squared()
             mean = col_sums / n_f
             total_var = float(
                 jnp.sum((col_sq - mean * col_sums) / (n_f - 1))
@@ -168,13 +177,36 @@ class SparsePCA:
 
     # -- inference -----------------------------------------------------
 
+    def _make_operator(self, m):
+        if self._fit_cache is not None and self._fit_cache[0] == id(m):
+            return self._fit_cache[1]
+        engine = self.engine
+        if engine == "auto":
+            import jax
+
+            use_dense = (
+                jax.default_backend() == "tpu"
+                and DensifiedOperator.fits(m.shape)
+                and m.dtype == jnp.float32
+            )
+            engine = "dense" if use_dense else "sparse"
+        if engine == "dense":
+            op = DensifiedOperator.from_matrix(m)
+        elif engine == "sparse":
+            op = SparseOperator.from_matrix(m)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+        self._fit_cache = (id(m), op)
+        return op
+
     def transform(self, x) -> jnp.ndarray:
         self._check_fitted()
         m = _as_matrix(x)
-        op = SparseOperator.from_matrix(m)
+        op = self._make_operator(m)
         if self.center:
             op = CenteredOperator(op, self.mean_)
-        return op.mv(self.components_.T.astype(self.components_.dtype))
+        mv = getattr(op, "mv_precise", op.mv)
+        return mv(self.components_.T.astype(self.components_.dtype))
 
     def fit_transform(self, x) -> jnp.ndarray:
         m = _as_matrix(x)  # convert once; fit and transform share layouts
@@ -250,6 +282,14 @@ class SparsePCABuilder:
     _svd_method: SVDMethod = dataclasses.field(
         default_factory=SVDMethod.lanczos
     )
+    _engine: str = "auto"
+
+    def engine(self, e: str) -> "SparsePCABuilder":
+        """Compute engine: 'auto' (densified bf16 fast path on TPU when the
+        dense form fits HBM), 'sparse' (padded-ELL kernels), 'dense'."""
+
+        self._engine = e
+        return self
 
     def n_components(self, n: int) -> "SparsePCABuilder":
         self._n_components = n
@@ -288,4 +328,5 @@ class SparsePCABuilder:
             center=self._center,
             verbose=self._verbose,
             svd_method=self._svd_method,
+            engine=self._engine,
         )

@@ -164,3 +164,61 @@ def slab_row_ranges(n_rows: int, n_slabs: int) -> list[tuple[int, int]]:
         ranges.append((start, end))
         start = end
     return ranges
+
+
+def csr_to_tiled_ell_numpy(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    col_tile: int = 256,
+    rows_padded_to: int = 256,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Column-tiled padded ELL: the Pallas SpMM kernel's layout.
+
+    Entries are grouped per (row, column-tile); each group is padded to the
+    global per-tile width ``wt``. Returns ``(tdata [R, ntiles*wt],
+    tlocal [R, ntiles*wt], wt, ntiles)`` where ``tlocal`` holds the
+    within-tile column offset (0..col_tile-1) and padding slots carry
+    ``v=0, lid=0`` (they accumulate exact zeros into dense-tile column 0).
+
+    The kernel densifies each [block_rows, col_tile] tile from this layout
+    with one-hot selects and contracts it against the dense operand on the
+    MXU — the scatter/gather-free TPU formulation of CSR SpMM.
+    """
+
+    indptr = np.asarray(indptr, dtype=np.int64)
+    ntiles = max(-(-n_cols // col_tile), 1)
+    rows_padded = max(round_up(n_rows, rows_padded_to), rows_padded_to)
+    nnz = len(indices)
+    if nnz == 0 or n_rows == 0:
+        wt = 8
+        shape = (rows_padded, ntiles * wt)
+        return (
+            np.zeros(shape, data.dtype),
+            np.zeros(shape, np.int32),
+            wt,
+            ntiles,
+        )
+
+    row_nnz = np.diff(indptr)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), row_nnz)
+    tile_of = indices.astype(np.int64) // col_tile
+    lid_of = (indices.astype(np.int64) % col_tile).astype(np.int32)
+
+    # rank of each entry within its (row, tile) group; groups are contiguous
+    # because CSR columns are sorted within rows
+    key = row_of * ntiles + tile_of
+    first = np.ones(nnz, dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(nnz), 0))
+    rank = np.arange(nnz) - group_start
+
+    wt = int(round_up(int(rank.max()) + 1, 8))
+    tdata = np.zeros((rows_padded, ntiles * wt), data.dtype)
+    tlocal = np.zeros((rows_padded, ntiles * wt), np.int32)
+    slot = tile_of * wt + rank
+    tdata[row_of, slot] = data
+    tlocal[row_of, slot] = lid_of
+    return tdata, tlocal, wt, ntiles

@@ -105,11 +105,21 @@ class SparseMatrix:
     # -- factory methods -------------------------------------------------
 
     @classmethod
-    def from_scipy(cls, mat, fmt: Optional[str] = None, dtype=None) -> "SparseMatrix":
+    def from_scipy(
+        cls,
+        mat,
+        fmt: Optional[str] = None,
+        dtype=None,
+        device: bool = True,
+    ) -> "SparseMatrix":
         """Build from any scipy.sparse matrix.
 
         ``fmt`` selects the major layout ('csr' default; 'csc' stores the
         transpose-major layout like the reference's CscMatrix).
+        ``device=False`` keeps the ELL arrays host-side (numpy) — useful
+        when a densified engine will consume the matrix and the sparse
+        layouts would only waste accelerator-tunnel bandwidth; any op that
+        needs them transfers lazily.
         """
 
         import scipy.sparse as sp
@@ -145,10 +155,11 @@ class SparseMatrix:
         ell_data, ell_ids, row_nnz = _cv.csr_to_ell_numpy(
             indptr, indices, data, n_major
         )
+        put = jnp.asarray if device else (lambda a: a)
         return cls(
-            jnp.asarray(ell_data),
-            jnp.asarray(ell_ids),
-            jnp.asarray(row_nnz),
+            put(ell_data),
+            put(ell_ids),
+            put(row_nnz),
             shape,
             int(len(indices)),
             fmt,
