@@ -26,6 +26,11 @@ import time
 
 import numpy as np
 
+
+from single_algebra_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 # full-size default: ~60M nnz, ELL fits comfortably in 16 GB HBM
 FULL = dict(n=200_000, p=20_000, density=0.015, k=50)
 SMOKE = dict(n=20_000, p=2_000, density=0.02, k=20)
@@ -51,6 +56,10 @@ def make_matrix(n, p, density, seed=SEED):
     return mat.astype(np.float32)
 
 
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def run_tpu(X, k):
     from single_algebra_tpu import SparseMatrix
     from single_algebra_tpu.models import SparsePCABuilder
@@ -71,6 +80,7 @@ def run_tpu(X, k):
     if not dense_path:
         m.transpose()  # sparse path needs both ELL orientations
     t_load = time.perf_counter() - t0
+    _log(f"load done in {t_load:.1f}s (dense_path={dense_path})")
 
     def one_fit():
         pca = (
@@ -85,8 +95,10 @@ def run_tpu(X, k):
         np.asarray(T)  # full sync through the host
         return time.perf_counter() - t1, pca
 
-    t_cold, _ = one_fit()  # includes compile
+    t_cold, _ = one_fit()  # includes compile + operator build
+    _log(f"cold fit done in {t_cold:.1f}s")
     t_warm, pca = one_fit()
+    _log(f"warm fit done in {t_warm:.2f}s")
     return dict(load=t_load, cold=t_cold, warm=t_warm, pca=pca)
 
 
@@ -134,6 +146,7 @@ def main():
     cfg = SMOKE if args.smoke else FULL
 
     X = make_matrix(cfg["n"], cfg["p"], cfg["density"])
+    _log(f"matrix ready: {X.shape} nnz={X.nnz}")
     tpu = run_tpu(X, cfg["k"])
 
     key = f"{cfg['n']}x{cfg['p']}x{cfg['density']}x{cfg['k']}"

@@ -1,0 +1,100 @@
+"""Statistics micro-benchmarks mirroring the reference's criterion matrix.
+
+The reference benches CSR/CSC ``sum_col``/``sum_row``/``nonzero_*`` over
+synthetic uniform matrices (sizes 100x100 ... 500_000x50_000, densities
+0.01/0.1, seed 42 — reference ``benches/csr_matrix_benchmark.rs:18-35``,
+``csc_matrix_benchmark.rs:18-35``) but never records results. This script
+produces the numbers: one row per (shape, density, op, format) with wall
+time and effective nnz throughput on whatever backend JAX selects.
+
+Usage: python benchmarks/stats_bench.py [--quick] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+# reference size matrix (csr_matrix_benchmark.rs:20-27); the two largest
+# entries dominate runtime, --quick drops them
+SIZES = [
+    (100, 100),
+    (1_000, 1_000),
+    (5_000, 5_000),
+    (10_000, 10_000),
+    (100_000, 50_000),
+    (500_000, 50_000),
+]
+DENSITIES = [0.01, 0.1]
+
+
+def make(n, p, density, seed):
+    rng = np.random.default_rng(seed)
+    return sp.random(
+        n, p, density=density, format="csr", dtype=np.float64,
+        random_state=rng, data_rvs=rng.random,
+    ).astype(np.float32)
+
+
+def bench_op(fn, reps=5):
+    out = fn()
+    np.asarray(out[0] if isinstance(out, tuple) else out)  # sync
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+        np.asarray(out[0] if isinstance(out, tuple) else out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from single_algebra_tpu import SparseMatrix
+
+    sizes = SIZES[:4] if args.quick else SIZES
+    rows = []
+    for (n, p) in sizes:
+        for d in DENSITIES:
+            if n * p * d > 3e8:
+                continue  # > ~300M nnz: skip on a single chip
+            seed = 42 + n * p  # reference seeding scheme shape
+            X = make(n, p, d, seed % (2**31))
+            for fmt in ("csr", "csc"):
+                m = SparseMatrix.from_scipy(X, fmt=fmt)
+                m.transpose()
+                for op_name, fn in [
+                    ("sum_col", m.sum_col),
+                    ("sum_row", m.sum_row),
+                    ("nonzero_col", m.nonzero_col),
+                    ("nonzero_row", m.nonzero_row),
+                    ("sum_col_squared", m.sum_col_squared),
+                    ("var_col", m.var_col),
+                    ("min_max_col", m.min_max_col),
+                ]:
+                    dt = bench_op(fn)
+                    rows.append(
+                        dict(
+                            n=n, p=p, density=d, fmt=fmt, op=op_name,
+                            time_s=round(dt, 6),
+                            gnnz_per_s=round(X.nnz / dt / 1e9, 3),
+                        )
+                    )
+                    print(
+                        f"{n}x{p} d={d} {fmt} {op_name}: "
+                        f"{dt*1e3:.3f} ms ({X.nnz/dt/1e9:.2f} Gnnz/s)",
+                        flush=True,
+                    )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

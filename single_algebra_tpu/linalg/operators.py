@@ -177,12 +177,7 @@ class CenteredOperator:
         return cls(*children)
 
 
-def _to_bf16_split(chunk: "np.ndarray"):
-    import ml_dtypes  # ships with jax
 
-    hi = chunk.astype(ml_dtypes.bfloat16)
-    lo = (chunk - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return hi, lo
 
 
 @jax.tree_util.register_pytree_node_class
@@ -218,25 +213,47 @@ class DensifiedOperator:
 
         sp_mat = m.to_scipy().tocsr()
         n, p = m.shape
-        # cheap exactness check on the nnz values alone: is bf16 lossless?
         vals = sp_mat.data.astype(np.float32)
-        exact = not np.any(
-            vals - vals.astype(ml_dtypes.bfloat16).astype(np.float32)
+        hi_vals = vals.astype(ml_dtypes.bfloat16)
+        lo_vals = vals - hi_vals.astype(np.float32)
+        exact = not np.any(lo_vals)
+
+        from ..native import build as _native
+
+        nat = _native.csr_densify_bf16(
+            sp_mat.indptr.astype(np.int64),
+            sp_mat.indices.astype(np.int32),
+            vals,
+            n,
+            p,
+            need_lo=not exact,
         )
-        hi_np = np.empty((n, p), dtype=ml_dtypes.bfloat16)
-        lo_np = (
-            None if exact else np.empty((n, p), dtype=ml_dtypes.bfloat16)
+        if nat is not None:
+            hi_u16, lo_u16, _ = nat
+            hi = jnp.asarray(hi_u16.view(ml_dtypes.bfloat16))
+            lo = (
+                None if exact else jnp.asarray(lo_u16.view(ml_dtypes.bfloat16))
+            )
+            return cls(hi, lo, (n, p))
+
+        # numpy fallback: memset + nnz-only scatter — O(dense) zeroing +
+        # O(nnz) conversion, never a dense f32 intermediate
+        rows = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.diff(sp_mat.indptr).astype(np.int64),
         )
-        step = max(1, (1 << 27) // max(p, 1))
-        for r0 in range(0, n, step):
-            chunk = sp_mat[r0 : r0 + step].toarray().astype(np.float32)
-            h, l = _to_bf16_split(chunk)
-            hi_np[r0 : r0 + step] = h
-            if lo_np is not None:
-                lo_np[r0 : r0 + step] = l
+        cols = sp_mat.indices.astype(np.int64)
+        hi_np = np.zeros((n, p), dtype=ml_dtypes.bfloat16)
+        hi_np[rows, cols] = hi_vals
         hi = jnp.asarray(hi_np)
         del hi_np
-        lo = None if exact else jnp.asarray(lo_np)
+
+        lo = None
+        if not exact:
+            lo_np = np.zeros((n, p), dtype=ml_dtypes.bfloat16)
+            lo_np[rows, cols] = lo_vals.astype(ml_dtypes.bfloat16)
+            lo = jnp.asarray(lo_np)
+            del lo_np
         return cls(hi, lo, (n, p))
 
     @staticmethod

@@ -133,15 +133,62 @@ def randomized_svd(
     if n_power_iterations > 0:
         Y = jax.lax.fori_loop(0, n_power_iterations, power_body, Y)
 
-    Q, _ = jnp.linalg.qr(Y)  # [n, l]
+    Q = _final_basis(Y)  # [n, l] orthonormal
     # final projection at full precision (hi+lo path on densified operators)
     rmv_final = getattr(op, "rmv_precise", op.rmv)
     Bt = rmv_final(Q)  # [p, l] == (Q^T A)^T
-    ub, s, vt = jnp.linalg.svd(Bt.T, full_matrices=False)  # [l,l],[l],[l,p]
+
+    if p >= _CHOLQR_MIN_ROWS and Bt.dtype == jnp.float32:
+        # avoid factorizing an [l, p] matrix directly (Householder QR/SVD
+        # at these shapes are compile-time hogs on TPU): Bt = Qb R with a
+        # Gram-based QR, then SVD the tiny [l, l] factor.
+        # B = Bt.T = R^T Qb^T;  svd(R^T) = (ub, s, vr^T)  =>
+        # svd(B) = (ub, s, vr^T Qb^T)
+        Qb, R = _cholesky_qr2_with_r(Bt)
+        ub, s, vtr = jnp.linalg.svd(R.T, full_matrices=False)
+        vt = jnp.dot(vtr, Qb.T, precision=MATMUL_PRECISION)
+    else:
+        ub, s, vt = jnp.linalg.svd(Bt.T, full_matrices=False)
     U = jnp.dot(Q, ub, precision=MATMUL_PRECISION)
     return SvdResult(
         u=U[:, :n_components], s=s[:n_components], vt=vt[:n_components]
     )
+
+
+def _final_basis(Y: jnp.ndarray) -> jnp.ndarray:
+    if Y.shape[0] >= _CHOLQR_MIN_ROWS and Y.dtype == jnp.float32:
+        return cholesky_qr2(Y)
+    return jnp.linalg.qr(Y)[0]
+
+
+def _cholesky_qr2_with_r(Y: jnp.ndarray):
+    """(Q, R) with Q orthonormal via two Gram rounds, R = R2 @ R1."""
+
+    def round_(Yc, shift):
+        g = jax.lax.dot_general(
+            Yc,
+            Yc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=MATMUL_PRECISION,
+        )
+        if shift:
+            l = g.shape[0]
+            s = (
+                jnp.finfo(jnp.float32).eps
+                * jnp.trace(g)
+                * jnp.asarray(11 * (Yc.shape[0] + l + 1), jnp.float32)
+            )
+            g = g + s * jnp.eye(l, dtype=g.dtype)
+        r = jnp.linalg.cholesky(g.astype(Yc.dtype), upper=True)
+        q = jax.lax.linalg.triangular_solve(
+            r, Yc, left_side=False, lower=False
+        )
+        return q, r
+
+    q1, r1 = round_(Y, True)
+    q2, r2 = round_(q1, False)
+    return q2, jnp.dot(r2, r1, precision=MATMUL_PRECISION)
 
 
 @partial(jax.jit, static_argnames=("u_based_decision",))

@@ -46,7 +46,7 @@ from ..linalg import (
 )
 from ..sparse.matrix import SparseMatrix
 from ..types import SVDMethod
-from .pca import _as_matrix
+from .pca import _as_matrix, _host_col_stats, _project
 
 __all__ = ["MaskedSparsePCA", "MaskedSparsePCABuilder"]
 
@@ -96,27 +96,30 @@ class MaskedSparsePCA:
         op = SparseOperator.from_matrix(m)
         mop = MaskedOperator(op, idx)
 
-        col_sums = m.sum_col()
-        n_f = jnp.asarray(n_samples, col_sums.dtype)
+        # numpy bookkeeping: no stray eager device ops (each would cost a
+        # remote-compile round trip on tunneled TPUs)
+        col_sums, col_sq = _host_col_stats(m)
+        dt = np.float32 if m.dtype == jnp.float32 else np.dtype(m.dtype)
+        idx_np = np.where(self.mask)[0]
         if self.center:
             if self.verbose:
                 print("PCA | SparseMasked | Initializing centering...")
-            self.mean_ = col_sums / n_f  # FULL width, reference semantic
+            mean_np = (col_sums / n_samples).astype(dt)
         else:
-            self.mean_ = jnp.zeros((n_cols,), col_sums.dtype)
+            mean_np = np.zeros(n_cols, dt)
+        self.mean_ = jnp.asarray(mean_np)  # FULL width, reference semantic
 
         total_var = None
         if self.center and n_samples > 1:
-            col_sq = m.sum_col_squared()
-            mean = col_sums / n_f
-            var_all = (col_sq - mean * col_sums) / (n_f - 1)
-            total_var = float(jnp.sum(jnp.take(var_all, idx)))
+            mean64 = col_sums / n_samples
+            var_all = (col_sq - mean64 * col_sums) / (n_samples - 1)
+            total_var = float(var_all[idx_np].sum())
 
         if self.svd_method.is_random:
             if self.verbose:
                 print("PCA | SparseMasked | Computing Randomized SVD....")
             svd_op = (
-                CenteredOperator(mop, jnp.take(self.mean_, idx))
+                CenteredOperator(mop, jnp.asarray(mean_np[idx_np]))
                 if self.center
                 else mop
             )
@@ -133,20 +136,22 @@ class MaskedSparsePCA:
                 print("PCA | SparseMasked | Computing Lanczos SVD....")
             res = lanczos_svd(mop, k, seed=self.random_seed)
 
+        s_np = np.asarray(res.s, dtype=np.float64)
         u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
         self.components_ = vt  # k x p_masked
         n_minus_1 = max(n_samples - 1, 1)
-        self.explained_variance_ = (res.s**2) / n_minus_1
+        ev_np = s_np**2 / n_minus_1
+        self.explained_variance_ = jnp.asarray(ev_np.astype(dt))
 
         if total_var is None:
-            total_var = float(jnp.sum(self.explained_variance_))
+            total_var = float(ev_np.sum())
         self.total_variance_ = total_var
 
         min_dim = min(n_samples, n_features)
         if k < min_dim:
-            self.noise_variance_ = (
-                total_var - float(jnp.sum(self.explained_variance_))
-            ) / (min_dim - k)
+            self.noise_variance_ = (total_var - float(ev_np.sum())) / (
+                min_dim - k
+            )
         else:
             self.noise_variance_ = 0.0
 
@@ -162,9 +167,7 @@ class MaskedSparsePCA:
             )
             print(f"  Reduced to: {k} components")
             if total_var:
-                pct = (
-                    float(jnp.sum(self.explained_variance_)) / total_var * 100
-                )
+                pct = float(ev_np.sum()) / total_var * 100
                 print(f"  Total variance explained: {pct:.2f}%")
             print(f"  Fit took {time.perf_counter() - t0:.3f}s")
         return self
@@ -180,8 +183,11 @@ class MaskedSparsePCA:
         idx = self._mask_idx()
         op = MaskedOperator(SparseOperator.from_matrix(m), idx)
         if self.center:
-            op = CenteredOperator(op, jnp.take(self.mean_, idx))
-        return op.mv(self.components_.T)
+            idx_np = np.where(self.mask)[0]
+            op = CenteredOperator(
+                op, jnp.asarray(np.asarray(self.mean_)[idx_np])
+            )
+        return _project(op, self.components_.T)
 
     def fit_transform(self, x) -> jnp.ndarray:
         m = _as_matrix(x)  # convert once; fit and transform share layouts
@@ -194,11 +200,12 @@ class MaskedSparsePCA:
 
     def explained_variance_ratio(self) -> jnp.ndarray:
         self._check_fitted()
-        ev = self.explained_variance_
-        return ev / jnp.sum(ev)
+        ev = np.asarray(self.explained_variance_, dtype=np.float64)
+        return jnp.asarray((ev / ev.sum()).astype(ev.dtype))
 
     def cumulative_explained_variance_ratio(self) -> jnp.ndarray:
-        return jnp.cumsum(self.explained_variance_ratio())
+        ratios = np.asarray(self.explained_variance_ratio())
+        return jnp.asarray(np.cumsum(ratios))
 
     def _check_fitted(self):
         if self.components_ is None:

@@ -58,6 +58,38 @@ def _as_matrix(x) -> SparseMatrix:
     return SparseMatrix.from_scipy(x)
 
 
+def _host_col_stats(m: SparseMatrix):
+    """(sum_col, sum_col_squared) per column, float64 numpy — computed
+    once per matrix from the host CSR arrays and cached."""
+
+    cached = getattr(m, "_host_col_stats_cache", None)
+    if cached is not None:
+        return cached
+    m._require_host_structure()
+    src = m if m.format == "csr" else m.transpose()
+    src._require_host_structure()
+    data = src._csr_data_host().astype(np.float64)
+    idx = src._h_indices
+    p = m.ncols
+    s = np.bincount(idx, weights=data, minlength=p)[:p]
+    sq = np.bincount(idx, weights=data * data, minlength=p)[:p]
+    m._host_col_stats_cache = (s, sq)
+    return s, sq
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_jax.jit
+def _project(op, comps_t):
+    """One cacheable graph for the PCA projection (centered SpMM)."""
+
+    mv = getattr(op, "mv_precise", op.mv)
+    return mv(comps_t)
+
+
 class SparsePCA:
     """PCA on sparse matrices (samples x features).
 
@@ -79,7 +111,6 @@ class SparsePCA:
     ):
         self.n_components = n_components
         self.engine = engine
-        self._fit_cache = None  # (id(matrix), operator)
         self.alpha = alpha  # parity field; unused, as in the reference
         self.tolerance = tolerance
         self.random_seed = random_seed
@@ -101,27 +132,28 @@ class SparsePCA:
         t0 = time.perf_counter()
 
         op = self._make_operator(m)
+        t_op = time.perf_counter() - t0
 
-        if isinstance(op, DensifiedOperator):
-            col_sums, col_sq = op.col_stats()
-        else:
-            col_sums = m.sum_col()
-            col_sq = None
-        n_f = jnp.asarray(n_samples, col_sums.dtype)
+        # Column statistics and all scalar bookkeeping happen in NUMPY:
+        # every stray eager jnp op costs a remote-compile round trip in
+        # tunneled-TPU environments, so the device is touched only through
+        # the big cached jitted graphs (SVD, projection).
+        col_sums, col_sq = _host_col_stats(m)
+        dt = np.float32 if m.dtype == jnp.float32 else np.dtype(m.dtype)
         if self.center:
-            self.mean_ = col_sums / n_f
+            mean_np = (col_sums / n_samples).astype(dt)
         else:
-            self.mean_ = jnp.zeros((n_features,), col_sums.dtype)
+            mean_np = np.zeros(n_features, dt)
+        self.mean_ = jnp.asarray(mean_np)
 
         total_var = None
         if self.center and n_samples > 1:
-            if col_sq is None:
-                col_sq = m.sum_col_squared()
-            mean = col_sums / n_f
+            mean64 = col_sums / n_samples
             total_var = float(
-                jnp.sum((col_sq - mean * col_sums) / (n_f - 1))
+                np.sum((col_sq - mean64 * col_sums) / (n_samples - 1))
             )
 
+        t_stats = time.perf_counter() - t0 - t_op
         if self.svd_method.is_random:
             if self.verbose:
                 print("Computing randomized SVD...")
@@ -138,20 +170,24 @@ class SparsePCA:
             # Lanczos on the RAW matrix — reference semantic (SURVEY §3.2)
             res = lanczos_svd(op, k, seed=self.random_seed)
 
+        s_np = np.asarray(res.s, dtype=np.float64)
+        t_svd = time.perf_counter() - t0 - t_op - t_stats
+        self._fit_timings = dict(operator=t_op, stats=t_stats, svd=t_svd)
         u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
         self.components_ = vt
         n_minus_1 = max(n_samples - 1, 1)
-        self.explained_variance_ = (res.s**2) / n_minus_1
+        ev_np = s_np**2 / n_minus_1
+        self.explained_variance_ = jnp.asarray(ev_np.astype(dt))
 
         if total_var is None:
-            total_var = float(jnp.sum(self.explained_variance_))
+            total_var = float(ev_np.sum())
         self.total_variance_ = total_var
 
         min_dim = min(n_samples, n_features)
         if k < min_dim:
-            self.noise_variance_ = (
-                total_var - float(jnp.sum(self.explained_variance_))
-            ) / (min_dim - k)
+            self.noise_variance_ = (total_var - float(ev_np.sum())) / (
+                min_dim - k
+            )
         else:
             self.noise_variance_ = 0.0
 
@@ -178,8 +214,6 @@ class SparsePCA:
     # -- inference -----------------------------------------------------
 
     def _make_operator(self, m):
-        if self._fit_cache is not None and self._fit_cache[0] == id(m):
-            return self._fit_cache[1]
         engine = self.engine
         if engine == "auto":
             import jax
@@ -190,13 +224,19 @@ class SparsePCA:
                 and m.dtype == jnp.float32
             )
             engine = "dense" if use_dense else "sparse"
+        # operators are cached on the matrix: densification / layout builds
+        # are per-matrix work, shared by every model fitted on it
+        cache = getattr(m, "_operator_cache", None)
+        if cache is not None and engine in cache:
+            return cache[engine]
         if engine == "dense":
             op = DensifiedOperator.from_matrix(m)
         elif engine == "sparse":
             op = SparseOperator.from_matrix(m)
         else:
             raise ValueError(f"unknown engine {engine!r}")
-        self._fit_cache = (id(m), op)
+        if cache is not None:
+            cache[engine] = op
         return op
 
     def transform(self, x) -> jnp.ndarray:
@@ -205,8 +245,7 @@ class SparsePCA:
         op = self._make_operator(m)
         if self.center:
             op = CenteredOperator(op, self.mean_)
-        mv = getattr(op, "mv_precise", op.mv)
-        return mv(self.components_.T.astype(self.components_.dtype))
+        return _project(op, self.components_.T)
 
     def fit_transform(self, x) -> jnp.ndarray:
         m = _as_matrix(x)  # convert once; fit and transform share layouts
@@ -221,11 +260,12 @@ class SparsePCA:
 
     def explained_variance_ratio(self) -> jnp.ndarray:
         self._check_fitted()
-        ev = self.explained_variance_
-        return ev / jnp.sum(ev)
+        ev = np.asarray(self.explained_variance_, dtype=np.float64)
+        return jnp.asarray((ev / ev.sum()).astype(ev.dtype))
 
     def cumulative_explained_variance_ratio(self) -> jnp.ndarray:
-        return jnp.cumsum(self.explained_variance_ratio())
+        ratios = np.asarray(self.explained_variance_ratio())
+        return jnp.asarray(np.cumsum(ratios))
 
     def _check_fitted(self):
         if self.components_ is None:

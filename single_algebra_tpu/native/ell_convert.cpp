@@ -1,0 +1,130 @@
+// Native host-side sparse format conversion for single-algebra-tpu.
+//
+// Role-equivalent of the compiled storage layer the reference gets from
+// nalgebra-sparse (CSR/CSC construction and transposition, reference
+// src/sparse/csr.rs:27-29): the O(nnz) relayout passes that sit between
+// disk/scipy CSR arrays and the TPU's padded-ELL / tiled-ELL device
+// layouts. These are bandwidth-bound pointer loops - the one part of the
+// pipeline where native code beats numpy (no boolean-mask temporaries, one
+// pass, cache-friendly write patterns).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+extern "C" {
+
+// CSR -> padded ELL. ell_data/ell_ids must be zero-initialized by the
+// caller with shape [rows_padded, width].
+void csr_to_ell_f32(const int64_t* indptr, const int32_t* indices,
+                    const float* data, int64_t n_rows, int64_t width,
+                    float* ell_data, int32_t* ell_ids, int32_t* row_nnz) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t lo = indptr[r], hi = indptr[r + 1];
+    row_nnz[r] = static_cast<int32_t>(hi - lo);
+    float* dst_d = ell_data + r * width;
+    int32_t* dst_i = ell_ids + r * width;
+    const int64_t cnt = hi - lo;
+    std::memcpy(dst_d, data + lo, cnt * sizeof(float));
+    std::memcpy(dst_i, indices + lo, cnt * sizeof(int32_t));
+  }
+}
+
+// CSR -> CSC (counting sort). out_indptr must be zero-initialized
+// [n_cols + 1]; out_indices/out_data sized [nnz].
+void csr_transpose_f32(const int64_t* indptr, const int32_t* indices,
+                       const float* data, int64_t n_rows, int64_t n_cols,
+                       int64_t* out_indptr, int32_t* out_indices,
+                       float* out_data, int64_t* work /* [n_cols] */) {
+  const int64_t nnz = indptr[n_rows];
+  for (int64_t i = 0; i < nnz; ++i) out_indptr[indices[i] + 1]++;
+  for (int64_t c = 0; c < n_cols; ++c) out_indptr[c + 1] += out_indptr[c];
+  std::memcpy(work, out_indptr, n_cols * sizeof(int64_t));
+  for (int64_t r = 0; r < n_rows; ++r) {
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const int64_t dst = work[indices[i]]++;
+      out_indices[dst] = static_cast<int32_t>(r);
+      out_data[dst] = data[i];
+    }
+  }
+}
+
+// CSR -> column-tiled padded ELL (the Pallas SpMM kernel layout),
+// TRANSPOSED orientation: outputs are [ntiles * wt, rows_padded].
+// tdata_t/tlocal_t must be zero-initialized by the caller.
+// Returns the max per-(row, tile) group size (caller pre-computes wt with
+// csr_tile_width and passes it back here).
+void csr_to_tiled_ell_t_f32(const int64_t* indptr, const int32_t* indices,
+                            const float* data, int64_t n_rows,
+                            int64_t col_tile, int64_t wt,
+                            int64_t rows_padded, float* tdata_t,
+                            int32_t* tlocal_t) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t cur_tile = -1;
+    int64_t rank = 0;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const int64_t c = indices[i];
+      const int64_t t = c / col_tile;
+      rank = (t == cur_tile) ? rank + 1 : 0;
+      cur_tile = t;
+      const int64_t slot = (t * wt + rank) * rows_padded + r;
+      tdata_t[slot] = data[i];
+      tlocal_t[slot] = static_cast<int32_t>(c - t * col_tile);
+    }
+  }
+}
+
+// max per-(row, tile) group size, needed to size wt before conversion
+int64_t csr_tile_width(const int64_t* indptr, const int32_t* indices,
+                       int64_t n_rows, int64_t col_tile) {
+  int64_t max_cnt = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t cur_tile = -1, cnt = 0;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const int64_t t = indices[i] / col_tile;
+      cnt = (t == cur_tile) ? cnt + 1 : 1;
+      cur_tile = t;
+      max_cnt = std::max(max_cnt, cnt);
+    }
+  }
+  return max_cnt;
+}
+
+// fused scatter of nnz values into a zero-initialized dense bf16 matrix
+// (row-major [n_rows, n_cols], uint16 bit patterns), with on-the-fly
+// f32 -> bf16 round-to-nearest-even. Returns 1 if the conversion was exact
+// (no value lost precision), else 0. Feeds DensifiedOperator.
+int32_t csr_densify_bf16(const int64_t* indptr, const int32_t* indices,
+                         const float* data, int64_t n_rows, int64_t n_cols,
+                         uint16_t* dense_hi, uint16_t* dense_lo /* or null */) {
+  int32_t exact = 1;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    uint16_t* row_hi = dense_hi + r * n_cols;
+    uint16_t* row_lo = dense_lo ? dense_lo + r * n_cols : nullptr;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const float v = data[i];
+      uint32_t u;
+      std::memcpy(&u, &v, 4);
+      const uint32_t r16 = (u + 0x7FFFu + ((u >> 16) & 1u)) >> 16;
+      row_hi[indices[i]] = static_cast<uint16_t>(r16);
+      const uint32_t back = r16 << 16;
+      float hi_f;
+      std::memcpy(&hi_f, &back, 4);
+      const float lo_f = v - hi_f;
+      if (lo_f != 0.0f) {
+        exact = 0;
+        if (row_lo) {
+          uint32_t ul;
+          std::memcpy(&ul, &lo_f, 4);
+          const uint32_t l16 = (ul + 0x7FFFu + ((ul >> 16) & 1u)) >> 16;
+          row_lo[indices[i]] = static_cast<uint16_t>(l16);
+        }
+      }
+    }
+  }
+  return exact;
+}
+
+}  // extern "C"

@@ -120,3 +120,92 @@ def tiled_ell_spmm_t(
         ),
     )(tdata_t, tlocal_t, Bt)
     return out
+
+
+def _densify_kernel(td_ref, tl_ref, hi_ref, lo_ref, acc_ref, *, wt: int, ct: int):
+    br = td_ref.shape[1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ct, br), 0)
+    acc_ref[...] = jnp.zeros((ct, br), td_ref.dtype)
+
+    # rolled loop: wt can be large (wide tiles), an unrolled graph would
+    # blow up Mosaic; dynamic sublane indexing of the [wt, BR] block is cheap
+    def body(w, _):
+        lid_w = tl_ref[w, :][None, :]
+        v_w = td_ref[w, :][None, :]
+        acc_ref[...] += jnp.where(col_iota == lid_w, v_w, 0)
+        return 0
+
+    jax.lax.fori_loop(0, wt, body, 0)
+
+    dense = acc_ref[...]
+    hi = dense.astype(jnp.bfloat16)
+    hi_ref[...] = hi
+    lo_ref[...] = (dense - hi.astype(dense.dtype)).astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wt", "ntiles", "col_tile", "block_rows", "interpret"),
+)
+def tiled_ell_densify(
+    tdata_t: jnp.ndarray,  # [ntiles * wt, R]
+    tlocal_t: jnp.ndarray,  # [ntiles * wt, R] int32
+    *,
+    wt: int,
+    ntiles: int,
+    col_tile: int = 2048,
+    block_rows: int = 512,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Densify the tiled-ELL layout into (hi, lo) bf16 [ntiles * col_tile, R]
+    — the TRANSPOSED dense matrix (columns on the leading axis), which is
+    the orientation the one-hot tiles are built in; consumers flip the
+    contraction dims instead of materializing a transpose.
+
+    The device-side construction path of ``DensifiedOperator``: shipping the
+    ~2x-nnz tiled layout through the (slow) host tunnel and expanding it
+    with the one-hot kernel beats transferring the full dense array by the
+    density factor. ``lo`` carries the bf16 rounding residual (all zeros for
+    bf16-exact data; the caller drops it after a cheap device-side check).
+    """
+
+    R = tdata_t.shape[1]
+    assert R % block_rows == 0, (R, block_rows)
+
+    grid = (R // block_rows, ntiles)
+    hi, lo = pl.pallas_call(
+        functools.partial(_densify_kernel, wt=wt, ct=col_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (wt, block_rows), lambda i, t: (t, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (wt, block_rows), lambda i, t: (t, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (col_tile, block_rows),
+                lambda i, t: (t, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (col_tile, block_rows),
+                lambda i, t: (t, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles * col_tile, R), jnp.bfloat16),
+            jax.ShapeDtypeStruct((ntiles * col_tile, R), jnp.bfloat16),
+        ),
+        scratch_shapes=[pltpu.VMEM((col_tile, block_rows), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=R * ntiles * col_tile,
+            bytes_accessed=tdata_t.size * 8 + 2 * R * ntiles * col_tile * 2,
+            transcendentals=0,
+        ),
+    )(tdata_t, tlocal_t)
+    return hi, lo

@@ -76,6 +76,15 @@ def csr_to_ell_numpy(
     if rows_padded is None:
         rows_padded = pad_rows(n_rows)
 
+    if n_rows > 0 and data.dtype == np.float32:
+        from ..native import build as _native
+
+        nat = _native.csr_to_ell(
+            indptr, indices, data, n_rows, width, rows_padded
+        )
+        if nat is not None:
+            return nat
+
     ell_data = np.zeros((rows_padded, width), dtype=data.dtype)
     ell_ids = np.zeros((rows_padded, width), dtype=np.int32)
 
@@ -109,6 +118,13 @@ def csr_transpose_numpy(
     """
 
     nnz = len(indices)
+    if nnz > 0 and data.dtype == np.float32:
+        from ..native import build as _native
+
+        nat = _native.csr_transpose(indptr, indices, data, n_rows, n_cols)
+        if nat is not None:
+            return nat
+
     counts = np.bincount(indices, minlength=n_cols).astype(np.int64)
     out_indptr = np.zeros(n_cols + 1, dtype=np.int64)
     np.cumsum(counts, out=out_indptr[1:])

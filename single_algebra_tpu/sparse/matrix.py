@@ -82,6 +82,7 @@ class SparseMatrix:
         self._h_indices = h_indices
         self._h_data = h_data
         self._transpose_cache: Optional["SparseMatrix"] = None
+        self._operator_cache: dict = {}  # engine name -> operator
 
     # -- pytree protocol ------------------------------------------------
 
@@ -100,6 +101,7 @@ class SparseMatrix:
         obj._h_indices = None
         obj._h_data = None
         obj._transpose_cache = None
+        obj._operator_cache = {}
         return obj
 
     # -- factory methods -------------------------------------------------
