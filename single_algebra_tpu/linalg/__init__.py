@@ -5,6 +5,7 @@ from .operators import (  # noqa: F401
     DenseOperator,
     DensifiedOperator,
     MaskedOperator,
+    TiledSparseOperator,
     SparseOperator,
 )
 from .svd import SvdResult, cholesky_qr2, randomized_svd, svd_flip  # noqa: F401

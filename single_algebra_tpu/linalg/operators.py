@@ -335,3 +335,122 @@ class DensifiedOperator:
         if has_lo:
             return cls(children[0], children[1], shape)
         return cls(children[0], None, shape)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TiledSparseOperator:
+    """Sparse products via the Pallas densify-then-contract kernel.
+
+    The engine for matrices too large to densify in HBM but small enough
+    to hold the ~(2-4x nnz) column-tiled ELL payload: both orientations of
+    the tiled layout live on device and each product is one kernel launch
+    (one-hot VPU tile build + MXU contraction; see
+    ``ops/pallas/spmm_kernel.py``). Construction is host-side (C++ native
+    converter when available).
+    """
+
+    row_tdata: jnp.ndarray  # [nt_r * wt_r, Rp]   A rows, transposed layout
+    row_tlocal: jnp.ndarray
+    col_tdata: jnp.ndarray  # [nt_c * wt_c, Cp]   A^T rows (= A columns)
+    col_tlocal: jnp.ndarray
+    shape: Tuple[int, int]
+    meta: Tuple[int, int, int, int, int, int]  # wt_r, nt_r, wt_c, nt_c, ct, br
+
+    COL_TILE = 256
+    BLOCK_ROWS = 512
+
+    @classmethod
+    def from_matrix(cls, m) -> "TiledSparseOperator":
+        ct, br = cls.COL_TILE, cls.BLOCK_ROWS
+        n, p = m.shape
+        row_m = m._layout_for("row")
+        col_m = m._layout_for("col")
+        rd, rl, wt_r, nt_r = cls._build_tiled_t(row_m, n, p, ct, br)
+        cd, cl, wt_c, nt_c = cls._build_tiled_t(col_m, p, n, ct, br)
+        return cls(
+            jnp.asarray(rd),
+            jnp.asarray(rl),
+            jnp.asarray(cd),
+            jnp.asarray(cl),
+            (n, p),
+            (wt_r, nt_r, wt_c, nt_c, ct, br),
+        )
+
+    @staticmethod
+    def _build_tiled_t(src, n_major, n_minor, ct, br):
+        """Transposed tiled-ELL arrays for one orientation (native C++ path
+        writes the transposed layout directly; numpy fallback transposes)."""
+
+        from ..native import build as _native
+        from ..sparse.convert import csr_to_tiled_ell_numpy, round_up
+
+        src._require_host_structure()
+        indptr = src._h_indptr
+        indices = src._h_indices
+        data = src._csr_data_host()
+        ntiles = max(-(-n_minor // ct), 1)
+        rows_padded = max(round_up(n_major, br), br)
+
+        lib = _native.get_lib()
+        if lib is not None and data.dtype == np.float32 and len(indices):
+            indptr64 = np.ascontiguousarray(indptr, np.int64)
+            idx32 = np.ascontiguousarray(indices, np.int32)
+            dat = np.ascontiguousarray(data, np.float32)
+            wt = int(lib.csr_tile_width(indptr64, idx32, n_major, ct))
+            wt = max(round_up(wt, 8), 8)
+            tdata_t = np.zeros((ntiles * wt, rows_padded), np.float32)
+            tlocal_t = np.zeros((ntiles * wt, rows_padded), np.int32)
+            lib.csr_to_tiled_ell_t_f32(
+                indptr64, idx32, dat, n_major, ct, wt, rows_padded,
+                tdata_t, tlocal_t,
+            )
+            return tdata_t, tlocal_t, wt, ntiles
+
+        td, tl, wt, nt = csr_to_tiled_ell_numpy(
+            indptr, indices, data, n_major, n_minor,
+            col_tile=ct, rows_padded_to=br,
+        )
+        return (
+            np.ascontiguousarray(td.T),
+            np.ascontiguousarray(tl.T),
+            wt,
+            nt,
+        )
+
+    def _spmm(self, tdata, tlocal, B, wt, nt, out_rows):
+        from ..ops.pallas.spmm_kernel import tiled_ell_spmm_t
+
+        ct, br = self.meta[4], self.meta[5]
+        k = B.shape[1]
+        kp = max(-(-k // 128) * 128, 128)
+        Bt = jnp.zeros((kp, nt * ct), B.dtype)
+        Bt = jax.lax.dynamic_update_slice(Bt, B.T.astype(Bt.dtype), (0, 0))
+        interpret = jax.default_backend() != "tpu"  # CPU tests
+        out = tiled_ell_spmm_t(
+            tdata, tlocal, Bt, wt=wt, ntiles=nt, col_tile=ct,
+            block_rows=br, interpret=interpret,
+        )
+        return out[:k, :out_rows].T
+
+    def mv(self, B):
+        wt_r, nt_r = self.meta[0], self.meta[1]
+        return self._spmm(
+            self.row_tdata, self.row_tlocal, B, wt_r, nt_r, self.shape[0]
+        )
+
+    def rmv(self, C):
+        wt_c, nt_c = self.meta[2], self.meta[3]
+        return self._spmm(
+            self.col_tdata, self.col_tlocal, C, wt_c, nt_c, self.shape[1]
+        )
+
+    def tree_flatten(self):
+        return (
+            (self.row_tdata, self.row_tlocal, self.col_tdata, self.col_tlocal),
+            (self.shape, self.meta),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)

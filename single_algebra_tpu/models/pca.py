@@ -42,6 +42,7 @@ from ..linalg import (
     CenteredOperator,
     DensifiedOperator,
     SparseOperator,
+    TiledSparseOperator,
     lanczos_svd,
     randomized_svd,
     svd_flip,
@@ -231,6 +232,8 @@ class SparsePCA:
             return cache[engine]
         if engine == "dense":
             op = DensifiedOperator.from_matrix(m)
+        elif engine == "tiled":
+            op = TiledSparseOperator.from_matrix(m)
         elif engine == "sparse":
             op = SparseOperator.from_matrix(m)
         else:

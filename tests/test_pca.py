@@ -247,3 +247,20 @@ def test_csc_input(data):
     pca2 = SparsePCABuilder().n_components(4).svd_method(RAND).build()
     T_csr = np.asarray(pca2.fit_transform(data))
     np.testing.assert_allclose(T_csc, T_csr, rtol=1e-8, atol=1e-10)
+
+
+def test_tiled_engine_matches_sparse(data):
+    """The Pallas tiled engine (interpret mode on CPU) reproduces the
+    sparse-engine PCA."""
+
+    a = SparsePCABuilder().n_components(4).svd_method(RAND).engine("sparse").build()
+    b = SparsePCABuilder().n_components(4).svd_method(RAND).engine("tiled").build()
+    Xf = data.astype(np.float32)
+    Ta = np.asarray(a.fit_transform(Xf))
+    Tb = np.asarray(b.fit_transform(Xf))
+    np.testing.assert_allclose(Ta, Tb, rtol=1e-3, atol=1e-3 * np.abs(Ta).max())
+    np.testing.assert_allclose(
+        np.asarray(a.explained_variance_),
+        np.asarray(b.explained_variance_),
+        rtol=1e-4,
+    )
