@@ -34,13 +34,17 @@ __all__ = ["lanczos_svd", "default_lanczos_steps"]
 def default_lanczos_steps(n: int, p: int, k: int) -> int:
     """Iteration budget: enough Krylov depth for the top-k triplets.
 
-    The reference asks for ``max(n, p)`` iterations (sparse/mod.rs:137) but
-    las2 stops at convergence; with full reorthogonalization ``~2k + 32``
-    steps converge the top-k space for the spectra this library targets.
+    The reference asks for ``max(n, p)`` iterations (sparse/mod.rs:137) and
+    lets las2 stop at convergence. A fixed-depth jitted loop needs a static
+    budget: gapped (real-data) spectra converge in ~2k steps, but flat noise
+    bulks — the worst case — need ~8k steps for 1e-6-class tails (measured:
+    k=30 on a uniform-random 5000x3000 goes 9e-2 -> 2e-6 between 92 and 400
+    steps). Cost per step is two matvecs, so default to the safe depth and
+    let callers lower it via ``steps=``/``lanczos_steps`` for gapped data.
     """
 
     min_dim = min(n, p)
-    return int(min(min_dim, max(2 * k + 32, 64)))
+    return int(min(min_dim, max(8 * k, 128)))
 
 
 @partial(jax.jit, static_argnames=("n_components", "steps"))

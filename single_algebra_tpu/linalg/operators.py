@@ -127,6 +127,17 @@ class MaskedOperator:
     def rmv(self, C):
         return jnp.take(self.base.rmv(C), self.mask_idx, axis=0)
 
+    def mv_precise(self, B):
+        full = jnp.zeros(
+            (self.base.shape[1], B.shape[1]), dtype=B.dtype
+        ).at[self.mask_idx].set(B)
+        base = getattr(self.base, "mv_precise", self.base.mv)
+        return base(full)
+
+    def rmv_precise(self, C):
+        base = getattr(self.base, "rmv_precise", self.base.rmv)
+        return jnp.take(base(C), self.mask_idx, axis=0)
+
     def tree_flatten(self):
         return (self.base, self.mask_idx), ()
 

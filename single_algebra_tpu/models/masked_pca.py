@@ -46,7 +46,7 @@ from ..linalg import (
 )
 from ..sparse.matrix import SparseMatrix
 from ..types import SVDMethod
-from .pca import _as_matrix, _host_col_stats, _project
+from .pca import _as_matrix, _host_col_stats, _project, make_engine_operator
 
 __all__ = ["MaskedSparsePCA", "MaskedSparsePCABuilder"]
 
@@ -62,7 +62,11 @@ class MaskedSparsePCA:
         center: bool = True,
         verbose: bool = False,
         svd_method: SVDMethod = SVDMethod.lanczos(),
+        engine: str = "auto",
+        lanczos_steps: int | None = None,
     ):
+        self.lanczos_steps = lanczos_steps
+        self.engine = engine
         self.mask = np.asarray(mask, dtype=bool)
         self.n_components = n_components
         self.alpha = alpha
@@ -93,7 +97,7 @@ class MaskedSparsePCA:
         idx = self._mask_idx()
         n_features = int(self.mask.sum())
 
-        op = SparseOperator.from_matrix(m)
+        op = make_engine_operator(m, self.engine)
         mop = MaskedOperator(op, idx)
 
         # numpy bookkeeping: no stray eager device ops (each would cost a
@@ -134,7 +138,9 @@ class MaskedSparsePCA:
         else:
             if self.verbose:
                 print("PCA | SparseMasked | Computing Lanczos SVD....")
-            res = lanczos_svd(mop, k, seed=self.random_seed)
+            res = lanczos_svd(
+                mop, k, steps=self.lanczos_steps, seed=self.random_seed
+            )
 
         s_np = np.asarray(res.s, dtype=np.float64)
         u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
@@ -181,7 +187,7 @@ class MaskedSparsePCA:
                 " have to be the same!"
             )
         idx = self._mask_idx()
-        op = MaskedOperator(SparseOperator.from_matrix(m), idx)
+        op = MaskedOperator(make_engine_operator(m, self.engine), idx)
         if self.center:
             idx_np = np.where(self.mask)[0]
             op = CenteredOperator(
@@ -263,6 +269,19 @@ class MaskedSparsePCABuilder:
     _svd_method: SVDMethod = dataclasses.field(
         default_factory=SVDMethod.lanczos
     )
+    _engine: str = "auto"
+    _lanczos_steps: int | None = None
+
+    def lanczos_steps(self, n: int):
+        """Krylov depth for the Lanczos path (default: 8k, capped at the
+        minimum dimension; lower for strongly gapped spectra)."""
+
+        self._lanczos_steps = n
+        return self
+
+    def engine(self, e: str) -> "MaskedSparsePCABuilder":
+        self._engine = e
+        return self
 
     def mask(self, m) -> "MaskedSparsePCABuilder":
         self._mask = np.asarray(m, dtype=bool)
@@ -308,4 +327,6 @@ class MaskedSparsePCABuilder:
             center=self._center,
             verbose=self._verbose,
             svd_method=self._svd_method,
+            engine=self._engine,
+            lanczos_steps=self._lanczos_steps,
         )

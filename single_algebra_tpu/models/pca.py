@@ -91,6 +91,42 @@ def _project(op, comps_t):
     return mv(comps_t)
 
 
+def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
+    """Select + build the compute engine for a matrix (cached per matrix).
+
+    'auto' picks the densified-bf16 MXU engine on TPU when the dense form
+    fits the HBM budget, else the padded-ELL gather path ('sparse'); the
+    Pallas 'tiled' engine is opt-in (the window between dense-fits-HBM and
+    multi-chip scale).
+    """
+
+    import jax
+
+    if engine == "auto":
+        use_dense = (
+            jax.default_backend() == "tpu"
+            and DensifiedOperator.fits(m.shape)
+            and m.dtype == jnp.float32
+        )
+        engine = "dense" if use_dense else "sparse"
+    # operators are cached on the matrix: densification / layout builds
+    # are per-matrix work, shared by every model fitted on it
+    cache = getattr(m, "_operator_cache", None)
+    if cache is not None and engine in cache:
+        return cache[engine]
+    if engine == "dense":
+        op = DensifiedOperator.from_matrix(m)
+    elif engine == "tiled":
+        op = TiledSparseOperator.from_matrix(m)
+    elif engine == "sparse":
+        op = SparseOperator.from_matrix(m)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    if cache is not None:
+        cache[engine] = op
+    return op
+
+
 class SparsePCA:
     """PCA on sparse matrices (samples x features).
 
@@ -109,7 +145,9 @@ class SparsePCA:
         verbose: bool = False,
         svd_method: SVDMethod = SVDMethod.lanczos(),
         engine: str = "auto",
+        lanczos_steps: int | None = None,
     ):
+        self.lanczos_steps = lanczos_steps
         self.n_components = n_components
         self.engine = engine
         self.alpha = alpha  # parity field; unused, as in the reference
@@ -169,7 +207,9 @@ class SparsePCA:
             )
         else:
             # Lanczos on the RAW matrix — reference semantic (SURVEY §3.2)
-            res = lanczos_svd(op, k, seed=self.random_seed)
+            res = lanczos_svd(
+                op, k, steps=self.lanczos_steps, seed=self.random_seed
+            )
 
         s_np = np.asarray(res.s, dtype=np.float64)
         t_svd = time.perf_counter() - t0 - t_op - t_stats
@@ -215,32 +255,7 @@ class SparsePCA:
     # -- inference -----------------------------------------------------
 
     def _make_operator(self, m):
-        engine = self.engine
-        if engine == "auto":
-            import jax
-
-            use_dense = (
-                jax.default_backend() == "tpu"
-                and DensifiedOperator.fits(m.shape)
-                and m.dtype == jnp.float32
-            )
-            engine = "dense" if use_dense else "sparse"
-        # operators are cached on the matrix: densification / layout builds
-        # are per-matrix work, shared by every model fitted on it
-        cache = getattr(m, "_operator_cache", None)
-        if cache is not None and engine in cache:
-            return cache[engine]
-        if engine == "dense":
-            op = DensifiedOperator.from_matrix(m)
-        elif engine == "tiled":
-            op = TiledSparseOperator.from_matrix(m)
-        elif engine == "sparse":
-            op = SparseOperator.from_matrix(m)
-        else:
-            raise ValueError(f"unknown engine {engine!r}")
-        if cache is not None:
-            cache[engine] = op
-        return op
+        return make_engine_operator(m, self.engine)
 
     def transform(self, x) -> jnp.ndarray:
         self._check_fitted()
@@ -326,6 +341,14 @@ class SparsePCABuilder:
         default_factory=SVDMethod.lanczos
     )
     _engine: str = "auto"
+    _lanczos_steps: int | None = None
+
+    def lanczos_steps(self, n: int):
+        """Krylov depth for the Lanczos path (default: 8k, capped at the
+        minimum dimension; lower for strongly gapped spectra)."""
+
+        self._lanczos_steps = n
+        return self
 
     def engine(self, e: str) -> "SparsePCABuilder":
         """Compute engine: 'auto' (densified bf16 fast path on TPU when the
@@ -372,4 +395,5 @@ class SparsePCABuilder:
             verbose=self._verbose,
             svd_method=self._svd_method,
             engine=self._engine,
+            lanczos_steps=self._lanczos_steps,
         )
