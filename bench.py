@@ -32,7 +32,11 @@ from single_algebra_tpu.utils.cache import enable_compile_cache
 enable_compile_cache()
 
 # full-size default: ~60M nnz, ELL fits comfortably in 16 GB HBM
-FULL = dict(n=200_000, p=20_000, density=0.015, k=50)
+# sized so the whole driver run (gen + densify + transfer + cold compile +
+# warm + CPU reference) stays minutes-scale on the tunneled chip: the
+# sustained host->device rate is ~130 MB/s, so the 2 GB bf16 densification
+# dominates the cold path
+FULL = dict(n=100_000, p=10_000, density=0.03, k=50)
 SMOKE = dict(n=20_000, p=2_000, density=0.02, k=20)
 SEED = 42
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_LOCAL.json")
@@ -97,8 +101,12 @@ def run_tpu(X, k):
 
     t_cold, _ = one_fit()  # includes compile + operator build
     _log(f"cold fit done in {t_cold:.1f}s")
-    t_warm, pca = one_fit()
-    _log(f"warm fit done in {t_warm:.2f}s")
+    warms = []
+    for _ in range(3):
+        t_w, pca = one_fit()
+        warms.append(t_w)
+    t_warm = min(warms)  # min-of-3: tunnel latency jitter dominates
+    _log(f"warm fit done in {t_warm:.2f}s (runs: {[round(w,3) for w in warms]})")
     return dict(load=t_load, cold=t_cold, warm=t_warm, pca=pca)
 
 
