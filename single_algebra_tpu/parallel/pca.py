@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..linalg import CenteredOperator, randomized_svd, svd_flip
 from ..sparse.matrix import SparseMatrix
 from ..types import PowerIterationNormalizer, SVDMethod
-from .sharded import Mesh, ShardedSpMM, make_mesh
+from .sharded import Mesh, ShardedDensified, ShardedSpMM, make_mesh
 
 __all__ = ["ShardedPCAResult", "sharded_pca_fit_transform"]
 
@@ -39,6 +39,7 @@ def sharded_pca_fit_transform(
     svd_method: SVDMethod | None = None,
     center: bool = True,
     seed: int = 42,
+    engine: str = "sparse",
 ) -> ShardedPCAResult:
     """Centered randomized PCA of a row-sharded sparse matrix.
 
@@ -52,15 +53,17 @@ def sharded_pca_fit_transform(
         raise NotImplementedError(
             "sharded PCA currently supports the randomized SVD path"
         )
-    if isinstance(x, ShardedSpMM):
+    if isinstance(x, (ShardedSpMM, ShardedDensified)):
         op = x
     else:
         if not isinstance(x, SparseMatrix):
             x = SparseMatrix.from_scipy(x)
-        op = ShardedSpMM.from_matrix(x, mesh or make_mesh())
+        cls = ShardedDensified if engine == "dense" else ShardedSpMM
+        op = cls.from_matrix(x, mesh or make_mesh())
 
     n, p = op.shape
-    s, sq, _ = op.col_stats()
+    stats = op.col_stats()
+    s, sq = stats[0], stats[1]  # ShardedSpMM also returns nnz counts
     n_f = jnp.asarray(n, s.dtype)
     mean = s / n_f
     if center:

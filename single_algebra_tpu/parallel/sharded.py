@@ -219,3 +219,157 @@ class ShardedSpMM:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedDensified:
+    """Row-sharded dense-bf16 engine: the north-star configuration.
+
+    A 1M x 30k matrix is ~60 GB as bf16 — beyond one chip but ~7.5 GB per
+    chip on a v5e-8 mesh. Each device holds a row slab of the densified
+    matrix (hi, and lo when the data is not bf16-exact); ``A @ B`` is a
+    local MXU matmul (B replicated), ``A^T @ C`` is a local matmul plus one
+    ``psum`` over ICI. Collective layout follows the scaling-book recipe:
+    shard the big axis, replicate the skinny sketch operands.
+    """
+
+    hi: jnp.ndarray  # [Np, p] bf16, sharded P(axis, None)
+    lo: jnp.ndarray | None
+    shape: Tuple[int, int]
+    mesh: Mesh
+    axis_name: str
+
+    @classmethod
+    def from_matrix(
+        cls, m: SparseMatrix, mesh: Mesh, axis_name: str = "rows"
+    ) -> "ShardedDensified":
+        from ..linalg.operators import DensifiedOperator
+
+        # host densify (native C++), then shard rows across the mesh
+        base = DensifiedOperator.from_matrix(m)
+        n, p = m.shape
+        ndev = mesh.shape[axis_name]
+        rs = _cv.round_up(-(-n // ndev), 8)
+        pad = ndev * rs - n
+        sh = NamedSharding(mesh, P(axis_name, None))
+
+        def place(arr):
+            if arr is None:
+                return None
+            a = jnp.pad(arr, ((0, pad), (0, 0))) if pad else arr
+            return jax.device_put(a, sh)
+
+        return cls(place(base.hi), place(base.lo), (n, p), mesh, axis_name)
+
+    def _dots(self, x, B, dims):
+        return jax.lax.dot_general(
+            x,
+            B.astype(jnp.bfloat16),
+            dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mv(self, B):
+        ax = self.axis_name
+
+        def local(hi, Bf):
+            return self._dots(hi, Bf, ((1,), (0,)))
+
+        out = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(ax, None), P()),
+            out_specs=P(ax, None),
+        )(self.hi, B)
+        return out[: self.shape[0]].astype(B.dtype)
+
+    def rmv(self, C):
+        ax = self.axis_name
+        Np = self.hi.shape[0]
+        Cp = jnp.zeros((Np, C.shape[1]), C.dtype)
+        Cp = jax.lax.dynamic_update_slice(Cp, C, (0, 0))
+
+        def local(hi, Cl):
+            part = self._dots(hi, Cl, ((0,), (0,)))
+            return jax.lax.psum(part, ax)
+
+        out = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None)),
+            out_specs=P(),
+        )(self.hi, Cp)
+        return out.astype(C.dtype)
+
+    def _precise(self, B, dims, spec_out, mv_like):
+        ax = self.axis_name
+        parts = [self.hi] + ([self.lo] if self.lo is not None else [])
+        b_hi = B.astype(jnp.bfloat16)
+        b_lo = (B - b_hi.astype(B.dtype)).astype(jnp.bfloat16)
+
+        def local(*args):
+            *mats, bh, bl = args
+            acc = None
+            for a in mats:
+                term = self._dots(a, bh, dims) + self._dots(a, bl, dims)
+                acc = term if acc is None else acc + term
+            if not mv_like:
+                acc = jax.lax.psum(acc, ax)
+            return acc
+
+        if mv_like:
+            in_specs = tuple([P(ax, None)] * len(parts)) + (P(), P())
+            out = jax.shard_map(
+                local, mesh=self.mesh, in_specs=in_specs,
+                out_specs=P(ax, None),
+            )(*parts, b_hi, b_lo)
+            return out[: self.shape[0]].astype(B.dtype)
+        in_specs = tuple([P(ax, None)] * len(parts)) + (
+            P(ax, None), P(ax, None),
+        )
+        out = jax.shard_map(
+            local, mesh=self.mesh, in_specs=in_specs, out_specs=P()
+        )(*parts, b_hi, b_lo)
+        return out.astype(B.dtype)
+
+    def mv_precise(self, B):
+        return self._precise(B, ((1,), (0,)), P(self.axis_name, None), True)
+
+    def rmv_precise(self, C):
+        Np = self.hi.shape[0]
+        Cp = jnp.zeros((Np, C.shape[1]), C.dtype)
+        Cp = jax.lax.dynamic_update_slice(Cp, C, (0, 0))
+        return self._precise(Cp, ((0,), (0,)), P(), False)
+
+    def col_stats(self):
+        ax = self.axis_name
+        parts = [self.hi] + ([self.lo] if self.lo is not None else [])
+
+        def local(*mats):
+            x = mats[0].astype(jnp.float32)
+            for a in mats[1:]:
+                x = x + a.astype(jnp.float32)
+            return jax.lax.psum(
+                (jnp.sum(x, axis=0), jnp.sum(x * x, axis=0)), ax
+            )
+
+        in_specs = tuple([P(ax, None)] * len(parts))
+        s, sq = jax.shard_map(
+            local, mesh=self.mesh, in_specs=in_specs, out_specs=(P(), P())
+        )(*parts)
+        return s, sq
+
+    def tree_flatten(self):
+        if self.lo is None:
+            return (self.hi,), (self.shape, self.mesh, self.axis_name, False)
+        return (self.hi, self.lo), (
+            self.shape, self.mesh, self.axis_name, True,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape, mesh, axis_name, has_lo = aux
+        if has_lo:
+            return cls(children[0], children[1], shape, mesh, axis_name)
+        return cls(children[0], None, shape, mesh, axis_name)

@@ -105,3 +105,45 @@ def test_sharded_centered_operator(problem):
     np.testing.assert_allclose(
         np.asarray(cop.rmv(C)), (X.toarray() - mu).T @ C, rtol=1e-9
     )
+
+
+def test_sharded_densified_products():
+    from single_algebra_tpu.parallel import ShardedDensified
+    from tests.conftest import cluster_counts
+
+    X = cluster_counts(400, 96, n_clusters=6, seed=5).astype(np.float32)
+    m = SparseMatrix.from_scipy(X, device=False)
+    op = ShardedDensified.from_matrix(m, make_mesh(8))
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((96, 5)).astype(np.float32)
+    C = rng.standard_normal((400, 5)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.mv_precise(B)), X @ B, rtol=2e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.rmv_precise(C)), X.T @ C, rtol=2e-3, atol=1e-3
+    )
+    s, sq = op.col_stats()
+    np.testing.assert_allclose(np.asarray(s), X.toarray().sum(0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sq), (X.toarray() ** 2).sum(0), rtol=1e-5
+    )
+
+
+def test_sharded_densified_pca():
+    from single_algebra_tpu.parallel import sharded_pca_fit_transform
+    from tests.conftest import cluster_counts
+    from sklearn.decomposition import PCA as SkPCA
+
+    X = cluster_counts(500, 120, n_clusters=10, seed=2).astype(np.float32)
+    res = sharded_pca_fit_transform(
+        X, n_components=6, mesh=make_mesh(8),
+        svd_method=SVDMethod.random(10, 7, PIN.QR), seed=42, engine="dense",
+    )
+    sk = SkPCA(n_components=6, svd_solver="full").fit(X.toarray())
+    rel = (
+        np.abs(np.asarray(res.explained_variance) - sk.explained_variance_.astype(np.float32))
+        / sk.explained_variance_
+    )
+    # bf16-exact count data: parity like the single-device dense engine
+    assert rel[:5].max() < 1e-5
