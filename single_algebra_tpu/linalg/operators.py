@@ -268,9 +268,10 @@ class DensifiedOperator:
         return cls(hi, lo, (n, p))
 
     @staticmethod
-    def fits(shape, budget_bytes: int = 9 << 30) -> bool:
+    def fits(shape, budget_bytes: int = 9 << 30, needs_lo: bool = False) -> bool:
         n, p = shape
-        return 2 * n * p <= budget_bytes  # hi only; lo doubles it if needed
+        bytes_needed = 2 * n * p * (2 if needs_lo else 1)
+        return bytes_needed <= budget_bytes
 
     # fast path: bf16 inputs, f32 accumulation
     def mv(self, B):

@@ -91,6 +91,21 @@ def _project(op, comps_t):
     return mv(comps_t)
 
 
+def _needs_lo(m: SparseMatrix) -> bool:
+    """True when the matrix values are NOT bf16-exact (the densified
+    engine then needs the second (lo) half, doubling its HBM cost)."""
+
+    try:
+        import ml_dtypes
+
+        vals = m._csr_data_host().astype(np.float32)
+        return bool(
+            np.any(vals - vals.astype(ml_dtypes.bfloat16).astype(np.float32))
+        )
+    except Exception:
+        return True  # conservative
+
+
 def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
     """Select + build the compute engine for a matrix (cached per matrix).
 
@@ -105,8 +120,8 @@ def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
     if engine == "auto":
         use_dense = (
             jax.default_backend() == "tpu"
-            and DensifiedOperator.fits(m.shape)
             and m.dtype == jnp.float32
+            and DensifiedOperator.fits(m.shape, needs_lo=_needs_lo(m))
         )
         engine = "dense" if use_dense else "sparse"
     # operators are cached on the matrix: densification / layout builds

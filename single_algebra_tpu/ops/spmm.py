@@ -84,20 +84,11 @@ def ell_spmm(
     ell_data: jnp.ndarray,
     ell_ids: jnp.ndarray,
     B: jnp.ndarray,
-    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Dispatching SpMM: Pallas TPU kernel when profitable, XLA otherwise."""
+    """SpMM over the plain padded-ELL layout (XLA gather path).
 
-    if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and ell_data.shape[0] * ell_data.shape[1] >= (1 << 16)
-        )
-    if use_pallas:
-        try:
-            from .pallas.spmm_kernel import ell_spmm_pallas
+    The Pallas fast path lives behind ``TiledSparseOperator`` (it needs the
+    column-tiled layout); this entry point serves the stats/batch ops and
+    the sharded slabs where the gather path is adequate."""
 
-            return ell_spmm_pallas(ell_data, ell_ids, B)
-        except Exception:  # pragma: no cover - fall back if kernel unsupported
-            pass
     return ell_spmm_xla(ell_data, ell_ids, B)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..linalg import CenteredOperator, randomized_svd, svd_flip
 from ..sparse.matrix import SparseMatrix
@@ -63,14 +64,19 @@ def sharded_pca_fit_transform(
 
     n, p = op.shape
     stats = op.col_stats()
-    s, sq = stats[0], stats[1]  # ShardedSpMM also returns nnz counts
-    n_f = jnp.asarray(n, s.dtype)
-    mean = s / n_f
+    # scalar bookkeeping in numpy (eager device ops cost remote compiles)
+    s_np = np.asarray(stats[0], dtype=np.float64)
+    sq_np = np.asarray(stats[1], dtype=np.float64)
+    dt = np.asarray(stats[0]).dtype
+    mean_np = s_np / n
     if center:
-        total_var = jnp.sum((sq - mean * s) / jnp.maximum(n_f - 1, 1))
+        total_var = float(
+            np.sum((sq_np - mean_np * s_np) / max(n - 1, 1))
+        )
+        mean = jnp.asarray(mean_np.astype(dt))
         svd_op = CenteredOperator(op, mean)
     else:
-        mean = jnp.zeros_like(mean)
+        mean = jnp.zeros((p,), dt)
         svd_op = op
 
     res = randomized_svd(
@@ -82,9 +88,12 @@ def sharded_pca_fit_transform(
         seed=seed,
     )
     u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
-    expl = (res.s**2) / jnp.maximum(n_f - 1, 1)
+    ev_np = np.asarray(res.s, np.float64) ** 2 / max(n - 1, 1)
     if not center:
-        total_var = jnp.sum(expl)
+        total_var = float(ev_np.sum())
 
-    T = svd_op.mv(vt.T)
-    return ShardedPCAResult(T, vt, expl, mean, total_var)
+    mv = getattr(svd_op, "mv_precise", svd_op.mv)
+    T = mv(vt.T)
+    return ShardedPCAResult(
+        T, vt, jnp.asarray(ev_np.astype(dt)), mean, total_var
+    )
