@@ -36,17 +36,16 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..linalg import (
-    CenteredOperator,
-    MaskedOperator,
-    SparseOperator,
-    lanczos_svd,
-    randomized_svd,
-    svd_flip,
-)
+from ..linalg import MaskedOperator
 from ..sparse.matrix import SparseMatrix
 from ..types import SVDMethod
-from .pca import _as_matrix, _host_col_stats, _project, make_engine_operator
+from .pca import (
+    _as_matrix,
+    _fit_graph,
+    _host_col_stats,
+    _project,
+    make_engine_operator,
+)
 
 __all__ = ["MaskedSparsePCA", "MaskedSparsePCABuilder"]
 
@@ -119,31 +118,22 @@ class MaskedSparsePCA:
             var_all = (col_sq - mean64 * col_sums) / (n_samples - 1)
             total_var = float(var_all[idx_np].sum())
 
-        if self.svd_method.is_random:
-            if self.verbose:
-                print("PCA | SparseMasked | Computing Randomized SVD....")
-            svd_op = (
-                CenteredOperator(mop, jnp.asarray(mean_np[idx_np]))
-                if self.center
-                else mop
-            )
-            res = randomized_svd(
-                svd_op,
-                k,
-                self.svd_method.n_oversamples,
-                self.svd_method.n_power_iterations,
-                self.svd_method.normalizer,
-                seed=self.random_seed,
-            )
-        else:
-            if self.verbose:
-                print("PCA | SparseMasked | Computing Lanczos SVD....")
-            res = lanczos_svd(
-                mop, k, steps=self.lanczos_steps, seed=self.random_seed
-            )
-
-        s_np = np.asarray(res.s, dtype=np.float64)
-        u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
+        if self.verbose:
+            name = "Randomized" if self.svd_method.is_random else "Lanczos"
+            print(f"PCA | SparseMasked | Computing {name} SVD....")
+        want_t = getattr(self, "_want_transform", False)
+        s_dev, vt, T = _fit_graph(
+            mop,
+            jnp.asarray(mean_np[idx_np]),
+            self.random_seed,
+            k=k,
+            method=self.svd_method,
+            center=self.center,
+            steps=self.lanczos_steps,
+            want_transform=want_t,
+        )
+        self._fitted_transform = T
+        s_np = np.asarray(s_dev, dtype=np.float64)
         self.components_ = vt  # k x p_masked
         n_minus_1 = max(n_samples - 1, 1)
         ev_np = s_np**2 / n_minus_1
@@ -197,8 +187,14 @@ class MaskedSparsePCA:
 
     def fit_transform(self, x) -> jnp.ndarray:
         m = _as_matrix(x)  # convert once; fit and transform share layouts
-        self.fit(m)
-        return self.transform(m)
+        self._want_transform = True
+        try:
+            self.fit(m)
+        finally:
+            self._want_transform = False
+        T = self._fitted_transform
+        self._fitted_transform = None
+        return T
 
     def feature_importances(self) -> jnp.ndarray:
         self._check_fitted()

@@ -91,6 +91,48 @@ def _project(op, comps_t):
     return mv(comps_t)
 
 
+@_partial(
+    _jax.jit,
+    static_argnames=("k", "method", "center", "steps", "want_transform"),
+)
+def _fit_graph(
+    op,
+    mean,
+    seed,
+    *,
+    k: int,
+    method: SVDMethod,
+    center: bool,
+    steps,
+    want_transform: bool,
+):
+    """The whole fit (and optionally the projection) as ONE device
+    dispatch: SVD -> sign flip -> (X - 1 mu^T) V^T. Per-dispatch tunnel
+    latency dominates at these sizes, so fusing the chain matters as much
+    as the kernels themselves."""
+
+    proj_op = CenteredOperator(op, mean) if center else op
+    if method.is_random:
+        res = randomized_svd(
+            proj_op,
+            k,
+            method.n_oversamples,
+            method.n_power_iterations,
+            method.normalizer,
+            seed=seed,
+        )
+    else:
+        # Lanczos on the RAW operator — reference semantic (SURVEY §3.2)
+        res = lanczos_svd(op, k, steps=steps, seed=seed)
+    u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
+    if want_transform:
+        mv = getattr(proj_op, "mv_precise", proj_op.mv)
+        T = mv(vt.T)
+    else:
+        T = None
+    return res.s, vt, T
+
+
 def _needs_lo(m: SparseMatrix) -> bool:
     """True when the matrix values are NOT bf16-exact (the densified
     engine then needs the second (lo) half, doubling its HBM cost)."""
@@ -117,6 +159,13 @@ def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
 
     import jax
 
+    # operators are cached on the matrix under the REQUESTED engine name:
+    # densification / layout builds (and the auto-probe itself) are
+    # per-matrix work, shared by every model fitted on it
+    cache = getattr(m, "_operator_cache", None)
+    requested = engine
+    if cache is not None and requested in cache:
+        return cache[requested]
     if engine == "auto":
         use_dense = (
             jax.default_backend() == "tpu"
@@ -124,10 +173,8 @@ def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
             and DensifiedOperator.fits(m.shape, needs_lo=_needs_lo(m))
         )
         engine = "dense" if use_dense else "sparse"
-    # operators are cached on the matrix: densification / layout builds
-    # are per-matrix work, shared by every model fitted on it
-    cache = getattr(m, "_operator_cache", None)
     if cache is not None and engine in cache:
+        cache[requested] = cache[engine]
         return cache[engine]
     if engine == "dense":
         op = DensifiedOperator.from_matrix(m)
@@ -139,6 +186,7 @@ def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
         raise ValueError(f"unknown engine {engine!r}")
     if cache is not None:
         cache[engine] = op
+        cache[requested] = op
     return op
 
 
@@ -208,28 +256,23 @@ class SparsePCA:
             )
 
         t_stats = time.perf_counter() - t0 - t_op
-        if self.svd_method.is_random:
-            if self.verbose:
-                print("Computing randomized SVD...")
-            svd_op = CenteredOperator(op, self.mean_) if self.center else op
-            res = randomized_svd(
-                svd_op,
-                k,
-                self.svd_method.n_oversamples,
-                self.svd_method.n_power_iterations,
-                self.svd_method.normalizer,
-                seed=self.random_seed,
-            )
-        else:
-            # Lanczos on the RAW matrix — reference semantic (SURVEY §3.2)
-            res = lanczos_svd(
-                op, k, steps=self.lanczos_steps, seed=self.random_seed
-            )
-
-        s_np = np.asarray(res.s, dtype=np.float64)
+        if self.verbose and self.svd_method.is_random:
+            print("Computing randomized SVD...")
+        want_t = getattr(self, "_want_transform", False)
+        s_dev, vt, T = _fit_graph(
+            op,
+            self.mean_,
+            self.random_seed,
+            k=k,
+            method=self.svd_method,
+            center=self.center,
+            steps=self.lanczos_steps,
+            want_transform=want_t,
+        )
+        self._fitted_transform = T
+        s_np = np.asarray(s_dev, dtype=np.float64)
         t_svd = time.perf_counter() - t0 - t_op - t_stats
         self._fit_timings = dict(operator=t_op, stats=t_stats, svd=t_svd)
-        u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
         self.components_ = vt
         n_minus_1 = max(n_samples - 1, 1)
         ev_np = s_np**2 / n_minus_1
@@ -282,8 +325,14 @@ class SparsePCA:
 
     def fit_transform(self, x) -> jnp.ndarray:
         m = _as_matrix(x)  # convert once; fit and transform share layouts
-        self.fit(m)
-        return self.transform(m)
+        self._want_transform = True
+        try:
+            self.fit(m)
+        finally:
+            self._want_transform = False
+        T = self._fitted_transform
+        self._fitted_transform = None
+        return T
 
     # -- analysis ------------------------------------------------------
 
