@@ -36,7 +36,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..linalg import MaskedOperator
+from ..linalg import CenteredOperator, MaskedOperator
 from ..sparse.matrix import SparseMatrix
 from ..types import SVDMethod
 from .pca import (
