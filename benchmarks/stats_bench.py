@@ -14,10 +14,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 import scipy.sparse as sp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # reference size matrix (csr_matrix_benchmark.rs:20-27); the two largest
 # entries dominate runtime, --quick drops them
