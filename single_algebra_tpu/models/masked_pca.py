@@ -37,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..linalg import CenteredOperator, MaskedOperator
-from ..sparse.matrix import SparseMatrix
 from ..types import SVDMethod
 from .pca import (
     _as_matrix,

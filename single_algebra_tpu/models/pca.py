@@ -48,7 +48,7 @@ from ..linalg import (
     svd_flip,
 )
 from ..sparse.matrix import SparseMatrix
-from ..types import MATMUL_PRECISION, PowerIterationNormalizer, SVDMethod
+from ..types import SVDMethod
 
 __all__ = ["SparsePCA", "SparsePCABuilder"]
 

@@ -20,8 +20,6 @@ Two implementations:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
