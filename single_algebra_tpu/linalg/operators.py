@@ -370,7 +370,7 @@ class TiledSparseOperator:
     meta: Tuple[int, int, int, int, int, int]  # wt_r, nt_r, wt_c, nt_c, ct, br
 
     COL_TILE = 256
-    BLOCK_ROWS = 512
+    BLOCK_ROWS = 1024
 
     @classmethod
     def from_matrix(cls, m) -> "TiledSparseOperator":

@@ -37,8 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["tiled_ell_spmm_t", "DEFAULT_COL_TILE", "DEFAULT_BLOCK_ROWS"]
 
+# measured on v5e at 60M nnz: (256, 1024) beats (256, 512) by ~8% and
+# (512, *) by ~18% with no memory penalty; (128, 1024) is ~13% faster still
+# but costs +32% HBM for the layout
 DEFAULT_COL_TILE = 256
-DEFAULT_BLOCK_ROWS = 512
+DEFAULT_BLOCK_ROWS = 1024
 
 
 def _spmm_kernel(td_ref, tl_ref, bt_ref, o_ref, *, wt: int, ct: int):

@@ -310,3 +310,45 @@ def test_matmul(small_csr, fmt):
     np.testing.assert_allclose(
         np.asarray(m.rmatmul_dense(C)), small_csr.T @ C, rtol=1e-8
     )
+
+
+def test_normalize_column_on_csc(small_csr):
+    """COLUMN normalize where the minor axis needs a gathered scale."""
+
+    from single_algebra_tpu import Direction
+
+    m = SparseMatrix.from_scipy(small_csr.tocsc(), fmt="csc")
+    sums = np.asarray(m.sum_col())
+    out = m.normalize(sums, 5.0, Direction.COLUMN)
+    cs = out.to_dense().sum(0)
+    np.testing.assert_allclose(cs[sums > 0], 5.0, atol=1e-5)
+
+
+def test_batch_singleton_batches():
+    """Batches with a single member: var over <2 stored entries -> 0."""
+
+    mat = sp.csr_matrix(np.array([[1.0, 2.0], [3.0, 0.0], [0.0, 5.0]]))
+    m = SparseMatrix.from_scipy(mat)
+    out = m.var_batch_row(["a", "b", "c"])  # every batch has one row
+    for b in "abc":
+        np.testing.assert_array_equal(np.asarray(out[b]), 0.0)
+    means = m.mean_batch_col(["a", "b", "c"])
+    np.testing.assert_allclose(np.asarray(means["a"]), [1.0, 2.0])
+
+
+def test_n_top_with_ties_and_negatives():
+    mat = sp.csr_matrix(np.array([[2.0, 2.0, -1.0, 0.0], [-3.0, -1.0, 0.0, 0.0]]))
+    m = SparseMatrix.from_scipy(mat)
+    np.testing.assert_allclose(np.asarray(m.sum_row_n_top(2)), [4.0, -4.0])
+    np.testing.assert_allclose(np.asarray(m.sum_row_n_top(1)), [2.0, -1.0])
+
+
+def test_masked_all_false(small_csr):
+    m = SparseMatrix.from_scipy(small_csr)
+    mask = np.zeros(small_csr.shape[0], bool)
+    np.testing.assert_array_equal(
+        np.asarray(m.sum_col_masked(mask)), np.zeros(small_csr.shape[1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m.var_col_masked(mask)), np.zeros(small_csr.shape[1])
+    )
