@@ -1,0 +1,130 @@
+"""End-to-end scRNA-seq analysis pipeline on TPU.
+
+The workflow the reference library serves inside SingleRust (crate docs,
+reference src/lib.rs:28-33), composed from this framework's pieces:
+
+  counts -> QC stats -> normalize(1e4) -> log1p -> HVG selection ->
+  PCA(50) -> neighbor similarities -> t-SNE
+
+Run: python examples/scrna_pipeline.py [--cells 50000 --genes 10000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from single_algebra_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+from single_algebra_tpu import Direction, SparseMatrix  # noqa: E402
+from single_algebra_tpu.models import SparsePCABuilder, tsne  # noqa: E402
+from single_algebra_tpu.models import MaskedSparsePCABuilder  # noqa: E402
+from single_algebra_tpu.similarity import CosineSimilarity  # noqa: E402
+from single_algebra_tpu.types import (  # noqa: E402
+    PowerIterationNormalizer,
+    SVDMethod,
+)
+
+
+def synthetic_counts(n_cells, n_genes, n_types=12, seed=0):
+    """Cluster-structured Poisson counts (UMI-like)."""
+
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    programs = rng.gamma(2.0, 1.0, (n_types, n_genes)) * (
+        rng.random((n_types, n_genes)) < 0.4
+    )
+    rates = programs * np.geomspace(6, 1, n_types)[:, None] * 0.08
+    labels = rng.integers(0, n_types, n_cells)
+    X = sp.csr_matrix(
+        rng.poisson(rates[labels]).astype(np.float32)
+    )
+    return X, labels
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=20_000)
+    ap.add_argument("--genes", type=int, default=8_000)
+    ap.add_argument("--hvg", type=int, default=2_000)
+    ap.add_argument("--tsne-cells", type=int, default=5_000)
+    args = ap.parse_args()
+
+    t00 = time.perf_counter()
+
+    def stamp(msg):
+        print(f"[{time.perf_counter() - t00:7.2f}s] {msg}", flush=True)
+
+    X, labels = synthetic_counts(args.cells, args.genes)
+    stamp(f"counts: {X.shape}, {X.nnz} UMIs, density {X.nnz/np.prod(X.shape):.3f}")
+
+    m = SparseMatrix.from_scipy(X)
+
+    # --- QC statistics (reference: MatrixNonZero / MatrixSum traits) ----
+    genes_per_cell = np.asarray(m.nonzero_row())
+    umis_per_cell = np.asarray(m.sum_row())
+    cells_per_gene = np.asarray(m.nonzero_col())
+    stamp(
+        f"QC: median genes/cell={np.median(genes_per_cell):.0f}, "
+        f"median UMIs/cell={np.median(umis_per_cell):.0f}, "
+        f"detected genes={(cells_per_gene > 0).sum()}"
+    )
+
+    # --- normalize to 1e4 UMIs/cell + log1p (reference Normalize/Log1P) --
+    norm = m.normalize(umis_per_cell, 1e4, Direction.ROW).log1p_normalize()
+    stamp("normalized + log1p")
+
+    # --- HVG selection by per-gene variance (MatrixVariance) ------------
+    gene_var = np.asarray(norm.var_col())
+    hvg_mask = np.zeros(args.genes, bool)
+    hvg_mask[np.argsort(-gene_var)[: args.hvg]] = True
+    stamp(f"selected {args.hvg} highly variable genes")
+
+    # --- PCA on the HVG subset (MaskedSparsePCA, randomized SVD) --------
+    pca = (
+        MaskedSparsePCABuilder()
+        .mask(hvg_mask)
+        .n_components(50)
+        .svd_method(SVDMethod.random(10, 7, PowerIterationNormalizer.QR))
+        .build()
+    )
+    E = np.asarray(pca.fit_transform(norm)).astype(np.float32)
+    cum = np.asarray(pca.cumulative_explained_variance_ratio())
+    stamp(
+        f"PCA: embedding {E.shape}; top-10 comps carry "
+        f"{cum[9]*100:.1f}% of captured variance"
+    )
+
+    # --- neighbor similarities over the embedding (similarity module) ---
+    sub = E[: args.tsne_cells]
+    S = np.asarray(CosineSimilarity().pairwise(sub))
+    stamp(f"cosine similarity {S.shape}, mean={S.mean():.3f}")
+
+    # --- t-SNE for visualization ----------------------------------------
+    Y = np.asarray(
+        tsne.run(sub, tsne.TSNEConfig(perplexity=30.0, epochs=500))
+    )
+    sub_labels = labels[: args.tsne_cells]
+    # cluster separation in the embedding
+    intra, inter = [], []
+    for i in range(0, len(Y), 23):
+        for j in range(i + 1, len(Y), 41):
+            d = float(np.linalg.norm(Y[i] - Y[j]))
+            (intra if sub_labels[i] == sub_labels[j] else inter).append(d)
+    stamp(
+        f"t-SNE: {Y.shape}; cluster separation "
+        f"(median intra/inter) = {np.median(intra)/np.median(inter):.3f}"
+    )
+    stamp("pipeline complete")
+
+
+if __name__ == "__main__":
+    main()
