@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..linalg import CenteredOperator, randomized_svd, svd_flip
+from ..models.pca import _fit_graph
 from ..sparse.matrix import SparseMatrix
 from ..types import PowerIterationNormalizer, SVDMethod
 from .sharded import Mesh, ShardedDensified, ShardedSpMM, make_mesh
@@ -59,8 +60,19 @@ def sharded_pca_fit_transform(
     else:
         if not isinstance(x, SparseMatrix):
             x = SparseMatrix.from_scipy(x)
+        mesh = mesh or make_mesh()
         cls = ShardedDensified if engine == "dense" else ShardedSpMM
-        op = cls.from_matrix(x, mesh or make_mesh())
+        # slab building + placement is per-(matrix, mesh) work — cache it
+        cache = getattr(x, "_operator_cache", None)
+        key = (
+            f"sharded:{engine}:{mesh.shape}:{tuple(d.id for d in mesh.devices.flat)}"
+        )
+        if cache is not None and key in cache:
+            op = cache[key]
+        else:
+            op = cls.from_matrix(x, mesh)
+            if cache is not None:
+                cache[key] = op
 
     n, p = op.shape
     stats = op.col_stats()
@@ -73,27 +85,25 @@ def sharded_pca_fit_transform(
         total_var = float(
             np.sum((sq_np - mean_np * s_np) / max(n - 1, 1))
         )
-        mean = jnp.asarray(mean_np.astype(dt))
-        svd_op = CenteredOperator(op, mean)
-    else:
-        mean = jnp.zeros((p,), dt)
-        svd_op = op
-
-    res = randomized_svd(
-        svd_op,
-        n_components,
-        svd_method.n_oversamples,
-        svd_method.n_power_iterations,
-        svd_method.normalizer,
-        seed=seed,
+    mean = (
+        jnp.asarray(mean_np.astype(dt)) if center else jnp.zeros((p,), dt)
     )
-    u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
-    ev_np = np.asarray(res.s, np.float64) ** 2 / max(n - 1, 1)
+
+    # one fused dispatch: SVD -> sign flip -> projection (shared with the
+    # single-device PCA)
+    s_dev, vt, T = _fit_graph(
+        op,
+        mean,
+        seed,
+        k=n_components,
+        method=svd_method,
+        center=center,
+        steps=None,
+        want_transform=True,
+    )
+    ev_np = np.asarray(s_dev, np.float64) ** 2 / max(n - 1, 1)
     if not center:
         total_var = float(ev_np.sum())
-
-    mv = getattr(svd_op, "mv_precise", svd_op.mv)
-    T = mv(vt.T)
     return ShardedPCAResult(
         T, vt, jnp.asarray(ev_np.astype(dt)), mean, total_var
     )

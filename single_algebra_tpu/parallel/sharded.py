@@ -182,9 +182,11 @@ class ShardedSpMM:
         )(self.tr_data, self.tr_ids, Cp)
         return out[: self.shape[1]]
 
+    @jax.jit
     def col_stats(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """(sum, sum_sq, nnz_count) per column — local width-reductions on
-        the transposed slabs + one psum."""
+        the transposed slabs + one psum. Jitted: an eager shard_map retraces
+        on every call, which costs seconds per dispatch on tunneled TPUs."""
 
         ax = self.axis_name
 
@@ -342,6 +344,7 @@ class ShardedDensified:
         Cp = jax.lax.dynamic_update_slice(Cp, C, (0, 0))
         return self._precise(Cp, ((0,), (0,)), P(), False)
 
+    @jax.jit
     def col_stats(self):
         ax = self.axis_name
         parts = [self.hi] + ([self.lo] if self.lo is not None else [])
