@@ -264,3 +264,18 @@ def test_tiled_engine_matches_sparse(data):
         np.asarray(b.explained_variance_),
         rtol=1e-4,
     )
+
+
+def test_transform_new_data(data):
+    """transform() on data NOT seen at fit time (builds its own operator)."""
+
+    from tests.conftest import cluster_counts
+
+    pca = SparsePCABuilder().n_components(4).svd_method(RAND).build()
+    pca.fit(data)
+    new = cluster_counts(100, data.shape[1], n_clusters=4, seed=9)
+    T = np.asarray(pca.transform(new))
+    expected = (new.toarray() - np.asarray(pca.mean_)) @ np.asarray(
+        pca.components_
+    ).T
+    np.testing.assert_allclose(T, expected, rtol=1e-6, atol=1e-8)
