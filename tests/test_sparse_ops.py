@@ -352,3 +352,41 @@ def test_masked_all_false(small_csr):
     np.testing.assert_array_equal(
         np.asarray(m.var_col_masked(mask)), np.zeros(small_csr.shape[1])
     )
+
+
+def test_from_dense_and_coo_constructors():
+    dense = np.array([[0.0, 1.5], [2.0, 0.0], [0.0, 0.0]])
+    m = SparseMatrix.from_dense(dense)
+    np.testing.assert_allclose(m.to_dense(), dense)
+    m2 = SparseMatrix.from_coo(
+        np.array([0, 1]), np.array([1, 0]), np.array([1.5, 2.0]),
+        shape=(3, 2),
+    )
+    np.testing.assert_allclose(m2.to_dense(), dense)
+    # duplicate COO entries are summed (nalgebra CooMatrix semantics)
+    m3 = SparseMatrix.from_coo(
+        np.array([0, 0]), np.array([1, 1]), np.array([1.0, 0.5]),
+        shape=(3, 2),
+    )
+    assert m3.to_dense()[0, 1] == 1.5
+
+
+def test_native_lib_rebuild(tmp_path, small_csr):
+    """The native converter self-builds from source when the .so is absent
+    and falls back to numpy when disabled."""
+
+    import os
+    from single_algebra_tpu.native import build as nb
+
+    assert os.path.exists(nb._SRC)
+    # numpy fallback path (explicit disable)
+    os.environ["SINGLE_ALGEBRA_TPU_NO_NATIVE"] = "1"
+    nb._tried, nb._lib = True, None
+    try:
+        m = SparseMatrix.from_scipy(small_csr, dtype=np.float32)
+        np.testing.assert_allclose(
+            np.asarray(m.sum_col()), small_csr.toarray().sum(0), rtol=1e-5
+        )
+    finally:
+        os.environ.pop("SINGLE_ALGEBRA_TPU_NO_NATIVE")
+        nb._tried, nb._lib = False, None
