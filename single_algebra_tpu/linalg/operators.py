@@ -364,10 +364,15 @@ class TiledSparseOperator:
 
     row_tdata: jnp.ndarray  # [nt_r * wt_r, Rp]   A rows, transposed layout
     row_tlocal: jnp.ndarray
+    row_ov_data: jnp.ndarray  # [Rp, ovw_r] overflow entries, global ids
+    row_ov_ids: jnp.ndarray
     col_tdata: jnp.ndarray  # [nt_c * wt_c, Cp]   A^T rows (= A columns)
     col_tlocal: jnp.ndarray
+    col_ov_data: jnp.ndarray
+    col_ov_ids: jnp.ndarray
     shape: Tuple[int, int]
-    meta: Tuple[int, int, int, int, int, int]  # wt_r, nt_r, wt_c, nt_c, ct, br
+    # wt_r, nt_r, wt_c, nt_c, ct, br, ovw_r, ovw_c
+    meta: Tuple[int, int, int, int, int, int, int, int]
 
     COL_TILE = 256
     BLOCK_ROWS = 1024
@@ -378,59 +383,45 @@ class TiledSparseOperator:
         n, p = m.shape
         row_m = m._layout_for("row")
         col_m = m._layout_for("col")
-        rd, rl, wt_r, nt_r = cls._build_tiled_t(row_m, n, p, ct, br)
-        cd, cl, wt_c, nt_c = cls._build_tiled_t(col_m, p, n, ct, br)
+        rd, rl, wt_r, nt_r, rod, roi, ovw_r = cls._build_tiled_t(
+            row_m, n, p, ct, br
+        )
+        cd, cl, wt_c, nt_c, cod, coi, ovw_c = cls._build_tiled_t(
+            col_m, p, n, ct, br
+        )
         return cls(
             jnp.asarray(rd),
             jnp.asarray(rl),
+            jnp.asarray(rod),
+            jnp.asarray(roi),
             jnp.asarray(cd),
             jnp.asarray(cl),
+            jnp.asarray(cod),
+            jnp.asarray(coi),
             (n, p),
-            (wt_r, nt_r, wt_c, nt_c, ct, br),
+            (wt_r, nt_r, wt_c, nt_c, ct, br, ovw_r, ovw_c),
         )
 
     @staticmethod
     def _build_tiled_t(src, n_major, n_minor, ct, br):
-        """Transposed tiled-ELL arrays for one orientation (native C++ path
-        writes the transposed layout directly; numpy fallback transposes)."""
+        """Two-level transposed tiled-ELL for one orientation: quantile-width
+        main level (Pallas kernel) + narrow overflow side array (XLA gather
+        path) so heavy rows don't inflate everyone's padding."""
 
-        from ..native import build as _native
-        from ..sparse.convert import csr_to_tiled_ell_numpy, round_up
+        from ..sparse.convert import csr_to_tiled_ell_split_numpy
 
         src._require_host_structure()
-        indptr = src._h_indptr
-        indices = src._h_indices
-        data = src._csr_data_host()
-        ntiles = max(-(-n_minor // ct), 1)
-        rows_padded = max(round_up(n_major, br), br)
-
-        lib = _native.get_lib()
-        if lib is not None and data.dtype == np.float32 and len(indices):
-            indptr64 = np.ascontiguousarray(indptr, np.int64)
-            idx32 = np.ascontiguousarray(indices, np.int32)
-            dat = np.ascontiguousarray(data, np.float32)
-            wt = int(lib.csr_tile_width(indptr64, idx32, n_major, ct))
-            wt = max(round_up(wt, 8), 8)
-            tdata_t = np.zeros((ntiles * wt, rows_padded), np.float32)
-            tlocal_t = np.zeros((ntiles * wt, rows_padded), np.int32)
-            lib.csr_to_tiled_ell_t_f32(
-                indptr64, idx32, dat, n_major, ct, wt, rows_padded,
-                tdata_t, tlocal_t,
-            )
-            return tdata_t, tlocal_t, wt, ntiles
-
-        td, tl, wt, nt = csr_to_tiled_ell_numpy(
-            indptr, indices, data, n_major, n_minor,
-            col_tile=ct, rows_padded_to=br,
-        )
-        return (
-            np.ascontiguousarray(td.T),
-            np.ascontiguousarray(tl.T),
-            wt,
-            nt,
+        return csr_to_tiled_ell_split_numpy(
+            src._h_indptr,
+            src._h_indices,
+            src._csr_data_host(),
+            n_major,
+            n_minor,
+            col_tile=ct,
+            rows_padded_to=br,
         )
 
-    def _spmm(self, tdata, tlocal, B, wt, nt, out_rows):
+    def _spmm(self, tdata, tlocal, ov_data, ov_ids, ovw, B, wt, nt, out_rows):
         from ..ops.pallas.spmm_kernel import tiled_ell_spmm_t
 
         ct, br = self.meta[4], self.meta[5]
@@ -443,23 +434,37 @@ class TiledSparseOperator:
             tdata, tlocal, Bt, wt=wt, ntiles=nt, col_tile=ct,
             block_rows=br, interpret=interpret,
         )
-        return out[:k, :out_rows].T
+        result = out[:k, :out_rows].T
+        if ovw > 0:  # static: baked into the jitted graph at trace time
+            result = result + ell_spmm(ov_data, ov_ids, B)[:out_rows]
+        return result
 
     def mv(self, B):
-        wt_r, nt_r = self.meta[0], self.meta[1]
+        wt_r, nt_r, ovw_r = self.meta[0], self.meta[1], self.meta[6]
         return self._spmm(
-            self.row_tdata, self.row_tlocal, B, wt_r, nt_r, self.shape[0]
+            self.row_tdata, self.row_tlocal, self.row_ov_data,
+            self.row_ov_ids, ovw_r, B, wt_r, nt_r, self.shape[0],
         )
 
     def rmv(self, C):
-        wt_c, nt_c = self.meta[2], self.meta[3]
+        wt_c, nt_c, ovw_c = self.meta[2], self.meta[3], self.meta[7]
         return self._spmm(
-            self.col_tdata, self.col_tlocal, C, wt_c, nt_c, self.shape[1]
+            self.col_tdata, self.col_tlocal, self.col_ov_data,
+            self.col_ov_ids, ovw_c, C, wt_c, nt_c, self.shape[1],
         )
 
     def tree_flatten(self):
         return (
-            (self.row_tdata, self.row_tlocal, self.col_tdata, self.col_tlocal),
+            (
+                self.row_tdata,
+                self.row_tlocal,
+                self.row_ov_data,
+                self.row_ov_ids,
+                self.col_tdata,
+                self.col_tlocal,
+                self.col_ov_data,
+                self.col_ov_ids,
+            ),
             (self.shape, self.meta),
         )
 

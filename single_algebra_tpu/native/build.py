@@ -88,6 +88,14 @@ def get_lib():
             i64p, i32p, f32p, c64, c64, u16p, ctypes.c_void_p,
         ]
         lib.csr_densify_bf16.restype = ctypes.c_int32
+        lib.csr_tile_group_hist.argtypes = [i64p, i32p, c64, c64, i64p, c64]
+        lib.csr_tile_group_hist.restype = None
+        lib.csr_overflow_width.argtypes = [i64p, i32p, c64, c64, c64]
+        lib.csr_overflow_width.restype = c64
+        lib.csr_to_tiled_ell_split_t_f32.argtypes = [
+            i64p, i32p, f32p, c64, c64, c64, c64, f32p, i32p, f32p, i32p, c64,
+        ]
+        lib.csr_to_tiled_ell_split_t_f32.restype = None
         _lib = lib
         return _lib
 

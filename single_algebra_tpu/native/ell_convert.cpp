@@ -128,3 +128,75 @@ int32_t csr_densify_bf16(const int64_t* indptr, const int32_t* indices,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// histogram of (row, tile) group sizes; hist must be zeroed [hist_len]
+void csr_tile_group_hist(const int64_t* indptr, const int32_t* indices,
+                         int64_t n_rows, int64_t col_tile, int64_t* hist,
+                         int64_t hist_len) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t cur_tile = -1, cnt = 0;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const int64_t t = indices[i] / col_tile;
+      if (t == cur_tile) {
+        ++cnt;
+      } else {
+        if (cnt > 0) hist[std::min(cnt, hist_len - 1)]++;
+        cur_tile = t;
+        cnt = 1;
+      }
+    }
+    if (cnt > 0) hist[std::min(cnt, hist_len - 1)]++;
+  }
+}
+
+// max per-row overflow count for a given main width wt
+int64_t csr_overflow_width(const int64_t* indptr, const int32_t* indices,
+                           int64_t n_rows, int64_t col_tile, int64_t wt) {
+  int64_t max_over = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t cur_tile = -1, rank = 0, over = 0;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const int64_t t = indices[i] / col_tile;
+      rank = (t == cur_tile) ? rank + 1 : 0;
+      cur_tile = t;
+      if (rank >= wt) ++over;
+    }
+    max_over = std::max(max_over, over);
+  }
+  return max_over;
+}
+
+// two-level split fill: main level (transposed tiled ELL, rank < wt) +
+// overflow side array [rows_padded, ov_w] with GLOBAL column ids.
+// All outputs must be zero-initialized by the caller.
+void csr_to_tiled_ell_split_t_f32(const int64_t* indptr,
+                                  const int32_t* indices, const float* data,
+                                  int64_t n_rows, int64_t col_tile,
+                                  int64_t wt, int64_t rows_padded,
+                                  float* tdata_t, int32_t* tlocal_t,
+                                  float* ov_data, int32_t* ov_ids,
+                                  int64_t ov_w) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t cur_tile = -1, rank = 0, over = 0;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const int64_t c = indices[i];
+      const int64_t t = c / col_tile;
+      rank = (t == cur_tile) ? rank + 1 : 0;
+      cur_tile = t;
+      if (rank < wt) {
+        const int64_t slot = (t * wt + rank) * rows_padded + r;
+        tdata_t[slot] = data[i];
+        tlocal_t[slot] = static_cast<int32_t>(c - t * col_tile);
+      } else {
+        const int64_t slot = r * ov_w + over;
+        ov_data[slot] = data[i];
+        ov_ids[slot] = static_cast<int32_t>(c);
+        ++over;
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -238,3 +238,128 @@ def csr_to_tiled_ell_numpy(
     tdata[row_of, slot] = data
     tlocal[row_of, slot] = lid_of
     return tdata, tlocal, wt, ntiles
+
+
+def csr_to_tiled_ell_split_numpy(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    col_tile: int = 256,
+    rows_padded_to: int = 256,
+    quantile: float = 0.99,
+):
+    """Two-level tiled ELL: quantile-width main level + sparse overflow.
+
+    The plain tiled layout pads every (row, tile) group to the GLOBAL max
+    group size, so a handful of heavy rows inflate every row's padding
+    (4-8x slots/nnz at scRNA densities). Here the main level is padded to
+    the ``quantile`` group width (covering ~99% of entries); the rare
+    overflow entries go to a narrow plain-ELL side array with global
+    column ids, consumed by the XLA gather path.
+
+    Returns ``(tdata_t, tlocal_t, wt, ntiles, ov_data, ov_ids, ov_w)``
+    where the first four match ``csr_to_tiled_ell_numpy`` (transposed
+    orientation) and the overflow arrays are ``[rows_padded, ov_w]``
+    (``ov_w == 0`` when nothing overflows).
+    """
+
+    indptr = np.asarray(indptr, dtype=np.int64)
+    ntiles = max(-(-n_cols // col_tile), 1)
+    rows_padded = max(round_up(n_rows, rows_padded_to), rows_padded_to)
+    nnz = len(indices)
+    if nnz == 0 or n_rows == 0:
+        wt = 8
+        shape = (ntiles * wt, rows_padded)
+        return (
+            np.zeros(shape, data.dtype),
+            np.zeros(shape, np.int32),
+            wt,
+            ntiles,
+            np.zeros((rows_padded, 0), data.dtype),
+            np.zeros((rows_padded, 0), np.int32),
+            0,
+        )
+
+    if data.dtype == np.float32:
+        from ..native import build as _native
+
+        lib = _native.get_lib()
+        if lib is not None:
+            indptr64 = np.ascontiguousarray(indptr, np.int64)
+            idx32 = np.ascontiguousarray(indices, np.int32)
+            dat = np.ascontiguousarray(data, np.float32)
+            hist = np.zeros(4096, np.int64)
+            lib.csr_tile_group_hist(
+                indptr64, idx32, n_rows, col_tile, hist, 4096
+            )
+            sizes_cum = np.cumsum(hist[1:])
+            total = sizes_cum[-1]
+            wt = int(
+                np.searchsorted(sizes_cum, quantile * total, side="left") + 1
+            )
+            wt = max(round_up(wt, 8), 8)
+            ov_w = int(
+                lib.csr_overflow_width(indptr64, idx32, n_rows, col_tile, wt)
+            )
+            ov_w = round_up(ov_w, 8) if ov_w else 0
+            tdata_t = np.zeros((ntiles * wt, rows_padded), np.float32)
+            tlocal_t = np.zeros((ntiles * wt, rows_padded), np.int32)
+            ov_data = np.zeros((rows_padded, max(ov_w, 1)), np.float32)
+            ov_ids = np.zeros((rows_padded, max(ov_w, 1)), np.int32)
+            lib.csr_to_tiled_ell_split_t_f32(
+                indptr64, idx32, dat, n_rows, col_tile, wt, rows_padded,
+                tdata_t, tlocal_t, ov_data, ov_ids, max(ov_w, 1),
+            )
+            if ov_w == 0:
+                ov_data = np.zeros((rows_padded, 0), np.float32)
+                ov_ids = np.zeros((rows_padded, 0), np.int32)
+            return tdata_t, tlocal_t, wt, ntiles, ov_data, ov_ids, ov_w
+
+    row_nnz = np.diff(indptr)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), row_nnz)
+    tile_of = indices.astype(np.int64) // col_tile
+    lid_of = (indices.astype(np.int64) % col_tile).astype(np.int32)
+
+    key = row_of * ntiles + tile_of
+    first = np.ones(nnz, dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(nnz), 0))
+    rank = np.arange(nnz) - group_start
+
+    # group size = rank of the LAST entry in the group + 1; quantile over
+    # all (row, tile) groups picks the main-level width
+    last = np.ones(nnz, dtype=bool)
+    last[:-1] = key[1:] != key[:-1]
+    sizes = rank[last] + 1
+    wt = int(round_up(max(int(np.quantile(sizes, quantile)), 1), 8))
+
+    main = rank < wt
+    tdata_t = np.zeros((ntiles * wt, rows_padded), data.dtype)
+    tlocal_t = np.zeros((ntiles * wt, rows_padded), np.int32)
+    slot = tile_of[main] * wt + rank[main]
+    tdata_t[slot, row_of[main]] = data[main]
+    tlocal_t[slot, row_of[main]] = lid_of[main]
+
+    over = ~main
+    n_over = int(over.sum())
+    if n_over == 0:
+        ov_data = np.zeros((rows_padded, 0), data.dtype)
+        ov_ids = np.zeros((rows_padded, 0), np.int32)
+        ov_w = 0
+    else:
+        o_rows = row_of[over]
+        # rank within the row's overflow set
+        o_first = np.ones(n_over, dtype=bool)
+        o_first[1:] = o_rows[1:] != o_rows[:-1]
+        o_start = np.maximum.accumulate(
+            np.where(o_first, np.arange(n_over), 0)
+        )
+        o_rank = np.arange(n_over) - o_start
+        ov_w = int(round_up(int(o_rank.max()) + 1, 8))
+        ov_data = np.zeros((rows_padded, ov_w), data.dtype)
+        ov_ids = np.zeros((rows_padded, ov_w), np.int32)
+        ov_data[o_rows, o_rank] = data[over]
+        ov_ids[o_rows, o_rank] = indices[over].astype(np.int32)
+    return tdata_t, tlocal_t, wt, ntiles, ov_data, ov_ids, ov_w
