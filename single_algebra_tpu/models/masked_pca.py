@@ -152,7 +152,7 @@ class MaskedSparsePCA:
 
         if self.verbose:
             print(
-                f"s-dim: {res.s.shape}, components: {k}, "
+                f"s-dim: {s_np.shape}, components: {k}, "
                 f"nfeatures: {n_features}"
             )
             print("PCA completed successfully:")

@@ -279,3 +279,45 @@ def test_transform_new_data(data):
         pca.components_
     ).T
     np.testing.assert_allclose(T, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_verbose_output(data, capsys):
+    """Verbose mode emits the reference-style stage logs
+    (sparse/mod.rs:146-168, sparse_masked/mod.rs:276-289)."""
+
+    pca = (
+        SparsePCABuilder().n_components(3).svd_method(RAND).verbose(True).build()
+    )
+    pca.fit(data)
+    out = capsys.readouterr().out
+    assert "randomized" in out and "Reduced to: 3 components" in out
+    assert "noise variance" in out
+
+    rng = np.random.default_rng(0)
+    mask = rng.random(data.shape[1]) < 0.5
+    mp = (
+        MaskedSparsePCABuilder()
+        .mask(mask)
+        .n_components(3)
+        .verbose(True)
+        .build()
+    )
+    mp.fit(data)
+    out = capsys.readouterr().out
+    assert "PCA | SparseMasked" in out
+    assert "Total variance explained" in out
+
+
+def test_uncentered_ratio_uses_computed_sum(data):
+    """No-center path: total variance falls back to the computed
+    components' sum (reference sparse/mod.rs:218-223)."""
+
+    pca = (
+        SparsePCABuilder().n_components(4).center(False).svd_method(RAND).build()
+    )
+    pca.fit(data)
+    assert np.isclose(
+        pca.total_variance_,
+        float(np.asarray(pca.explained_variance_).sum()),
+        rtol=1e-6,
+    )
