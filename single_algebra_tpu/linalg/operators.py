@@ -268,7 +268,30 @@ class DensifiedOperator:
         return cls(hi, lo, (n, p))
 
     @staticmethod
-    def fits(shape, budget_bytes: int = 9 << 30, needs_lo: bool = False) -> bool:
+    def hbm_budget_bytes() -> int:
+        """Usable HBM for the densified payload on the default device —
+        queried from the runtime (works across TPU generations), with a
+        conservative fraction reserved for sketch/QR workspace and XLA
+        temporaries. Falls back to a v5e-class 9 GiB when the backend
+        doesn't expose memory stats (e.g. CPU tests)."""
+
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit"
+            )
+            if limit:
+                return int(limit * 0.6)
+        except Exception:
+            pass
+        return 9 << 30
+
+    @classmethod
+    def fits(
+        cls, shape, budget_bytes: int | None = None, needs_lo: bool = False
+    ) -> bool:
+        if budget_bytes is None:
+            budget_bytes = cls.hbm_budget_bytes()
         n, p = shape
         bytes_needed = 2 * n * p * (2 if needs_lo else 1)
         return bytes_needed <= budget_bytes

@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..linalg import CenteredOperator, randomized_svd, svd_flip
+from ..linalg import CenteredOperator, MaskedOperator, randomized_svd, svd_flip
 from ..models.pca import _fit_graph
 from ..sparse.matrix import SparseMatrix
 from ..types import PowerIterationNormalizer, SVDMethod
@@ -42,19 +42,29 @@ def sharded_pca_fit_transform(
     center: bool = True,
     seed: int = 42,
     engine: str = "sparse",
+    mask=None,
+    lanczos_steps: int | None = None,
 ) -> ShardedPCAResult:
-    """Centered randomized PCA of a row-sharded sparse matrix.
+    """Centered PCA of a row-sharded sparse matrix (both SVD methods).
 
     ``x`` may be a SparseMatrix (sharded here) or a prebuilt
-    :class:`ShardedSpMM`.
+    :class:`ShardedSpMM`/:class:`ShardedDensified`. Both ``SVDMethod``s run
+    over the mesh: the randomized sketch and the Golub-Kahan recurrence are
+    sequences of mv/rmv products, so the row-sharded operator (local SpMM +
+    one ``psum`` per ``A^T@``) plugs into either engine unchanged; the
+    Lanczos path keeps the reference semantic of operating on the RAW
+    (uncentered) matrix.
+
+    ``mask`` (optional boolean, length p) restricts features like
+    ``MaskedSparsePCA``: the masked view is an int32 gather on the
+    REPLICATED skinny operands, so it composes with row sharding without
+    extra collectives. ``mean`` in the result stays FULL width (reference
+    semantic, ``sparse_masked/mod.rs:279-289``); ``components`` is
+    k x p_masked.
     """
 
     if svd_method is None:
         svd_method = SVDMethod.random(10, 7, PowerIterationNormalizer.QR)
-    if not svd_method.is_random:
-        raise NotImplementedError(
-            "sharded PCA currently supports the randomized SVD path"
-        )
     if isinstance(x, (ShardedSpMM, ShardedDensified)):
         op = x
     else:
@@ -81,24 +91,43 @@ def sharded_pca_fit_transform(
     sq_np = np.asarray(stats[1], dtype=np.float64)
     dt = np.asarray(stats[0]).dtype
     mean_np = s_np / n
+
+    idx_np = None
+    fit_op = op
+    if mask is not None:
+        mask = np.asarray(mask, dtype=bool)
+        if mask.shape[0] != p:
+            raise ValueError(
+                "The mask vector length and the number of features (columns)"
+                " have to be the same!"
+            )
+        idx_np = np.where(mask)[0]
+        fit_op = MaskedOperator(op, jnp.asarray(idx_np.astype(np.int32)))
+
     if center:
+        var_all = (sq_np - mean_np * s_np) / max(n - 1, 1)
         total_var = float(
-            np.sum((sq_np - mean_np * s_np) / max(n - 1, 1))
+            var_all.sum() if idx_np is None else var_all[idx_np].sum()
         )
     mean = (
-        jnp.asarray(mean_np.astype(dt)) if center else jnp.zeros((p,), dt)
+        jnp.asarray(mean_np.astype(dt))
+        if center
+        else jnp.zeros((p,), dt)
+    )
+    fit_mean = mean if idx_np is None else jnp.asarray(
+        (mean_np[idx_np] if center else np.zeros(len(idx_np))).astype(dt)
     )
 
     # one fused dispatch: SVD -> sign flip -> projection (shared with the
     # single-device PCA)
     s_dev, vt, T = _fit_graph(
-        op,
-        mean,
+        fit_op,
+        fit_mean,
         seed,
         k=n_components,
         method=svd_method,
         center=center,
-        steps=None,
+        steps=lanczos_steps,
         want_transform=True,
     )
     ev_np = np.asarray(s_dev, np.float64) ** 2 / max(n - 1, 1)

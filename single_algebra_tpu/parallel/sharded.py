@@ -89,8 +89,10 @@ class ShardedSpMM:
         slab_row, slab_tr = [], []
         wr = wt = 1
         for d in range(ndev):
-            r0, r1 = d * rs, min((d + 1) * rs, n)
-            lo, hi = int(indptr[max(r0, 0)]), int(indptr[max(r1, 0)])
+            # clamp BOTH bounds: sublane rounding of rs can push d*rs past
+            # n for trailing devices (empty slabs fall through n_rows==0)
+            r0, r1 = min(d * rs, n), min((d + 1) * rs, n)
+            lo, hi = int(indptr[r0]), int(indptr[r1])
             s_indptr = indptr[r0 : r1 + 1] - lo if r1 > r0 else np.zeros(1, np.int64)
             s_idx = indices[lo:hi]
             s_dat = data[lo:hi]

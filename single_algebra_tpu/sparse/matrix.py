@@ -176,7 +176,9 @@ class SparseMatrix:
 
         arr = np.asarray(arr)
         mat = sp.csr_matrix(arr) if fmt == "csr" else sp.csc_matrix(arr)
-        return cls.from_scipy(mat, fmt=fmt, dtype=dtype or arr.dtype)
+        # dtype=None falls through to from_scipy's policy (silent f64
+        # downcast absent x64 mode, int -> f32), matching from_scipy inputs
+        return cls.from_scipy(mat, fmt=fmt, dtype=dtype)
 
     @classmethod
     def from_coo(
@@ -191,7 +193,7 @@ class SparseMatrix:
         import scipy.sparse as sp
 
         coo = sp.coo_matrix((vals, (rows, cols)), shape=shape)
-        return cls.from_scipy(coo, fmt=fmt, dtype=dtype or vals.dtype)
+        return cls.from_scipy(coo, fmt=fmt, dtype=dtype)
 
     # ------------------------------------------------------------------
     # basic properties / conversion
@@ -318,12 +320,14 @@ class SparseMatrix:
 
     def _check_mask(self, mask, expected: int, what: str) -> jnp.ndarray:
         mask = np.asarray(mask)
-        if mask.shape[0] < expected:
+        if mask.shape[0] != expected:
+            # strict parity: the reference bails on ANY length mismatch
+            # (csr.rs:158-164), longer masks included
             raise ValueError(
-                f"Mask length ({mask.shape[0]}) is less than number of "
+                f"Mask length ({mask.shape[0]}) does not match number of "
                 f"{what} ({expected})"
             )
-        return jnp.asarray(mask[:expected].astype(bool))
+        return jnp.asarray(mask.astype(bool))
 
     def _major_stat(self, axis: str, fn, *extra):
         m = self._layout_for(axis)
@@ -516,9 +520,9 @@ class SparseMatrix:
 
         m = self._layout_for(axis)
         nb = int(codes.max()) + 1 if len(codes) else 1
-        onehot = jnp.asarray(
-            np.eye(nb, dtype=np.asarray(m.ell_data).dtype)[codes]
-        )
+        # m.ell_data.dtype reads metadata only — never pull the device
+        # buffer through the tunnel just for its dtype
+        onehot = jnp.asarray(np.eye(nb, dtype=np.dtype(m.ell_data.dtype))[codes])
         if transform == "sum":
             data = m.ell_data
         elif transform == "sumsq":

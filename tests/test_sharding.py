@@ -91,6 +91,96 @@ def test_sharded_pca_matches_sklearn():
     )
 
 
+@pytest.mark.parametrize("n_rows", [5, 20, 100])
+def test_sharded_small_row_counts(n_rows):
+    """Slab bounds must clamp to n_rows: sublane rounding of the per-device
+    slab can push d*rs past the matrix end (ADVICE r1 — n=20 and n=100 on an
+    8-device mesh used to crash with IndexError)."""
+
+    rng = np.random.default_rng(7)
+    X = sp.random(n_rows, 33, density=0.4, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random)
+    m = SparseMatrix.from_scipy(X, dtype=np.float64)
+    op = ShardedSpMM.from_matrix(m, make_mesh(8))
+    B = rng.standard_normal((33, 4))
+    C = rng.standard_normal((n_rows, 4))
+    np.testing.assert_allclose(np.asarray(op.mv(B)), X @ B, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.rmv(C)), X.T @ C, rtol=1e-10)
+
+
+def test_sharded_lanczos_matches_single_device(problem):
+    from single_algebra_tpu.linalg import lanczos_svd
+
+    X, m = problem
+    op1 = SparseOperator.from_matrix(m)
+    res1 = lanczos_svd(op1, 5, steps=60, seed=3)
+    opn = ShardedSpMM.from_matrix(m, make_mesh(8))
+    resn = lanczos_svd(opn, 5, steps=60, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(resn.s), np.asarray(res1.s), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(resn.u)), np.abs(np.asarray(res1.u)), atol=1e-6
+    )
+
+
+def test_sharded_pca_lanczos_path():
+    """Mesh path supports BOTH SVDMethods (reference pca/mod.rs:49-68)."""
+
+    from single_algebra_tpu.models import SparsePCABuilder
+    from tests.conftest import cluster_counts
+
+    X = cluster_counts(300, 80, n_clusters=6, seed=4)
+    res = sharded_pca_fit_transform(
+        X, n_components=5, mesh=make_mesh(8),
+        svd_method=SVDMethod.lanczos(), seed=42, lanczos_steps=60,
+    )
+    single = (
+        SparsePCABuilder().n_components(5).svd_method(SVDMethod.lanczos())
+        .build()
+    )
+    single.lanczos_steps = 60
+    single.fit(X)
+    np.testing.assert_allclose(
+        np.asarray(res.explained_variance),
+        np.asarray(single.explained_variance_),
+        rtol=1e-8,
+    )
+
+
+def test_sharded_masked_pca_matches_masked_model():
+    """Sharded masked PCA == single-device MaskedSparsePCA on the same
+    mask/seed (both SVD methods ride the same MaskedOperator gather)."""
+
+    from single_algebra_tpu.models import MaskedSparsePCABuilder
+    from single_algebra_tpu.types import SVDMethod as SM
+    from tests.conftest import cluster_counts
+
+    X = cluster_counts(300, 90, n_clusters=6, seed=9)
+    rng = np.random.default_rng(1)
+    mask = rng.random(90) < 0.4
+    mask[:5] = True
+    method = SM.random(8, 5, PIN.QR)
+    res = sharded_pca_fit_transform(
+        X, n_components=4, mesh=make_mesh(8), svd_method=method,
+        seed=42, mask=mask,
+    )
+    single = (
+        MaskedSparsePCABuilder().mask(mask).n_components(4)
+        .svd_method(method).build()
+    )
+    T1 = single.fit_transform(X)
+    assert res.components.shape == (4, int(mask.sum()))
+    np.testing.assert_allclose(
+        np.asarray(res.explained_variance),
+        np.asarray(single.explained_variance_),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.transformed), np.asarray(T1), rtol=1e-6, atol=1e-9
+    )
+
+
 def test_sharded_centered_operator(problem):
     X, m = problem
     op = ShardedSpMM.from_matrix(m, make_mesh(4))

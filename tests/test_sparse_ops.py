@@ -105,6 +105,39 @@ def test_mask_too_short_raises(small_csr):
         m.nonzero_row_masked(np.ones(3, dtype=bool))
 
 
+def test_mask_too_long_raises(small_csr):
+    """Strict parity: the reference bails on ANY mask-length mismatch
+    (csr.rs:158-164), longer masks included — no silent truncation."""
+
+    m = to_sm(small_csr, "csr")
+    n, p = m.shape
+    with pytest.raises(ValueError, match="Mask length"):
+        m.sum_col_masked(np.ones(n + 5, dtype=bool))
+    with pytest.raises(ValueError, match="Mask length"):
+        m.sum_row_masked(np.ones(p + 1, dtype=bool))
+    with pytest.raises(ValueError, match="Mask length"):
+        m.var_col_masked(np.ones(n + 2, dtype=bool))
+
+
+def test_from_dense_and_coo_dtype_policy():
+    """from_dense/from_coo follow from_scipy's dtype policy: integer input
+    defaults to f32 instead of raising (ADVICE r1)."""
+
+    from single_algebra_tpu import SparseMatrix
+
+    arr = np.array([[1, 0, 2], [0, 3, 0]], dtype=np.int64)
+    m = SparseMatrix.from_dense(arr)
+    assert m.dtype == np.float32
+    np.testing.assert_allclose(m.to_dense(), arr.astype(np.float32))
+
+    mc = SparseMatrix.from_coo(
+        np.array([0, 1]), np.array([2, 0]),
+        np.array([5, 7], dtype=np.int32), shape=(2, 3),
+    )
+    assert mc.dtype == np.float32
+    assert mc.nnz == 2
+
+
 @pytest.mark.parametrize("fmt", FMT)
 def test_var_dense_semantics(small_csr, fmt):
     m = to_sm(small_csr, fmt)
