@@ -8,14 +8,30 @@ las2's selective-orthogonalization bookkeeping (designed for scalar CPUs),
 we run Golub-Kahan bidiagonalization with FULL reorthogonalization — at
 k<=O(100) components the extra dense projections are a rounding error on the
 MXU and give far better numerical behavior than kappa-threshold selective
-reorthogonalization. The recurrence runs inside ``lax.fori_loop`` around the
-SpMM seam; the small bidiagonal SVD is solved with ``jnp.linalg.svd``.
+reorthogonalization.
+
+Two execution modes, both single compiled graphs:
+
+* **fixed depth** (``tol=None``): ``lax.fori_loop`` for exactly ``steps``
+  iterations — cheapest per step, for callers who know their spectrum.
+* **convergence-adaptive** (``tol`` set): ``lax.while_loop`` over blocks of
+  ``check_every`` steps; after each block the Ritz values (singular values
+  of the accumulated bidiagonal) are recomputed and the loop stops once the
+  top-k values have stabilized to ``tol`` relative — the jitted analog of
+  las2 iterating until its kappa=1e-5 test passes. The Krylov buffers are
+  sized by the static ``steps`` budget; unfilled rows stay zero, which is
+  harmless to both the reorthogonalization (zero projections) and the
+  bidiagonal SVD (zero singular values sort last).
 
 Semantic notes preserved from the reference:
 * the Lanczos path operates on the RAW operator handed to it — the caller
   decides about centering (the reference never centers the Lanczos path
   even when ``center=true``; see SURVEY.md §3.2).
 * results pass through the same ``svd_flip`` sign convention downstream.
+* the masked PCA's iteration rule ``max(2*max(n, p_masked), 100)``
+  (``sparse_masked/mod.rs:321``) is an upper BUDGET in las2, not a step
+  count — the adaptive mode reproduces the intent (iterate to convergence
+  under a budget) with the budget in :func:`max_lanczos_steps`.
 """
 
 from __future__ import annotations
@@ -28,43 +44,61 @@ import jax.numpy as jnp
 from ..types import MATMUL_PRECISION
 from .svd import SvdResult
 
-__all__ = ["lanczos_svd", "default_lanczos_steps"]
+__all__ = ["lanczos_svd", "default_lanczos_steps", "max_lanczos_steps"]
 
 
 def default_lanczos_steps(n: int, p: int, k: int) -> int:
-    """Iteration budget: enough Krylov depth for the top-k triplets.
-
-    The reference asks for ``max(n, p)`` iterations (sparse/mod.rs:137) and
-    lets las2 stop at convergence. A fixed-depth jitted loop needs a static
-    budget: gapped (real-data) spectra converge in ~2k steps, but flat noise
-    bulks — the worst case — need ~8k steps for 1e-6-class tails (measured:
-    k=30 on a uniform-random 5000x3000 goes 9e-2 -> 2e-6 between 92 and 400
-    steps). Cost per step is two matvecs, so default to the safe depth and
-    let callers lower it via ``steps=``/``lanczos_steps`` for gapped data.
-    """
+    """Fixed-depth budget: enough Krylov depth for the top-k triplets on
+    GAPPED (real-data) spectra (~2k steps suffice; 8k is the safe default;
+    measured: k=30 on a uniform-random 5000x3000 goes 9e-2 -> 2e-6 between
+    92 and 400 steps)."""
 
     min_dim = min(n, p)
     return int(min(min_dim, max(8 * k, 128)))
 
 
-@partial(jax.jit, static_argnames=("n_components", "steps"))
+def max_lanczos_steps(n: int, p: int, k: int) -> int:
+    """Adaptive-mode budget: deep enough that flat noise bulks — the worst
+    case — converge without hand-tuning (the reference's las2 budget is
+    ``max(n, p)`` iterations with early convergence exit; a full-width
+    buffer is prohibitive at 1M rows, so cap by a multiple of k)."""
+
+    min_dim = min(n, p)
+    return int(min(min_dim, max(16 * k, 384)))
+
+
+@partial(
+    jax.jit, static_argnames=("n_components", "steps", "tol", "check_every")
+)
 def lanczos_svd(
     op,
     n_components: int,
     steps: int | None = None,
     seed: int | jnp.ndarray = 42,
+    tol: float | None = None,
+    check_every: int | None = None,
 ) -> SvdResult:
     """Truncated SVD of ``op`` via Golub-Kahan bidiagonalization.
 
     ``op`` needs ``mv``/``rmv``/``shape``. ``steps`` must be static; when
-    None it is derived from the shape and k.
+    None it is derived from the shape and k (a larger budget is used in
+    adaptive mode since the loop exits early once converged). ``tol``
+    enables the adaptive mode: stop when the top-k Ritz values move by
+    less than ``tol`` (relative to the largest) between checks.
     """
 
     n, p = op.shape
     k = n_components
     if steps is None:
-        steps = default_lanczos_steps(n, p, k)
+        steps = (
+            max_lanczos_steps(n, p, k)
+            if tol is not None
+            else default_lanczos_steps(n, p, k)
+        )
     m = steps
+    if check_every is None:
+        check_every = max(k, 32)
+    check_every = min(check_every, m)
     dtype = op.mv(jnp.zeros((p, 1))).dtype
     eps = jnp.asarray(jnp.finfo(dtype).tiny * 1e8, dtype)
 
@@ -121,7 +155,50 @@ def lanczos_svd(
         v0,
         jnp.asarray(0.0, dtype),
     )
-    U, V, alphas, betas, _, _, _ = jax.lax.fori_loop(0, m, body, init)
+
+    def ritz(alphas, betas):
+        # singular values of the (zero-padded) upper bidiagonal: the filled
+        # top-left block's values are exact, padding contributes zeros
+        B = jnp.diag(alphas) + jnp.diag(betas[:-1], k=1).astype(dtype)
+        return jnp.linalg.svd(B, compute_uv=False)[:k]
+
+    if tol is None:
+        carry = jax.lax.fori_loop(0, m, body, init)
+    else:
+        n_blocks = -(-m // check_every)
+        tol_arr = jnp.asarray(tol, dtype)
+
+        def w_cond(state):
+            blk, done, _, _ = state
+            return jnp.logical_and(blk < n_blocks, jnp.logical_not(done))
+
+        def w_body(state):
+            blk, _, s_prev, carry = state
+            j0 = blk * check_every
+            carry = jax.lax.fori_loop(
+                j0, jnp.minimum(j0 + check_every, m), body, carry
+            )
+            s_now = ritz(carry[2], carry[3])
+            scale = jnp.maximum(s_now[0], eps)
+            moved = jnp.max(jnp.abs(s_now - s_prev)) / scale
+            # also stop on Krylov-space exhaustion (beta underflow)
+            exhausted = carry[6] <= eps
+            return (
+                blk + 1,
+                jnp.logical_or(moved < tol_arr, exhausted),
+                s_now,
+                carry,
+            )
+
+        state = (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            jnp.full((k,), jnp.inf, dtype),
+            init,
+        )
+        _, _, _, carry = jax.lax.while_loop(w_cond, w_body, state)
+
+    U, V, alphas, betas, _, _, _ = carry
 
     # upper-bidiagonal B: A V_m = U_m B with B[j,j]=alpha_j, B[j,j+1]=beta_j
     B = jnp.diag(alphas) + jnp.diag(betas[:-1], k=1).astype(dtype)

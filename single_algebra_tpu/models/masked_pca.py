@@ -130,6 +130,7 @@ class MaskedSparsePCA:
             center=self.center,
             steps=self.lanczos_steps,
             want_transform=want_t,
+            tol=self.tolerance,
         )
         self._fitted_transform = T
         s_np = np.asarray(s_dev, dtype=np.float64)

@@ -93,7 +93,9 @@ def _project(op, comps_t):
 
 @_partial(
     _jax.jit,
-    static_argnames=("k", "method", "center", "steps", "want_transform"),
+    static_argnames=(
+        "k", "method", "center", "steps", "want_transform", "tol",
+    ),
 )
 def _fit_graph(
     op,
@@ -105,6 +107,7 @@ def _fit_graph(
     center: bool,
     steps,
     want_transform: bool,
+    tol: float | None = None,
 ):
     """The whole fit (and optionally the projection) as ONE device
     dispatch: SVD -> sign flip -> (X - 1 mu^T) V^T. Per-dispatch tunnel
@@ -122,8 +125,10 @@ def _fit_graph(
             seed=seed,
         )
     else:
-        # Lanczos on the RAW operator — reference semantic (SURVEY §3.2)
-        res = lanczos_svd(op, k, steps=steps, seed=seed)
+        # Lanczos on the RAW operator — reference semantic (SURVEY §3.2);
+        # tol drives the convergence-adaptive while_loop (las2's kappa
+        # analog), steps is the static Krylov budget
+        res = lanczos_svd(op, k, steps=steps, seed=seed, tol=tol)
     u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
     if want_transform:
         mv = getattr(proj_op, "mv_precise", proj_op.mv)
@@ -268,6 +273,7 @@ class SparsePCA:
             center=self.center,
             steps=self.lanczos_steps,
             want_transform=want_t,
+            tol=self.tolerance,
         )
         self._fitted_transform = T
         s_np = np.asarray(s_dev, dtype=np.float64)
@@ -430,6 +436,10 @@ class SparsePCABuilder:
         return self
 
     def tolerance(self, t: float) -> "SparsePCABuilder":
+        """Convergence tolerance for the Lanczos path: the adaptive loop
+        stops once the top-k Ritz values move < t relative between checks
+        (las2's kappa analog). None = fixed-depth mode."""
+
         self._tolerance = t
         return self
 

@@ -44,6 +44,7 @@ def sharded_pca_fit_transform(
     engine: str = "sparse",
     mask=None,
     lanczos_steps: int | None = None,
+    tolerance: float | None = 1e-6,
 ) -> ShardedPCAResult:
     """Centered PCA of a row-sharded sparse matrix (both SVD methods).
 
@@ -129,6 +130,7 @@ def sharded_pca_fit_transform(
         center=center,
         steps=lanczos_steps,
         want_transform=True,
+        tol=tolerance,
     )
     ev_np = np.asarray(s_dev, np.float64) ** 2 / max(n - 1, 1)
     if not center:

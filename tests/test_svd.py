@@ -128,3 +128,64 @@ def test_seed_reproducibility():
     np.testing.assert_array_equal(np.asarray(r1.s), np.asarray(r2.s))
     r3 = randomized_svd(op, 5, 10, 3, PIN.QR, seed=124)
     assert not np.array_equal(np.asarray(r1.u), np.asarray(r3.u))
+
+
+def test_lanczos_adaptive_converges_where_short_budget_fails():
+    """Convergence-adaptive mode (tol -> while_loop with a Ritz
+    stabilization test, las2's kappa analog) reaches machine precision
+    without hand-tuning steps, on a spectrum where a tight fixed budget
+    visibly under-converges (VERDICT r1 #9)."""
+
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    X = sp.random(900, 700, density=0.08, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random)
+    m = SparseMatrix.from_scipy(X, dtype=np.float64)
+    op = SparseOperator.from_matrix(m)
+    k = 12
+    s_ref = np.linalg.svd(X.toarray(), compute_uv=False)[:k]
+
+    short = lanczos_svd(op, k, steps=32, seed=1)
+    err_short = (np.abs(np.asarray(short.s) - s_ref) / s_ref).max()
+    assert err_short > 1e-2  # fixed short budget demonstrably insufficient
+
+    adaptive = lanczos_svd(op, k, seed=1, tol=1e-8)
+    err_ad = (np.abs(np.asarray(adaptive.s) - s_ref) / s_ref).max()
+    assert err_ad < 1e-10
+
+
+def test_lanczos_adaptive_handles_krylov_exhaustion():
+    """Budget past min_dim: the while_loop must stop on beta underflow
+    (Krylov-space exhaustion) and still return exact values."""
+
+    rng = np.random.default_rng(4)
+    A = rng.standard_normal((40, 30))
+    res = lanczos_svd(DenseOperator(A), 5, seed=0, tol=1e-8)
+    s_ref = np.linalg.svd(A, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(res.s), s_ref[:5], rtol=1e-10)
+
+
+def test_pca_lanczos_tolerance_flows_through():
+    """SparsePCA's (previously parity-only) tolerance field drives the
+    adaptive Lanczos loop; default tolerance converges without a manual
+    lanczos_steps."""
+
+    import scipy.sparse as sp
+
+    from single_algebra_tpu.models import SparsePCABuilder
+    from single_algebra_tpu.types import SVDMethod
+
+    rng = np.random.default_rng(2)
+    X = sp.random(500, 350, density=0.1, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random)
+    pca = SparsePCABuilder().n_components(8).svd_method(
+        SVDMethod.lanczos()
+    ).build()
+    pca.fit(X)
+    # Lanczos-path semantics: truncated SVD of RAW X (no centering)
+    s_ref = np.linalg.svd(X.toarray(), compute_uv=False)[:8]
+    ev_ref = s_ref**2 / (X.shape[0] - 1)
+    np.testing.assert_allclose(
+        np.asarray(pca.explained_variance_), ev_ref, rtol=1e-8
+    )
