@@ -99,7 +99,8 @@ def lanczos_svd(
     if check_every is None:
         check_every = max(k, 32)
     check_every = min(check_every, m)
-    dtype = op.mv(jnp.zeros((p, 1))).dtype
+    # f32 probe: see randomized_svd — must not promote f32 ops under x64
+    dtype = op.mv(jnp.zeros((p, 1), jnp.float32)).dtype
     eps = jnp.asarray(jnp.finfo(dtype).tiny * 1e8, dtype)
 
     # Lanczos recurrences are sensitive to matvec error; densified bf16

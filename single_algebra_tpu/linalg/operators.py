@@ -375,118 +375,159 @@ class DensifiedOperator:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class TiledSparseOperator:
-    """Sparse products via the Pallas densify-then-contract kernel.
+    """Sparse products via the Pallas densify-then-contract kernels.
 
-    The engine for matrices too large to densify in HBM but small enough
-    to hold the ~(2-4x nnz) column-tiled ELL payload: both orientations of
-    the tiled layout live on device and each product is one kernel launch
-    (one-hot VPU tile build + MXU contraction; see
-    ``ops/pallas/spmm_kernel.py``). Construction is host-side (C++ native
-    converter when available).
+    The engine for matrices too large to densify in HBM but small enough to
+    hold the ~(2-3x nnz) column-tiled ELL payload. A SINGLE row-major tiled
+    layout serves both products: ``A @ B`` contracts each one-hot densified
+    [ct, br] tile on its column axis (``tiled_ell_spmm_t``), ``A^T @ C``
+    contracts the SAME tiles on their row axis (``tiled_ell_rmv_t``) — no
+    second orientation, half the HBM/transfer/build cost. Rare heavy-row
+    overflow entries live in narrow plain-ELL side arrays (one per product
+    direction; the rmv one indexes rows by column). Construction is
+    host-side (C++ native converter when available).
     """
 
-    row_tdata: jnp.ndarray  # [nt_r * wt_r, Rp]   A rows, transposed layout
-    row_tlocal: jnp.ndarray
-    row_ov_data: jnp.ndarray  # [Rp, ovw_r] overflow entries, global ids
-    row_ov_ids: jnp.ndarray
-    col_tdata: jnp.ndarray  # [nt_c * wt_c, Cp]   A^T rows (= A columns)
-    col_tlocal: jnp.ndarray
-    col_ov_data: jnp.ndarray
-    col_ov_ids: jnp.ndarray
+    tdata: jnp.ndarray  # [nt * wt, Rp]   row-major transposed tiled layout
+    tlocal: jnp.ndarray
+    ov_data: jnp.ndarray  # [Rp, ovw]   overflow rows->global col ids (mv)
+    ov_ids: jnp.ndarray
+    ovt_data: jnp.ndarray  # [Pp, ovtw] overflow cols->global row ids (rmv)
+    ovt_ids: jnp.ndarray
     shape: Tuple[int, int]
-    # wt_r, nt_r, wt_c, nt_c, ct, br, ovw_r, ovw_c
-    meta: Tuple[int, int, int, int, int, int, int, int]
+    # wt, ntiles, ct, br, ovw, ovtw
+    meta: Tuple[int, int, int, int, int, int]
 
     COL_TILE = 256
     BLOCK_ROWS = 1024
 
     @classmethod
     def from_matrix(cls, m) -> "TiledSparseOperator":
-        ct, br = cls.COL_TILE, cls.BLOCK_ROWS
-        n, p = m.shape
-        row_m = m._layout_for("row")
-        col_m = m._layout_for("col")
-        rd, rl, wt_r, nt_r, rod, roi, ovw_r = cls._build_tiled_t(
-            row_m, n, p, ct, br
-        )
-        cd, cl, wt_c, nt_c, cod, coi, ovw_c = cls._build_tiled_t(
-            col_m, p, n, ct, br
-        )
-        return cls(
-            jnp.asarray(rd),
-            jnp.asarray(rl),
-            jnp.asarray(rod),
-            jnp.asarray(roi),
-            jnp.asarray(cd),
-            jnp.asarray(cl),
-            jnp.asarray(cod),
-            jnp.asarray(coi),
-            (n, p),
-            (wt_r, nt_r, wt_c, nt_c, ct, br, ovw_r, ovw_c),
-        )
-
-    @staticmethod
-    def _build_tiled_t(src, n_major, n_minor, ct, br):
-        """Two-level transposed tiled-ELL for one orientation: quantile-width
-        main level (Pallas kernel) + narrow overflow side array (XLA gather
-        path) so heavy rows don't inflate everyone's padding."""
-
+        from ..sparse import convert as _cv
         from ..sparse.convert import csr_to_tiled_ell_split_numpy
 
+        ct, br = cls.COL_TILE, cls.BLOCK_ROWS
+        n, p = m.shape
+        src = m._layout_for("row")
         src._require_host_structure()
-        return csr_to_tiled_ell_split_numpy(
+        td, tl, wt, nt, ovd, ovi, ovw = csr_to_tiled_ell_split_numpy(
             src._h_indptr,
             src._h_indices,
             src._csr_data_host(),
-            n_major,
-            n_minor,
+            n,
+            p,
             col_tile=ct,
             rows_padded_to=br,
         )
 
-    def _spmm(self, tdata, tlocal, ov_data, ov_ids, ovw, B, wt, nt, out_rows):
-        from ..ops.pallas.spmm_kernel import tiled_ell_spmm_t
+        # transposed overflow (column-major plain ELL over just the ~1%
+        # overflow entries) so rmv needs no scatter; padding slots in the
+        # [Rp, ovw] arrays carry v=0 and contribute nothing either way
+        if ovw > 0:
+            r_idx, w_idx = np.nonzero(ovd)
+            t_indptr, t_indices, t_vals = _coo_to_csr_arrays(
+                ovi[r_idx, w_idx], r_idx, ovd[r_idx, w_idx], p, n
+            )
+            otd, oti, _ = _cv.csr_to_ell_numpy(t_indptr, t_indices, t_vals, p)
+            ovtw = otd.shape[1]
+        else:
+            pp = _cv.pad_rows(p)
+            otd = np.zeros((pp, 0), np.asarray(ovd).dtype)
+            oti = np.zeros((pp, 0), np.int32)
+            ovtw = 0
 
-        ct, br = self.meta[4], self.meta[5]
-        k = B.shape[1]
-        kp = max(-(-k // 128) * 128, 128)
-        Bt = jnp.zeros((kp, nt * ct), B.dtype)
-        Bt = jax.lax.dynamic_update_slice(Bt, B.T.astype(Bt.dtype), (0, 0))
-        interpret = jax.default_backend() != "tpu"  # CPU tests
-        out = tiled_ell_spmm_t(
-            tdata, tlocal, Bt, wt=wt, ntiles=nt, col_tile=ct,
-            block_rows=br, interpret=interpret,
+        return cls(
+            jnp.asarray(td),
+            jnp.asarray(tl),
+            jnp.asarray(ovd),
+            jnp.asarray(ovi),
+            jnp.asarray(otd),
+            jnp.asarray(oti),
+            (n, p),
+            (wt, nt, ct, br, ovw, ovtw),
         )
-        result = out[:k, :out_rows].T
-        if ovw > 0:  # static: baked into the jitted graph at trace time
-            result = result + ell_spmm(ov_data, ov_ids, B)[:out_rows]
-        return result
+
+    # -- capacity planning (the 'auto' engine selector's input) ---------
+
+    @classmethod
+    def payload_bytes(cls, m) -> int:
+        """Exact device-payload size of the tiled layout for ``m`` (one
+        O(nnz) host pass over the structure; values assumed f32)."""
+
+        from ..sparse.convert import tiled_split_widths
+
+        src = m._layout_for("row")
+        src._require_host_structure()
+        n, p = m.shape
+        wt, ntiles, ovw, n_over = tiled_split_widths(
+            src._h_indptr, src._h_indices, n, p, col_tile=cls.COL_TILE
+        )
+        rp = max(-(-n // cls.BLOCK_ROWS), 1) * cls.BLOCK_ROWS
+        main = ntiles * wt * rp * 8  # f32 values + int32 ids
+        over = rp * ovw * 8 + (p + 8) * max(ovw, 8) * 8
+        return main + over
+
+    @classmethod
+    def fits(cls, m, budget_bytes: int | None = None) -> bool:
+        if budget_bytes is None:
+            budget_bytes = DensifiedOperator.hbm_budget_bytes()
+        return cls.payload_bytes(m) <= budget_bytes
+
+    # -- products --------------------------------------------------------
+
+    def _pad_cols(self, M, width):
+        """[r, k] -> transposed [kp, width] (kp = k rounded to a SUBLANE
+        multiple — k stays on the short axis, so padding it to a full lane
+        would cost gigabytes against multi-million-row matrices)."""
+
+        k = M.shape[1]
+        kp = max(-(-k // 8) * 8, 8)
+        Mt = jnp.zeros((kp, width), M.dtype)
+        return jax.lax.dynamic_update_slice(Mt, M.T.astype(Mt.dtype), (0, 0)), kp
 
     def mv(self, B):
-        wt_r, nt_r, ovw_r = self.meta[0], self.meta[1], self.meta[6]
-        return self._spmm(
-            self.row_tdata, self.row_tlocal, self.row_ov_data,
-            self.row_ov_ids, ovw_r, B, wt_r, nt_r, self.shape[0],
+        from ..ops.pallas.spmm_kernel import tiled_ell_spmm_t
+
+        wt, nt, ct, br, ovw, _ = self.meta
+        n = self.shape[0]
+        k = B.shape[1]
+        Bt, _ = self._pad_cols(B, nt * ct)
+        interpret = jax.default_backend() != "tpu"  # CPU tests
+        out = tiled_ell_spmm_t(
+            self.tdata, self.tlocal, Bt, wt=wt, ntiles=nt, col_tile=ct,
+            block_rows=br, interpret=interpret,
         )
+        result = out[:k, :n].T
+        if ovw > 0:  # static: baked into the jitted graph at trace time
+            result = result + ell_spmm(self.ov_data, self.ov_ids, B)[:n]
+        return result.astype(B.dtype)
 
     def rmv(self, C):
-        wt_c, nt_c, ovw_c = self.meta[2], self.meta[3], self.meta[7]
-        return self._spmm(
-            self.col_tdata, self.col_tlocal, self.col_ov_data,
-            self.col_ov_ids, ovw_c, C, wt_c, nt_c, self.shape[1],
+        from ..ops.pallas.spmm_kernel import tiled_ell_rmv_t
+
+        wt, nt, ct, br, _, ovtw = self.meta
+        n, p = self.shape
+        k = C.shape[1]
+        Ct, _ = self._pad_cols(C, self.tdata.shape[1])
+        interpret = jax.default_backend() != "tpu"
+        out = tiled_ell_rmv_t(
+            self.tdata, self.tlocal, Ct, wt=wt, ntiles=nt, col_tile=ct,
+            block_rows=br, interpret=interpret,
         )
+        result = out[:p, :k]
+        if ovtw > 0:
+            result = result + ell_spmm(self.ovt_data, self.ovt_ids, C)[:p]
+        return result.astype(C.dtype)
 
     def tree_flatten(self):
         return (
             (
-                self.row_tdata,
-                self.row_tlocal,
-                self.row_ov_data,
-                self.row_ov_ids,
-                self.col_tdata,
-                self.col_tlocal,
-                self.col_ov_data,
-                self.col_ov_ids,
+                self.tdata,
+                self.tlocal,
+                self.ov_data,
+                self.ov_ids,
+                self.ovt_data,
+                self.ovt_ids,
             ),
             (self.shape, self.meta),
         )
@@ -494,3 +535,17 @@ class TiledSparseOperator:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+
+def _coo_to_csr_arrays(rows, cols, vals, n, p):
+    """COO triplets -> (indptr, indices, data) CSR arrays (host numpy)."""
+
+    import scipy.sparse as sp
+
+    csr = sp.coo_matrix((vals, (rows, cols)), shape=(n, p)).tocsr()
+    csr.sort_indices()
+    return (
+        csr.indptr.astype(np.int64),
+        csr.indices.astype(np.int32),
+        csr.data,
+    )

@@ -114,7 +114,9 @@ def randomized_svd(
 
     n, p = op.shape
     l = min(n_components + n_oversamples, min(n, p))
-    dtype = jnp.result_type(op.mv(jnp.zeros((p, 1))).dtype)
+    # f32 probe infers the operator's native dtype (an f64 operator
+    # promotes it; an f32 one must NOT be promoted by an x64-default probe)
+    dtype = jnp.result_type(op.mv(jnp.zeros((p, 1), jnp.float32)).dtype)
 
     key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
     omega = jax.random.normal(key, (p, l), dtype=dtype)

@@ -121,17 +121,33 @@ class MaskedSparsePCA:
             name = "Randomized" if self.svd_method.is_random else "Lanczos"
             print(f"PCA | SparseMasked | Computing {name} SVD....")
         want_t = getattr(self, "_want_transform", False)
-        s_dev, vt, T = _fit_graph(
-            mop,
-            jnp.asarray(mean_np[idx_np]),
-            self.random_seed,
-            k=k,
-            method=self.svd_method,
-            center=self.center,
-            steps=self.lanczos_steps,
-            want_transform=want_t,
-            tol=self.tolerance,
-        )
+        from ..linalg import GramPCAEngine, gram_pca_graph
+
+        if isinstance(op, GramPCAEngine):
+            # masked Gram PCA = submatrix of the cached full Gram
+            s_dev, vt, T = gram_pca_graph(
+                op,
+                op.gram_cached(),
+                jnp.asarray(mean_np),
+                self.random_seed,
+                k=k,
+                center_svd=self.center and self.svd_method.is_random,
+                center_T=self.center,
+                want_transform=want_t,
+                mask_idx=idx,
+            )
+        else:
+            s_dev, vt, T = _fit_graph(
+                mop,
+                jnp.asarray(mean_np[idx_np]),
+                self.random_seed,
+                k=k,
+                method=self.svd_method,
+                center=self.center,
+                steps=self.lanczos_steps,
+                want_transform=want_t,
+                tol=self.tolerance,
+            )
         self._fitted_transform = T
         s_np = np.asarray(s_dev, dtype=np.float64)
         self.components_ = vt  # k x p_masked

@@ -41,8 +41,10 @@ import numpy as np
 from ..linalg import (
     CenteredOperator,
     DensifiedOperator,
+    GramPCAEngine,
     SparseOperator,
     TiledSparseOperator,
+    gram_pca_graph,
     lanczos_svd,
     randomized_svd,
     svd_flip,
@@ -156,10 +158,12 @@ def _needs_lo(m: SparseMatrix) -> bool:
 def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
     """Select + build the compute engine for a matrix (cached per matrix).
 
-    'auto' picks the densified-bf16 MXU engine on TPU when the dense form
-    fits the HBM budget, else the padded-ELL gather path ('sparse'); the
-    Pallas 'tiled' engine is opt-in (the window between dense-fits-HBM and
-    multi-chip scale).
+    'auto' on TPU picks, in order: the densified-bf16 MXU engine when the
+    dense form fits the HBM budget; the Pallas 'tiled' engine when its
+    ~(2-3x nnz) single-orientation payload fits (the window between
+    dense-fits-HBM and multi-chip scale — e.g. the reference's 10M x 2500
+    stress shape); else the padded-ELL gather path ('sparse'). Off-TPU,
+    always 'sparse' (the XLA path; Pallas runs interpret-mode there).
     """
 
     import jax
@@ -172,17 +176,26 @@ def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
     if cache is not None and requested in cache:
         return cache[requested]
     if engine == "auto":
-        use_dense = (
-            jax.default_backend() == "tpu"
-            and m.dtype == jnp.float32
-            and DensifiedOperator.fits(m.shape, needs_lo=_needs_lo(m))
-        )
-        engine = "dense" if use_dense else "sparse"
+        if jax.default_backend() == "tpu" and m.dtype == jnp.float32:
+            if DensifiedOperator.fits(m.shape, needs_lo=_needs_lo(m)):
+                engine = "dense"
+            elif GramPCAEngine.fits(m):
+                # tall-skinny beyond dense-fits (e.g. the reference's
+                # 10M x 2500 stress shape): exact two-pass Gram PCA
+                engine = "gram"
+            elif TiledSparseOperator.fits(m):
+                engine = "tiled"
+            else:
+                engine = "sparse"
+        else:
+            engine = "sparse"
     if cache is not None and engine in cache:
         cache[requested] = cache[engine]
         return cache[engine]
     if engine == "dense":
         op = DensifiedOperator.from_matrix(m)
+    elif engine == "gram":
+        op = GramPCAEngine.from_matrix(m)
     elif engine == "tiled":
         op = TiledSparseOperator.from_matrix(m)
     elif engine == "sparse":
@@ -264,17 +277,32 @@ class SparsePCA:
         if self.verbose and self.svd_method.is_random:
             print("Computing randomized SVD...")
         want_t = getattr(self, "_want_transform", False)
-        s_dev, vt, T = _fit_graph(
-            op,
-            self.mean_,
-            self.random_seed,
-            k=k,
-            method=self.svd_method,
-            center=self.center,
-            steps=self.lanczos_steps,
-            want_transform=want_t,
-            tol=self.tolerance,
-        )
+        if isinstance(op, GramPCAEngine):
+            # exact two-pass Gram path; the Lanczos method maps to the
+            # uncentered solve (reference semantics, SURVEY §3.2), the
+            # randomized method to the centered one
+            s_dev, vt, T = gram_pca_graph(
+                op,
+                op.gram_cached(),
+                self.mean_,
+                self.random_seed,
+                k=k,
+                center_svd=self.center and self.svd_method.is_random,
+                center_T=self.center,
+                want_transform=want_t,
+            )
+        else:
+            s_dev, vt, T = _fit_graph(
+                op,
+                self.mean_,
+                self.random_seed,
+                k=k,
+                method=self.svd_method,
+                center=self.center,
+                steps=self.lanczos_steps,
+                want_transform=want_t,
+                tol=self.tolerance,
+            )
         self._fitted_transform = T
         s_np = np.asarray(s_dev, dtype=np.float64)
         t_svd = time.perf_counter() - t0 - t_op - t_stats

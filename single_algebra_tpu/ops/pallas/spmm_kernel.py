@@ -35,7 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["tiled_ell_spmm_t", "DEFAULT_COL_TILE", "DEFAULT_BLOCK_ROWS"]
+__all__ = [
+    "tiled_ell_spmm_t",
+    "tiled_ell_rmv_t",
+    "tiled_ell_densify_t",
+    "DEFAULT_COL_TILE",
+    "DEFAULT_BLOCK_ROWS",
+]
 
 # measured on v5e at 60M nnz: (256, 1024) beats (256, 512) by ~8% and
 # (512, *) by ~18% with no memory penalty; (128, 1024) is ~13% faster still
@@ -94,7 +100,10 @@ def tiled_ell_spmm_t(
     R = tdata_t.shape[1]
     kp = Bt.shape[0]
     assert R % block_rows == 0, (R, block_rows)
-    assert kp % 128 == 0 and Bt.shape[1] == ntiles * col_tile
+    # kp rides the SUBLANE axis everywhere in this kernel, so a multiple of
+    # 8 suffices — [kp, R] outputs on multi-million-row matrices would waste
+    # gigabytes if padded to a full lane (128)
+    assert kp % 8 == 0 and Bt.shape[1] == ntiles * col_tile
 
     grid = (R // block_rows, ntiles)
     out = pl.pallas_call(
@@ -125,90 +134,156 @@ def tiled_ell_spmm_t(
     return out
 
 
-def _densify_kernel(td_ref, tl_ref, hi_ref, lo_ref, acc_ref, *, wt: int, ct: int):
-    br = td_ref.shape[1]
+def _densify_kernel(td_ref, tl_ref, o_ref, *, wt: int, ct: int):
+    vals = td_ref[...]  # [wt, BR]
+    lids = tl_ref[...]
+    br = vals.shape[1]
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (ct, br), 0)
-    acc_ref[...] = jnp.zeros((ct, br), td_ref.dtype)
+    dense = jnp.zeros((ct, br), vals.dtype)
+    for w in range(wt):
+        dense = dense + jnp.where(
+            col_iota == lids[w, :][None, :], vals[w, :][None, :], 0
+        )
+    o_ref[...] = dense.astype(o_ref.dtype)
 
-    # rolled loop: wt can be large (wide tiles), an unrolled graph would
-    # blow up Mosaic; dynamic sublane indexing of the [wt, BR] block is cheap
-    def body(w, _):
-        lid_w = tl_ref[w, :][None, :]
-        v_w = td_ref[w, :][None, :]
-        acc_ref[...] += jnp.where(col_iota == lid_w, v_w, 0)
-        return 0
 
-    jax.lax.fori_loop(0, wt, body, 0)
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "wt", "ntiles", "col_tile", "block_rows", "out_dtype", "interpret",
+    ),
+)
+def tiled_ell_densify_t(
+    tdata_t: jnp.ndarray,  # [ntiles * wt, R]
+    tlocal_t: jnp.ndarray,  # [ntiles * wt, R] int32
+    *,
+    wt: int,
+    ntiles: int,
+    col_tile: int = DEFAULT_COL_TILE,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Expand the tiled layout into the TRANSPOSED dense matrix
+    ``[ntiles * ct, R]`` (columns on sublanes, rows on lanes) — one one-hot
+    pass. This is the front half of the Gram-PCA engine: each row SLAB is
+    densified once and immediately contracted ``D @ D^T`` on the MXU, so
+    the ~32-VPU-ops-per-dense-element one-hot cost is paid once per fit
+    instead of once per SpMM in the sketching loop."""
 
-    dense = acc_ref[...]
-    hi = dense.astype(jnp.bfloat16)
-    hi_ref[...] = hi
-    lo_ref[...] = (dense - hi.astype(dense.dtype)).astype(jnp.bfloat16)
+    R = tdata_t.shape[1]
+    assert R % block_rows == 0, (R, block_rows)
+    grid = (ntiles, R // block_rows)
+    return pl.pallas_call(
+        functools.partial(_densify_kernel, wt=wt, ct=col_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (wt, block_rows), lambda t, i: (t, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (wt, block_rows), lambda t, i: (t, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (col_tile, block_rows), lambda t, i: (t, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntiles * col_tile, R), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=R * ntiles * col_tile,
+            bytes_accessed=tdata_t.size * 8
+            + R * ntiles * col_tile * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(tdata_t, tlocal_t)
+
+
+def _rmv_kernel(td_ref, tl_ref, ct_ref, o_ref, *, wt: int, ct: int):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    vals = td_ref[...]  # [wt, BR]
+    lids = tl_ref[...]  # [wt, BR] int32 in [0, ct)
+    br = vals.shape[1]
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ct, br), 0)
+    dense = jnp.zeros((ct, br), vals.dtype)
+    for w in range(wt):
+        lid_w = lids[w, :][None, :]
+        v_w = vals[w, :][None, :]
+        dense = dense + jnp.where(col_iota == lid_w, v_w, 0)
+
+    # [ct, BR] x [kp, BR] -> [ct, kp], contracting the row axis
+    o_ref[...] += jax.lax.dot_general(
+        dense,
+        ct_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=o_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("wt", "ntiles", "col_tile", "block_rows", "interpret"),
 )
-def tiled_ell_densify(
-    tdata_t: jnp.ndarray,  # [ntiles * wt, R]
-    tlocal_t: jnp.ndarray,  # [ntiles * wt, R] int32
+def tiled_ell_rmv_t(
+    tdata_t: jnp.ndarray,  # [ntiles * wt, R]  values, transposed layout
+    tlocal_t: jnp.ndarray,  # [ntiles * wt, R]  int32 local col ids
+    Ct: jnp.ndarray,  # [kp, R]  dense operand, transposed
     *,
     wt: int,
     ntiles: int,
-    col_tile: int = 2048,
-    block_rows: int = 512,
+    col_tile: int = DEFAULT_COL_TILE,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Densify the tiled-ELL layout into (hi, lo) bf16 [ntiles * col_tile, R]
-    — the TRANSPOSED dense matrix (columns on the leading axis), which is
-    the orientation the one-hot tiles are built in; consumers flip the
-    contraction dims instead of materializing a transpose.
+) -> jnp.ndarray:
+    """``out[c, k] = sum_nnz v(r, c) * C[r, k]`` -> [ntiles * ct, kp].
 
-    The device-side construction path of ``DensifiedOperator``: shipping the
-    ~2x-nnz tiled layout through the (slow) host tunnel and expanding it
-    with the one-hot kernel beats transferring the full dense array by the
-    density factor. ``lo`` carries the bf16 rounding residual (all zeros for
-    bf16-exact data; the caller drops it after a cheap device-side check).
+    ``A^T @ C`` computed from the SAME row-major tiled payload as
+    :func:`tiled_ell_spmm_t` — the one-hot densified tile is contracted on
+    its ROW axis instead of its column axis, so the transposed product needs
+    no second (column-major) copy of the matrix. Grid iterates row-blocks
+    innermost so each [ct, kp] output tile stays VMEM-resident while it
+    accumulates across row blocks.
     """
 
     R = tdata_t.shape[1]
+    kp = Ct.shape[0]
     assert R % block_rows == 0, (R, block_rows)
+    # operand kp on sublanes (mult of 8); the [ntiles*ct, kp] OUTPUT has kp
+    # on lanes, where Mosaic masks partial vregs — still keep it a multiple
+    # of 8 so the mask logic stays cheap
+    assert kp % 8 == 0 and Ct.shape[1] == R
 
-    grid = (R // block_rows, ntiles)
-    hi, lo = pl.pallas_call(
-        functools.partial(_densify_kernel, wt=wt, ct=col_tile),
+    grid = (ntiles, R // block_rows)
+    out = pl.pallas_call(
+        functools.partial(_rmv_kernel, wt=wt, ct=col_tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (wt, block_rows), lambda i, t: (t, i), memory_space=pltpu.VMEM
+                (wt, block_rows), lambda t, i: (t, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (wt, block_rows), lambda i, t: (t, i), memory_space=pltpu.VMEM
+                (wt, block_rows), lambda t, i: (t, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (kp, block_rows), lambda t, i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (col_tile, block_rows),
-                lambda i, t: (t, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (col_tile, block_rows),
-                lambda i, t: (t, i),
-                memory_space=pltpu.VMEM,
-            ),
+        out_specs=pl.BlockSpec(
+            (col_tile, kp), lambda t, i: (t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((ntiles * col_tile, R), jnp.bfloat16),
-            jax.ShapeDtypeStruct((ntiles * col_tile, R), jnp.bfloat16),
-        ),
-        scratch_shapes=[pltpu.VMEM((col_tile, block_rows), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((ntiles * col_tile, kp), Ct.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=R * ntiles * col_tile,
-            bytes_accessed=tdata_t.size * 8 + 2 * R * ntiles * col_tile * 2,
+            flops=2 * R * ntiles * col_tile * kp,
+            bytes_accessed=tdata_t.size * 8 + R * kp * 4,
             transcendentals=0,
         ),
-    )(tdata_t, tlocal_t)
-    return hi, lo
+    )(tdata_t, tlocal_t, Ct)
+    return out

@@ -240,6 +240,63 @@ def csr_to_tiled_ell_numpy(
     return tdata, tlocal, wt, ntiles
 
 
+def tiled_split_widths(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    col_tile: int = 256,
+    quantile: float = 0.99,
+) -> tuple[int, int, int, int]:
+    """(wt, ntiles, ov_w, n_overflow) of the two-level tiled layout —
+    structure-only, one O(nnz) pass. Used for capacity planning (the 'auto'
+    engine selector) without building the layout."""
+
+    indptr = np.asarray(indptr, dtype=np.int64)
+    ntiles = max(-(-n_cols // col_tile), 1)
+    nnz = len(indices)
+    if nnz == 0 or n_rows == 0:
+        return 8, ntiles, 0, 0
+
+    from ..native import build as _native
+
+    lib = _native.get_lib()
+    if lib is not None:
+        indptr64 = np.ascontiguousarray(indptr, np.int64)
+        idx32 = np.ascontiguousarray(indices, np.int32)
+        hist = np.zeros(4096, np.int64)
+        lib.csr_tile_group_hist(indptr64, idx32, n_rows, col_tile, hist, 4096)
+        sizes_cum = np.cumsum(hist[1:])
+        total = sizes_cum[-1]
+        wt = int(np.searchsorted(sizes_cum, quantile * total, side="left") + 1)
+        wt = max(round_up(wt, 8), 8)
+        ov_w = int(lib.csr_overflow_width(indptr64, idx32, n_rows, col_tile, wt))
+        ov_w = round_up(ov_w, 8) if ov_w else 0
+        gs = np.arange(1, 4096)
+        n_over = int(np.sum(hist[1:] * np.maximum(gs - wt, 0)))
+        return wt, ntiles, ov_w, n_over
+
+    row_nnz = np.diff(indptr)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), row_nnz)
+    tile_of = indices.astype(np.int64) // col_tile
+    key = row_of * ntiles + tile_of
+    first = np.ones(nnz, dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(nnz), 0))
+    rank = np.arange(nnz) - group_start
+    last = np.ones(nnz, dtype=bool)
+    last[:-1] = key[1:] != key[:-1]
+    sizes = rank[last] + 1
+    wt = int(round_up(max(int(np.quantile(sizes, quantile)), 1), 8))
+    over = rank >= wt
+    n_over = int(over.sum())
+    if n_over == 0:
+        return wt, ntiles, 0, 0
+    ov_per_row = np.bincount(row_of[over], minlength=n_rows)
+    ov_w = round_up(int(ov_per_row.max()), 8)
+    return wt, ntiles, ov_w, n_over
+
+
 def csr_to_tiled_ell_split_numpy(
     indptr: np.ndarray,
     indices: np.ndarray,

@@ -1,0 +1,137 @@
+"""Gram-engine tests (Pallas interpret mode on CPU).
+
+The Gram path is an EXACT PCA (eigendecomposition of A^T A restricted to
+the top-k subspace), so its parity bar against sklearn's full SVD is
+tighter than the randomized path's.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from single_algebra_tpu import SparseMatrix
+from single_algebra_tpu.linalg import GramPCAEngine, gram_matrix, gram_pca_graph
+from single_algebra_tpu.models import MaskedSparsePCABuilder, SparsePCABuilder
+from single_algebra_tpu.types import PowerIterationNormalizer as PIN, SVDMethod
+
+from tests.conftest import cluster_counts
+
+
+@pytest.fixture(scope="module")
+def counts():
+    X = cluster_counts(600, 140, n_clusters=8, seed=3).astype(np.float32)
+    return X, SparseMatrix.from_scipy(X)
+
+
+def test_gram_matrix_matches_dense(counts):
+    X, m = counts
+    eng = GramPCAEngine.from_matrix(m)
+    G = np.asarray(gram_matrix(eng))
+    p = X.shape[1]
+    ref = X.toarray().T @ X.toarray()
+    assert np.abs(G[:p, :p] - ref).max() / np.abs(ref).max() < 1e-5
+    assert not G[p:].any() and not G[:, p:].any()
+
+
+def test_gram_products(counts):
+    X, m = counts
+    eng = GramPCAEngine.from_matrix(m)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((X.shape[1], 5)).astype(np.float32)
+    C = rng.standard_normal((X.shape[0], 5)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(eng.mv(B)), X @ B, rtol=1e-4,
+        atol=1e-4 * np.abs(X @ B).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(eng.rmv(C)), X.T @ C, rtol=1e-4,
+        atol=1e-4 * np.abs(X.T @ C).max(),
+    )
+
+
+def test_gram_pca_matches_sklearn_full(counts):
+    from sklearn.decomposition import PCA as SkPCA
+
+    X, m = counts
+    pca = (
+        SparsePCABuilder().n_components(6)
+        .svd_method(SVDMethod.random(10, 7, PIN.QR))
+        .engine("gram").build()
+    )
+    T = np.asarray(pca.fit_transform(m))
+    sk = SkPCA(n_components=6, svd_solver="full").fit(X.toarray())
+    rel = (
+        np.abs(np.asarray(pca.explained_variance_) - sk.explained_variance_)
+        / sk.explained_variance_
+    )
+    assert rel[:5].max() < 1e-5
+    np.testing.assert_allclose(
+        T[:, :5], sk.transform(X.toarray())[:, :5],
+        rtol=5e-3, atol=1e-3 * np.abs(T).max(),
+    )
+
+
+def test_gram_lanczos_semantics_uncentered(counts):
+    """Lanczos + gram = truncated SVD of RAW X with centered projection
+    (reference semantics, SURVEY.md §3.2)."""
+
+    X, m = counts
+    pca = (
+        SparsePCABuilder().n_components(5)
+        .svd_method(SVDMethod.lanczos()).engine("gram").build()
+    )
+    pca.fit(m)
+    s_ref = np.linalg.svd(X.toarray(), compute_uv=False)[:5]
+    ev_ref = s_ref**2 / (X.shape[0] - 1)
+    np.testing.assert_allclose(
+        np.asarray(pca.explained_variance_), ev_ref, rtol=1e-5
+    )
+
+
+def test_gram_masked_submatrix(counts):
+    """Masked gram PCA (submatrix of the cached G) == masked PCA on the
+    sparse path."""
+
+    X, m = counts
+    rng = np.random.default_rng(1)
+    mask = rng.random(X.shape[1]) < 0.4
+    mask[:3] = True
+    method = SVDMethod.random(8, 6, PIN.QR)
+    g = (
+        MaskedSparsePCABuilder().mask(mask).n_components(4)
+        .svd_method(method).engine("gram").build()
+    )
+    Tg = np.asarray(g.fit_transform(m))
+    s = (
+        MaskedSparsePCABuilder().mask(mask).n_components(4)
+        .svd_method(method).engine("sparse").build()
+    )
+    Ts = np.asarray(s.fit_transform(m))
+    np.testing.assert_allclose(
+        np.asarray(g.explained_variance_),
+        np.asarray(s.explained_variance_),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(Tg, Ts, rtol=1e-3, atol=1e-3 * np.abs(Ts).max())
+
+
+def test_gram_cache_reused(counts):
+    _, m = counts
+    eng = GramPCAEngine.from_matrix(m)
+    g1 = eng.gram_cached()
+    g2 = eng.gram_cached()
+    assert g1 is g2
+
+
+def test_gram_inexact_values_f32_path():
+    """Non-bf16-exact values force the f32 densify + HIGHEST contraction."""
+
+    rng = np.random.default_rng(7)
+    X = sp.random(300, 90, density=0.2, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random).astype(np.float32)
+    m = SparseMatrix.from_scipy(X)
+    eng = GramPCAEngine.from_matrix(m)
+    assert eng.meta[3] is False or eng.meta[3] == False  # noqa: E712
+    G = np.asarray(gram_matrix(eng))
+    ref = X.toarray().T @ X.toarray()
+    assert np.abs(G[:90, :90] - ref).max() / np.abs(ref).max() < 1e-6

@@ -75,3 +75,103 @@ def test_empty_matrix_tiled():
         10, 20, col_tile=128,
     )
     assert td.shape[0] >= 10 and not td.any()
+
+
+@pytest.mark.parametrize(
+    "n,p,k,density,ct",
+    [
+        (512, 300, 16, 0.1, 128),
+        (1024, 700, 60, 0.05, 256),
+        (512, 90, 5, 0.3, 128),
+    ],
+)
+def test_tiled_rmv_matches_scipy(n, p, k, density, ct):
+    """A^T @ C from the SAME row-major tiled payload (no second
+    orientation) — the one-hot tile contracted on its row axis."""
+
+    from single_algebra_tpu.ops.pallas.spmm_kernel import tiled_ell_rmv_t
+
+    rng = np.random.default_rng(0)
+    X = sp.random(
+        n, p, density=density, format="csr", dtype=np.float64,
+        random_state=rng, data_rvs=rng.random,
+    ).astype(np.float32)
+    td, tl, wt, nt = csr_to_tiled_ell_numpy(
+        X.indptr, X.indices, X.data, n, p, col_tile=ct, rows_padded_to=512
+    )
+    C = rng.standard_normal((n, k)).astype(np.float32)
+    R = td.shape[0]
+    kp = max(-(-k // 128) * 128, 128)
+    Ctp = np.zeros((kp, R), np.float32)
+    Ctp[:k, :n] = C.T
+
+    import jax.numpy as jnp
+
+    out = tiled_ell_rmv_t(
+        jnp.asarray(np.ascontiguousarray(td.T)),
+        jnp.asarray(np.ascontiguousarray(tl.T)),
+        jnp.asarray(Ctp),
+        wt=wt,
+        ntiles=nt,
+        col_tile=ct,
+        block_rows=512,
+        interpret=True,
+    )
+    ref = X.T @ C
+    np.testing.assert_allclose(
+        np.asarray(out)[:p, :k], ref, rtol=1e-5,
+        atol=1e-5 * max(1.0, np.abs(ref).max()),
+    )
+
+
+def test_tiled_operator_single_orientation_products():
+    """TiledSparseOperator: mv and rmv (+ heavy-row overflow in both
+    directions) from ONE row-major payload, vs scipy."""
+
+    from single_algebra_tpu import SparseMatrix
+    from single_algebra_tpu.linalg import TiledSparseOperator
+
+    rng = np.random.default_rng(3)
+    X = sp.random(700, 520, density=0.05, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random).astype(np.float32)
+    # heavy rows to force the overflow side arrays
+    X = X.tolil()
+    X[10, :400] = rng.random(400)
+    X[211, 100:520] = rng.random(420)
+    X = X.tocsr().astype(np.float32)
+    m = SparseMatrix.from_scipy(X)
+    op = TiledSparseOperator.from_matrix(m)
+    assert op.meta[4] > 0  # overflow engaged (mv side)
+    assert op.meta[5] > 0  # transposed overflow engaged (rmv side)
+    B = rng.standard_normal((520, 7)).astype(np.float32)
+    C = rng.standard_normal((700, 7)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.mv(B)), X @ B, rtol=1e-4,
+        atol=1e-4 * np.abs(X @ B).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.rmv(C)), X.T @ C, rtol=1e-4,
+        atol=1e-4 * np.abs(X.T @ C).max(),
+    )
+
+
+def test_tiled_split_widths_matches_build():
+    """Capacity planning (structure-only widths) agrees with the built
+    layout, native and numpy paths alike."""
+
+    from single_algebra_tpu.sparse.convert import (
+        csr_to_tiled_ell_split_numpy,
+        tiled_split_widths,
+    )
+
+    rng = np.random.default_rng(5)
+    X = sp.random(900, 640, density=0.04, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random).astype(np.float32)
+    indptr = X.indptr.astype(np.int64)
+    idx = X.indices.astype(np.int32)
+    wt, nt, ovw, n_over = tiled_split_widths(indptr, idx, 900, 640, col_tile=128)
+    td, tl, wtb, ntb, ovd, ovi, ovwb = csr_to_tiled_ell_split_numpy(
+        indptr, idx, X.data, 900, 640, col_tile=128
+    )
+    assert (wt, nt, ovw) == (wtb, ntb, ovwb)
+    assert n_over == int((ovd != 0).sum())
