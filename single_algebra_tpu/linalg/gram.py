@@ -64,8 +64,47 @@ class GramPCAEngine:
     shape: Tuple[int, int]
     meta: Tuple[int, int, int, bool]  # wt, ntiles, ct, exact_bf16
 
-    COL_TILE = 256
+    COL_TILE = 256  # default; from_matrix picks adaptively (see below)
+    COL_TILES = (256, 512, 1024)
     BLOCK_ROWS = 1024
+
+    @classmethod
+    def _payload_bytes_for(cls, m, col_tile: int) -> int:
+        from ..sparse.convert import round_up, tiled_split_widths
+
+        src = m._layout_for("row")
+        src._require_host_structure()
+        n, p = m.shape
+        wt, ntiles, _, _ = tiled_split_widths(
+            src._h_indptr, src._h_indices, n, p,
+            col_tile=col_tile, quantile=1.0,
+        )
+        rp = round_up(n, _SLAB)
+        pp = ntiles * col_tile
+        # payload (f32 + i32) + G (rank-1-centered in the solve, so ONE
+        # pp x pp copy) + the densified slab working set
+        return ntiles * wt * rp * 8 + pp * pp * 4 + pp * _SLAB * 4 * 2
+
+    @classmethod
+    def choose_col_tile(cls, m, budget_bytes: int | None = None):
+        """Smallest column tile whose overflow-free payload fits the HBM
+        budget (small tiles = less one-hot VPU work per slot; large tiles
+        absorb power-law rows with less global padding). Returns
+        ``(col_tile, payload_bytes)`` — the best candidate even when none
+        fits, so callers decide via ``fits()``."""
+
+        from .operators import DensifiedOperator
+
+        if budget_bytes is None:
+            budget_bytes = DensifiedOperator.hbm_budget_bytes()
+        best = None
+        for ct in cls.COL_TILES:
+            b = cls._payload_bytes_for(m, ct)
+            if best is None or b < best[1]:
+                best = (ct, b)
+            if b <= budget_bytes:
+                return ct, b
+        return best
 
     @classmethod
     def from_matrix(cls, m) -> "GramPCAEngine":
@@ -74,6 +113,7 @@ class GramPCAEngine:
         import ml_dtypes
 
         n, p = m.shape
+        ct, _ = cls.choose_col_tile(m)
         src = m._layout_for("row")
         src._require_host_structure()
         vals = src._csr_data_host()
@@ -83,7 +123,7 @@ class GramPCAEngine:
             vals,
             n,
             p,
-            col_tile=cls.COL_TILE,
+            col_tile=ct,
             rows_padded_to=_SLAB,
             quantile=1.0,  # no overflow: the slab densify must be exact
         )
@@ -93,26 +133,14 @@ class GramPCAEngine:
             v32 - v32.astype(ml_dtypes.bfloat16).astype(np.float32)
         )
         return cls(
-            jnp.asarray(td), jnp.asarray(tl), (n, p), (wt, nt, cls.COL_TILE, exact)
+            jnp.asarray(td), jnp.asarray(tl), (n, p), (wt, nt, ct, exact)
         )
 
     @classmethod
     def payload_bytes(cls, m) -> int:
-        """Device bytes of the overflow-free payload + the p x p Gram."""
+        """Device bytes of the best overflow-free payload + the Gram."""
 
-        from ..sparse.convert import round_up, tiled_split_widths
-
-        src = m._layout_for("row")
-        src._require_host_structure()
-        n, p = m.shape
-        wt, ntiles, _, _ = tiled_split_widths(
-            src._h_indptr, src._h_indices, n, p,
-            col_tile=cls.COL_TILE, quantile=1.0,
-        )
-        rp = round_up(n, _SLAB)
-        pp = ntiles * cls.COL_TILE
-        # payload (f32 + i32) + G + the densified slab working set
-        return ntiles * wt * rp * 8 + pp * pp * 4 * 2 + pp * _SLAB * 4 * 2
+        return cls.choose_col_tile(m)[1]
 
     @classmethod
     def fits(cls, m, budget_bytes: int | None = None) -> bool:
@@ -123,7 +151,7 @@ class GramPCAEngine:
             return False
         if budget_bytes is None:
             budget_bytes = DensifiedOperator.hbm_budget_bytes()
-        return cls.payload_bytes(m) <= budget_bytes
+        return cls.choose_col_tile(m, budget_bytes)[1] <= budget_bytes
 
     # -- slab machinery ---------------------------------------------------
 
@@ -226,6 +254,56 @@ class GramPCAEngine:
         return g
 
 
+def topk_psd_eigh(Gc: jnp.ndarray, k: int):
+    """Exact top-k eigenpairs of a PSD matrix -> ``(s, vt)`` with
+    ``s = sqrt(eig)`` and the V-based svd_flip sign convention. The robust
+    choice for small Grams (pp <= ~4096): immune to flat spectra where
+    subspace iteration stalls, and cheap at this size."""
+
+    w, V = jnp.linalg.eigh(Gc)  # ascending
+    s = jnp.sqrt(jnp.maximum(w[::-1][:k], 0.0))
+    vt = V[:, ::-1][:, :k].T
+    idx = jnp.argmax(jnp.abs(vt), axis=1)
+    signs = jnp.sign(vt[jnp.arange(k), idx])
+    signs = jnp.where(signs == 0, 1.0, signs).astype(vt.dtype)
+    return s, vt * signs[:, None]
+
+
+# Grams at or below this width get the exact eigh solve; above it, the
+# jitted randomized solve over the rank-1-centered operator
+EIGH_MAX_PP = 4096
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class _CenteredGram:
+    """Symmetric operator ``G - c * mu mu^T`` (rank-1-centered Gram)."""
+
+    G: jnp.ndarray
+    mu: jnp.ndarray
+    c: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.G.shape
+
+    def mv(self, B):
+        corr = jnp.dot(self.mu, B, precision=MATMUL_PRECISION)  # [k]
+        return (
+            jnp.dot(self.G, B, precision=MATMUL_PRECISION)
+            - self.c * self.mu[:, None] * corr[None, :]
+        )
+
+    rmv = mv  # symmetric
+
+    def tree_flatten(self):
+        return (self.G, self.mu, self.c), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 @jax.jit
 def gram_matrix(eng: GramPCAEngine) -> jnp.ndarray:
     """``A^T A`` as ``[Pp, Pp]`` f32 — slab densify + MXU contraction.
@@ -309,19 +387,32 @@ def gram_pca_graph(
         mu = jnp.pad(mean.astype(jnp.float32), (0, pp - mean.shape[0]))
         p_out = p
 
-    if center_svd:
-        Gs = Gs - n * (mu[:, None] * mu[None, :])
+    if Gs.shape[0] <= EIGH_MAX_PP:
+        # exact solve — robust on flat spectra, trivial at this size
+        Gc = (
+            Gs - jnp.asarray(n, jnp.float32) * (mu[:, None] * mu[None, :])
+            if center_svd
+            else Gs
+        )
+        s, vt = topk_psd_eigh(Gc, k)
+    else:
+        solve_op = DenseOperator(Gs)
+        if center_svd:
+            # G_c = G - n mu mu^T as a rank-1 correction — never
+            # materialize a second pp x pp array (at p=30k that copy
+            # alone is 3.8 GB)
+            solve_op = _CenteredGram(Gs, mu, jnp.asarray(n, jnp.float32))
 
-    res = randomized_svd(
-        DenseOperator(Gs),
-        k,
-        solver_oversamples,
-        solver_iters,
-        PowerIterationNormalizer.QR,
-        seed=seed,
-    )
-    u, vt = svd_flip(res.u, res.vt, u_based_decision=False)
-    s = jnp.sqrt(jnp.maximum(res.s, 0.0))
+        res = randomized_svd(
+            solve_op,
+            k,
+            solver_oversamples,
+            solver_iters,
+            PowerIterationNormalizer.QR,
+            seed=seed,
+        )
+        _, vt = svd_flip(res.u, res.vt, u_based_decision=False)
+        s = jnp.sqrt(jnp.maximum(res.s, 0.0))
     if mask_idx is None:
         vt_out = vt[:, :p_out]
     else:

@@ -1,0 +1,334 @@
+"""Out-of-core streaming PCA: exact Gram-accumulation over row slabs.
+
+The reference streams matrices larger than RAM through the caller-managed
+``_chunk`` accumulation variants (``src/sparse/mod.rs:44-50``,
+``csr.rs:124-151``): the caller owns the loop, the library owns the
+per-chunk accumulation. This is the TPU-native equivalent for PCA at
+beyond-HBM scale: only one row slab plus the p x p Gram matrix ever live
+on the device, so ``n`` is unbounded.
+
+Per caller-supplied CSR chunk (any row count), internally re-slabbed to
+fixed 8192-row device slabs:
+
+1. host: slab -> column-tiled payload (C++ converter), ~2x-nnz bytes;
+2. device (one fused donated dispatch): one-hot slab densify
+   (``tiled_ell_densify_t``) -> ``G += D D^T`` on the MXU, plus per-slab
+   column sums / squared sums;
+3. host: f64 accumulation of the per-slab moment vectors (f32 on-device
+   sums would drift over thousands of slabs).
+
+``finalize()`` solves the top-k eigenpairs of the (optionally rank-1
+centered) Gram with the jitted randomized SVD — exact PCA, same math as
+:class:`~single_algebra_tpu.linalg.gram.GramPCAEngine`. ``transform``
+streams slabs through the same payload machinery.
+
+Statistics byproducts are free: after ``partial_fit`` passes,
+``col_sums()`` / ``col_var()`` expose the accumulated moments — the
+streaming analog of ``sum_col_chunk`` / ``var_col_chunk``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import PowerIterationNormalizer
+from ..linalg.svd import randomized_svd, svd_flip
+from ..linalg.gram import _CenteredGram
+
+__all__ = ["StreamingSparsePCA"]
+
+_SLAB = 8192
+
+
+def _slab_payload(indptr, indices, data, n_rows, p, col_tile):
+    """Host-side: one 8192-row slab -> overflow-free tiled payload with
+    wt rounded up to a multiple of 8 (few distinct widths -> few compiled
+    accumulate variants)."""
+
+    from ..sparse.convert import csr_to_tiled_ell_split_numpy
+
+    td, tl, wt, nt, _, _, ovw = csr_to_tiled_ell_split_numpy(
+        indptr, indices, data, n_rows, p,
+        col_tile=col_tile, rows_padded_to=_SLAB, quantile=1.0,
+    )
+    assert ovw == 0
+    return td, tl, wt, nt
+
+
+@partial(
+    jax.jit,
+    static_argnames=("wt", "ntiles", "ct", "exact"),
+    donate_argnums=(0,),
+)
+def _accum_graph(G, td, tl, *, wt, ntiles, ct, exact):
+    """One fused slab step: densify -> G += D D^T, return per-slab column
+    moment vectors (f32; accumulated in f64 on the host)."""
+
+    from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
+
+    interpret = jax.default_backend() != "tpu"
+    block_rows = min(1024, _SLAB)
+    if exact:
+        D = tiled_ell_densify_t(
+            td, tl, wt=wt, ntiles=ntiles, col_tile=ct,
+            block_rows=block_rows, out_dtype=jnp.bfloat16,
+            interpret=interpret,
+        )
+        G = G + jax.lax.dot_general(
+            D, D, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x = D.astype(jnp.float32)
+    else:
+        D = tiled_ell_densify_t(
+            td, tl, wt=wt, ntiles=ntiles, col_tile=ct,
+            block_rows=block_rows, out_dtype=jnp.float32,
+            interpret=interpret,
+        )
+        G = G + jax.lax.dot_general(
+            D, D, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        x = D
+    return G, jnp.sum(x, axis=1), jnp.sum(x * x, axis=1)
+
+
+@partial(jax.jit, static_argnames=("wt", "ntiles", "ct"))
+def _project_graph(td, tl, Vp, corr, *, wt, ntiles, ct):
+    """One slab projection: ``D^T V - 1 corr^T`` ([SLAB, k])."""
+
+    from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
+
+    interpret = jax.default_backend() != "tpu"
+    D = tiled_ell_densify_t(
+        td, tl, wt=wt, ntiles=ntiles, col_tile=ct,
+        block_rows=min(1024, _SLAB), out_dtype=jnp.float32,
+        interpret=interpret,
+    )
+    T = jax.lax.dot_general(
+        D, Vp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return T - corr[None, :]
+
+
+@partial(jax.jit, static_argnames=("k", "center"))
+def _solve_graph(G, mu, n, seed, *, k, center):
+    """Top-k eigenpairs of the (rank-1 centered) Gram -> (s, vt).
+
+    Small Grams (p <= 4096) get an exact ``eigh`` — robust on flat
+    spectra, trivial at this size; larger ones the jitted randomized
+    solve over the rank-1-centered operator (never materializing a
+    second pp x pp array)."""
+
+    from ..linalg.gram import EIGH_MAX_PP, topk_psd_eigh
+
+    pp = G.shape[0]
+    if pp <= EIGH_MAX_PP:
+        Gc = (
+            G - n.astype(jnp.float32) * (mu[:, None] * mu[None, :])
+            if center
+            else G
+        )
+        return topk_psd_eigh(Gc, k)
+
+    if center:
+        op = _CenteredGram(G, mu, n.astype(jnp.float32))
+    else:
+        from ..linalg.operators import DenseOperator
+
+        op = DenseOperator(G)
+    res = randomized_svd(
+        op, k, 10, 6, PowerIterationNormalizer.QR, seed=seed
+    )
+    _, vt = svd_flip(res.u, res.vt, u_based_decision=False)
+    s = jnp.sqrt(jnp.maximum(res.s, 0.0))
+    return s, vt
+
+
+class StreamingSparsePCA:
+    """Exact out-of-core PCA over row-slab streams of a CSR matrix.
+
+    Usage::
+
+        pca = StreamingSparsePCA(n_components=50, n_features=30000)
+        for chunk in chunks:          # scipy.sparse CSR row slabs
+            pca.partial_fit(chunk)
+        pca.finalize()
+        for chunk in chunks:
+            scores = pca.transform(chunk)
+
+    Matches :class:`SparsePCA` state fields (``components_``,
+    ``explained_variance_``, ``mean_``) and the builder defaults for the
+    solver. ``center=True`` gives true PCA; ``center=False`` the
+    truncated SVD of raw X (the reference's Lanczos-path semantics).
+    """
+
+    def __init__(
+        self,
+        n_components: int = 50,
+        n_features: int | None = None,
+        center: bool = True,
+        random_seed: int = 42,
+        col_tile: int = 256,
+    ):
+        if n_features is None:
+            raise ValueError("n_features (matrix width) is required")
+        if n_features > 40960:
+            raise ValueError(
+                "streaming Gram PCA needs the p x p Gram on device; "
+                f"p={n_features} > 40960"
+            )
+        self.n_components = n_components
+        self.n_features = n_features
+        self.center = center
+        self.random_seed = random_seed
+        self.ct = col_tile
+        self.ntiles = max(-(-n_features // col_tile), 1)
+        pp = self.ntiles * col_tile
+        self._G = jnp.zeros((pp, pp), jnp.float32)
+        self._sums = np.zeros(pp, np.float64)
+        self._sumsq = np.zeros(pp, np.float64)
+        self._n = 0
+        self.components_: Optional[jnp.ndarray] = None
+        self.explained_variance_: Optional[jnp.ndarray] = None
+        self.mean_: Optional[jnp.ndarray] = None
+        self.total_variance_: Optional[float] = None
+
+    # -- accumulation ----------------------------------------------------
+
+    def _iter_slabs(self, chunk):
+        """Yield (indptr, indices, data, n_rows) 8192-row sub-slabs of a
+        scipy CSR (or SparseMatrix) chunk."""
+
+        from ..sparse.matrix import SparseMatrix
+
+        if isinstance(chunk, SparseMatrix):
+            chunk = chunk.to_scipy().tocsr()
+        chunk = chunk.tocsr()
+        if chunk.shape[1] != self.n_features:
+            raise ValueError(
+                f"chunk width {chunk.shape[1]} != n_features "
+                f"{self.n_features}"
+            )
+        n = chunk.shape[0]
+        for r0 in range(0, n, _SLAB):
+            r1 = min(r0 + _SLAB, n)
+            sl = chunk[r0:r1]
+            yield (
+                sl.indptr.astype(np.int64),
+                sl.indices.astype(np.int32),
+                sl.data.astype(np.float32),
+                r1 - r0,
+            )
+
+    def partial_fit(self, chunk) -> "StreamingSparsePCA":
+        """Accumulate one CSR row chunk (any row count) into the Gram and
+        the column moments."""
+
+        import ml_dtypes
+
+        if self.components_ is not None:
+            raise RuntimeError("finalize() already called")
+        for indptr, indices, data, n_rows in self._iter_slabs(chunk):
+            td, tl, wt, nt = _slab_payload(
+                indptr, indices, data, n_rows, self.n_features, self.ct
+            )
+            exact = not np.any(
+                data - data.astype(ml_dtypes.bfloat16).astype(np.float32)
+            )
+            self._G, s, sq = _accum_graph(
+                self._G, jnp.asarray(td), jnp.asarray(tl),
+                wt=wt, ntiles=nt, ct=self.ct, exact=bool(exact),
+            )
+            # host f64 moment accumulation (forces per-slab sync, which
+            # also provides transfer backpressure)
+            self._sums += np.asarray(s, np.float64)
+            self._sumsq += np.asarray(sq, np.float64)
+            self._n += n_rows
+        return self
+
+    # -- solve -------------------------------------------------------------
+
+    def finalize(self) -> "StreamingSparsePCA":
+        if self._n < 2:
+            raise RuntimeError("need at least 2 accumulated rows")
+        p, pp = self.n_features, self._G.shape[0]
+        mean64 = self._sums / self._n
+        self.mean_ = jnp.asarray(mean64[:p].astype(np.float32))
+        mu_p = jnp.asarray(mean64.astype(np.float32))
+        s, vt = _solve_graph(
+            self._G, mu_p, jnp.asarray(self._n), self.random_seed,
+            k=self.n_components, center=self.center,
+        )
+        s_np = np.asarray(s, np.float64)
+        self.components_ = vt[:, :p]
+        self.explained_variance_ = jnp.asarray(
+            (s_np**2 / (self._n - 1)).astype(np.float32)
+        )
+        if self.center:
+            self.total_variance_ = float(
+                np.sum(
+                    (self._sumsq - mean64 * self._sums) / (self._n - 1)
+                )
+            )
+        else:
+            self.total_variance_ = float((s_np**2).sum() / (self._n - 1))
+        return self
+
+    # -- inference ---------------------------------------------------------
+
+    def transform(self, chunk) -> np.ndarray:
+        """Project one CSR row chunk -> host scores [chunk_rows, k]."""
+
+        if self.components_ is None:
+            raise RuntimeError("Must be fitted before transform!")
+        pp = self._G.shape[0]
+        k = self.n_components
+        Vp = jnp.pad(
+            self.components_.T.astype(jnp.float32),
+            ((0, pp - self.n_features), (0, 0)),
+        )
+        if self.center:
+            corr = jnp.dot(self.mean_, self.components_.T)
+        else:
+            corr = jnp.zeros((k,), jnp.float32)
+        outs = []
+        for indptr, indices, data, n_rows in self._iter_slabs(chunk):
+            td, tl, wt, nt = _slab_payload(
+                indptr, indices, data, n_rows, self.n_features, self.ct
+            )
+            T = _project_graph(
+                jnp.asarray(td), jnp.asarray(tl), Vp, corr,
+                wt=wt, ntiles=nt, ct=self.ct,
+            )
+            outs.append(np.asarray(T[:n_rows]))
+        return np.concatenate(outs, axis=0)
+
+    # -- streaming statistics byproducts ------------------------------------
+
+    def col_sums(self) -> np.ndarray:
+        """Accumulated f64 column sums (streaming ``sum_col_chunk``)."""
+
+        return self._sums[: self.n_features].copy()
+
+    def col_sums_squared(self) -> np.ndarray:
+        return self._sumsq[: self.n_features].copy()
+
+    def col_var(self) -> np.ndarray:
+        """Bessel-corrected column variance over all accumulated rows
+        (implicit zeros included — ``var_col`` semantics,
+        reference ``csr.rs:641-657``)."""
+
+        n = self._n
+        mean = self._sums / n
+        return (
+            (self._sumsq - mean * self._sums) / (n - 1)
+        )[: self.n_features]

@@ -1,0 +1,87 @@
+"""StreamingSparsePCA: out-of-core Gram accumulation (SURVEY §2.3 _chunk
+analog; reference caller-managed streaming, src/sparse/mod.rs:44-50)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from single_algebra_tpu.models import StreamingSparsePCA
+
+
+def _matrix(n=700, p=120, density=0.1, seed=0, counts=True):
+    rng = np.random.default_rng(seed)
+    rvs = (
+        (lambda size: (rng.poisson(1.5, size) + 1).astype(np.float64))
+        if counts
+        else rng.standard_normal
+    )
+    return sp.random(
+        n, p, density=density, format="csr", dtype=np.float64,
+        random_state=rng, data_rvs=rvs,
+    ).astype(np.float32)
+
+
+@pytest.mark.parametrize("chunk_rows", [97, 256, 700])
+@pytest.mark.parametrize("counts", [True, False])
+def test_streaming_matches_exact_pca(chunk_rows, counts):
+    X = _matrix(counts=counts)
+    n, p = X.shape
+    k = 5
+    pca = StreamingSparsePCA(n_components=k, n_features=p, random_seed=1)
+    for r0 in range(0, n, chunk_rows):
+        pca.partial_fit(X[r0 : r0 + chunk_rows])
+    pca.finalize()
+
+    D = X.toarray().astype(np.float64)
+    Dc = D - D.mean(axis=0, keepdims=True)
+    s_ref = np.linalg.svd(Dc, compute_uv=False)
+    ev_ref = s_ref[:k] ** 2 / (n - 1)
+    ev = np.asarray(pca.explained_variance_, np.float64)
+    assert np.abs(ev - ev_ref).max() / ev_ref[0] < 5e-5
+
+    # transform parity: scores == centered data @ components
+    T = pca.transform(X)
+    assert T.shape == (n, k)
+    V = np.asarray(pca.components_, np.float64)
+    T_ref = Dc @ V.T
+    assert np.abs(np.abs(T) - np.abs(T_ref)).max() < 5e-3 * np.abs(T_ref).max()
+
+    # moment byproducts
+    ref_sums = np.asarray(X.sum(axis=0)).ravel()
+    # per-slab device sums are f32: absolute tolerance scaled to the data
+    # (zero-mean values cancel, so rtol on near-zero sums is meaningless)
+    scale = np.abs(X.data).sum() / X.shape[1]
+    np.testing.assert_allclose(
+        pca.col_sums(), ref_sums, rtol=1e-5, atol=1e-6 * scale
+    )
+    ref_var = Dc.var(axis=0, ddof=1)
+    np.testing.assert_allclose(pca.col_var(), ref_var, rtol=1e-5, atol=1e-8)
+
+
+def test_streaming_uncentered_is_truncated_svd():
+    X = _matrix(n=300, p=80)
+    k = 4
+    pca = StreamingSparsePCA(
+        n_components=k, n_features=80, center=False, random_seed=3
+    )
+    pca.partial_fit(X).finalize()
+    s_ref = np.linalg.svd(X.toarray().astype(np.float64), compute_uv=False)
+    ev_ref = s_ref[:k] ** 2 / (X.shape[0] - 1)
+    ev = np.asarray(pca.explained_variance_, np.float64)
+    assert np.abs(ev - ev_ref).max() / ev_ref[0] < 5e-5
+
+
+def test_streaming_validation():
+    pca = StreamingSparsePCA(n_components=3, n_features=50)
+    with pytest.raises(ValueError, match="chunk width"):
+        pca.partial_fit(sp.random(10, 49, 0.5, format="csr", dtype=np.float32))
+    with pytest.raises(RuntimeError, match="fitted"):
+        pca.transform(sp.random(10, 50, 0.5, format="csr", dtype=np.float32))
+    with pytest.raises(ValueError, match="n_features"):
+        StreamingSparsePCA(n_components=3)
+    pca.partial_fit(sp.random(10, 50, 0.5, format="csr", dtype=np.float32))
+    pca.finalize()
+    with pytest.raises(RuntimeError, match="finalize"):
+        pca.partial_fit(
+            sp.random(10, 50, 0.5, format="csr", dtype=np.float32)
+        )
