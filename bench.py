@@ -67,6 +67,9 @@ enable_compile_cache()
 # sustained host->device rate is ~130 MB/s, so the 2 GB bf16 densification
 # dominates the cold path
 FULL = dict(n=100_000, p=10_000, density=0.03, k=50)
+# --big: 4x the work; amortizes fixed per-fit overheads (dispatch RTTs)
+# over a 8 GB bf16 densification — closer to the north-star regime
+BIG = dict(n=200_000, p=20_000, density=0.03, k=50)
 SMOKE = dict(n=20_000, p=2_000, density=0.02, k=20)
 SEED = 42
 
@@ -224,9 +227,10 @@ def project_64core(spmm_s: float, dense_s: float) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--big", action="store_true")
     ap.add_argument("--skip-cpu", action="store_true")
     args = ap.parse_args()
-    cfg = SMOKE if args.smoke else FULL
+    cfg = SMOKE if args.smoke else (BIG if args.big else FULL)
 
     X = make_matrix(cfg["n"], cfg["p"], cfg["density"])
     _log(f"matrix ready: {X.shape} nnz={X.nnz}")

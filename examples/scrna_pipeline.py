@@ -123,6 +123,22 @@ def main():
         f"t-SNE: {Y.shape}; cluster separation "
         f"(median intra/inter) = {np.median(intra)/np.median(inter):.3f}"
     )
+
+    # --- UMAP over the same embedding ------------------------------------
+    from single_algebra_tpu.models import UMAP, UMAPConfig
+
+    U = np.asarray(
+        UMAP(UMAPConfig(n_neighbors=15, n_epochs=200)).fit_transform(sub)
+    )
+    intra_u, inter_u = [], []
+    for i in range(0, len(U), 23):
+        for j in range(i + 1, len(U), 41):
+            d = float(np.linalg.norm(U[i] - U[j]))
+            (intra_u if sub_labels[i] == sub_labels[j] else inter_u).append(d)
+    stamp(
+        f"UMAP: {U.shape}; cluster separation "
+        f"(median intra/inter) = {np.median(intra_u)/np.median(inter_u):.3f}"
+    )
     stamp("pipeline complete")
 
 

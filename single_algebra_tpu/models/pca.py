@@ -44,6 +44,7 @@ from ..linalg import (
     GramPCAEngine,
     SparseOperator,
     TiledSparseOperator,
+    block_lanczos_svd,
     gram_pca_graph,
     lanczos_svd,
     randomized_svd,
@@ -97,6 +98,7 @@ def _project(op, comps_t):
     _jax.jit,
     static_argnames=(
         "k", "method", "center", "steps", "want_transform", "tol",
+        "lanczos_block",
     ),
 )
 def _fit_graph(
@@ -110,6 +112,7 @@ def _fit_graph(
     steps,
     want_transform: bool,
     tol: float | None = None,
+    lanczos_block: int | None = None,
 ):
     """The whole fit (and optionally the projection) as ONE device
     dispatch: SVD -> sign flip -> (X - 1 mu^T) V^T. Per-dispatch tunnel
@@ -125,6 +128,13 @@ def _fit_graph(
             method.n_power_iterations,
             method.normalizer,
             seed=seed,
+        )
+    elif lanczos_block is not None:
+        # block GKL: b Krylov directions per step — MXU-shaped matvecs
+        # and b-fold fewer sequential steps (same raw-operator semantics)
+        res = block_lanczos_svd(
+            op, k, block_size=lanczos_block, steps=steps, seed=seed,
+            tol=tol,
         )
     else:
         # Lanczos on the RAW operator — reference semantic (SURVEY §3.2);
@@ -227,8 +237,10 @@ class SparsePCA:
         svd_method: SVDMethod = SVDMethod.lanczos(),
         engine: str = "auto",
         lanczos_steps: int | None = None,
+        lanczos_block: int | None = None,
     ):
         self.lanczos_steps = lanczos_steps
+        self.lanczos_block = lanczos_block
         self.n_components = n_components
         self.engine = engine
         self.alpha = alpha  # parity field; unused, as in the reference
@@ -302,6 +314,7 @@ class SparsePCA:
                 steps=self.lanczos_steps,
                 want_transform=want_t,
                 tol=self.tolerance,
+                lanczos_block=self.lanczos_block,
             )
         self._fitted_transform = T
         s_np = np.asarray(s_dev, dtype=np.float64)
@@ -440,6 +453,15 @@ class SparsePCABuilder:
     )
     _engine: str = "auto"
     _lanczos_steps: int | None = None
+    _lanczos_block: int | None = None
+
+    def lanczos_block(self, b: int | None):
+        """Block size for the Lanczos path: b Krylov directions per step
+        (MXU-shaped matvecs, b-fold fewer sequential steps). None (default)
+        = the scalar recurrence."""
+
+        self._lanczos_block = b
+        return self
 
     def lanczos_steps(self, n: int):
         """Krylov depth for the Lanczos path (default: 8k, capped at the
@@ -498,4 +520,5 @@ class SparsePCABuilder:
             svd_method=self._svd_method,
             engine=self._engine,
             lanczos_steps=self._lanczos_steps,
+            lanczos_block=self._lanczos_block,
         )

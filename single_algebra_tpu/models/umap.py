@@ -1,0 +1,303 @@
+"""UMAP — Uniform Manifold Approximation and Projection, TPU-native.
+
+The reference lists UMAP as a planned feature (reference ``README.md:146``,
+"Planned Features"); this module ships it. The design follows the UMAP
+paper (McInnes, Healy, Melville 2018) restructured for the TPU:
+
+* **kNN graph**: exact, via blocked pairwise squared distances on the MXU
+  (``||x||^2 + ||y||^2 - 2 x.y`` with a [block, n] dot per step) +
+  ``lax.top_k`` — no approximate NN forest needed at the n <= few-100k
+  scale this library targets (embeddings come from :class:`SparsePCA`,
+  k ~ 50 dims).
+* **Fuzzy simplicial set**: the smooth-kNN sigma calibration is a
+  vectorized fixed-iteration binary search (jit, no data-dependent
+  control flow); symmetrization ``W + W^T - W o W^T`` on the host over
+  the n*k edge list.
+* **Layout optimizer**: the negative-sampling SGD runs as ONE jitted
+  ``lax.fori_loop`` over epochs; each epoch processes EVERY edge,
+  vectorized — attraction gated by per-edge Bernoulli draws with
+  probability proportional to edge weight (the dense-TPU equivalent of
+  umap-learn's epochs_per_sample schedule), repulsion from
+  ``negative_sample_rate`` uniform negatives per active edge, updates
+  applied with deterministic XLA scatter-adds.
+
+Differences from umap-learn, documented: exact kNN (not NN-descent),
+per-epoch Bernoulli edge gating (not the integer epochs-per-sample
+schedule), and both endpoints of an edge receive gradient updates (as in
+umap-learn's move_other=True fit path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["UMAP", "UMAPConfig"]
+
+
+def _fit_ab(spread: float, min_dist: float) -> tuple[float, float]:
+    """Least-squares fit of the differentiable low-dim similarity curve
+    ``1 / (1 + a d^(2b))`` to the fuzzy membership target (exp decay past
+    min_dist) — umap-learn's find_ab_params."""
+
+    from scipy.optimize import curve_fit
+
+    xv = np.linspace(0, spread * 3, 300)
+    yv = np.ones_like(xv)
+    mask = xv >= min_dist
+    yv[mask] = np.exp(-(xv[mask] - min_dist) / spread)
+
+    def curve(x, a, b):
+        return 1.0 / (1.0 + a * x ** (2 * b))
+
+    (a, b), _ = curve_fit(curve, xv, yv, p0=(1.0, 1.0), maxfev=5000)
+    return float(a), float(b)
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def _knn_graph(X: jnp.ndarray, *, k: int, block: int = 2048):
+    """Exact kNN (excluding self): returns (dists [n,k], idx [n,k]).
+
+    Blocked [block, n] distance tiles on the MXU; memory O(block * n).
+    """
+
+    n = X.shape[0]
+    sq = jnp.sum(X * X, axis=1)  # [n]
+    nb = -(-n // block)
+    Xp = jnp.pad(X, ((0, nb * block - n), (0, 0)))
+    sqp = jnp.pad(sq, (0, nb * block - n), constant_values=jnp.inf)
+
+    def body(i, acc):
+        d_all, i_all = acc
+        xb = jax.lax.dynamic_slice(Xp, (i * block, 0), (block, X.shape[1]))
+        sb = jax.lax.dynamic_slice(sqp, (i * block,), (block,))
+        d2 = (
+            sb[:, None]
+            + sq[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                xb, X,
+                dimension_numbers=((((1,), (1,))), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        # exclude self-matches by masking the diagonal of this block
+        rows = i * block + jnp.arange(block)
+        d2 = jnp.where(rows[:, None] == jnp.arange(n)[None, :], jnp.inf, d2)
+        nd, ni = jax.lax.top_k(-d2, k)
+        d_all = jax.lax.dynamic_update_slice(d_all, -nd, (i * block, 0))
+        i_all = jax.lax.dynamic_update_slice(
+            i_all, ni.astype(jnp.int32), (i * block, 0)
+        )
+        return d_all, i_all
+
+    d0 = jnp.zeros((nb * block, k), jnp.float32)
+    i0 = jnp.zeros((nb * block, k), jnp.int32)
+    d_all, i_all = jax.lax.fori_loop(0, nb, body, (d0, i0))
+    d = jnp.sqrt(jnp.maximum(d_all[:n], 0.0))
+    return d, i_all[:n]
+
+
+@jax.jit
+def _smooth_knn(dists: jnp.ndarray, *, n_iter: int = 64):
+    """Per-point (rho, sigma) calibration: rho = nearest nonzero distance,
+    sigma solves sum_j exp(-(d_ij - rho)/sigma) = log2(k) by a fixed
+    64-step binary search (umap-learn smooth_knn_dist)."""
+
+    k = dists.shape[1]
+    target = jnp.log2(jnp.asarray(float(k), jnp.float32))
+    pos = jnp.where(dists > 0, dists, jnp.inf)
+    rho = jnp.where(
+        jnp.isfinite(pos.min(axis=1)), pos.min(axis=1), 0.0
+    )  # [n]
+
+    def psum(sigma):
+        return jnp.sum(
+            jnp.exp(-jnp.maximum(dists - rho[:, None], 0.0) / sigma[:, None]),
+            axis=1,
+        )
+
+    lo = jnp.full(rho.shape, 1e-8, jnp.float32)
+    hi = jnp.full(rho.shape, 1e4, jnp.float32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        too_big = psum(mid) > target
+        return jnp.where(too_big, lo, mid), jnp.where(too_big, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    sigma = 0.5 * (lo + hi)
+    # umap-learn floors sigma at a fraction of the mean distance
+    mean_d = jnp.mean(dists)
+    sigma = jnp.maximum(sigma, 1e-3 * mean_d)
+    return rho, sigma
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_epochs", "neg_rate", "n"),
+    donate_argnums=(0,),
+)
+def _optimize_layout(
+    Y,  # [n, dim] initial embedding
+    heads,  # [m] int32
+    tails,  # [m] int32
+    weights,  # [m] f32, normalized to max 1
+    key,
+    *,
+    n: int,
+    n_epochs: int,
+    neg_rate: int,
+    a: float,
+    b: float,
+    lr: float,
+):
+    """Negative-sampling SGD layout, one fused fori_loop over epochs."""
+
+    m = heads.shape[0]
+    a = jnp.float32(a)
+    b = jnp.float32(b)
+    eps = 1e-3
+
+    def epoch(e, carry):
+        Y, key = carry
+        alpha = lr * (1.0 - e.astype(jnp.float32) / n_epochs)
+        key, k1, k2 = jax.random.split(key, 3)
+        active = jax.random.uniform(k1, (m,)) < weights  # Bernoulli gate
+
+        yh = jnp.take(Y, heads, axis=0)  # [m, dim]
+        yt = jnp.take(Y, tails, axis=0)
+        d = yh - yt
+        d2 = jnp.sum(d * d, axis=1, keepdims=True)
+        # attractive gradient of log(1/(1+a d^{2b}))
+        g_att = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2**b)
+        g_att = jnp.where(active[:, None], g_att, 0.0)
+        grad_h = jnp.clip(g_att * d, -4.0, 4.0)
+
+        upd = jnp.zeros_like(Y)
+        upd = upd.at[heads].add(grad_h)
+        upd = upd.at[tails].add(-grad_h)  # move_other
+
+        # repulsion: neg_rate uniform negatives per (active) edge
+        negs = jax.random.randint(k2, (m, neg_rate), 0, n)
+
+        def neg_term(j, upd):
+            yn = jnp.take(Y, negs[:, j], axis=0)
+            dn = yh - yn
+            dn2 = jnp.sum(dn * dn, axis=1, keepdims=True)
+            g_rep = (2.0 * b) / ((eps + dn2) * (1.0 + a * dn2**b))
+            g_rep = jnp.where(active[:, None], g_rep, 0.0)
+            # umap-learn skips self-negatives
+            g_rep = jnp.where(
+                (negs[:, j] == heads)[:, None], 0.0, g_rep
+            )
+            return upd.at[heads].add(jnp.clip(g_rep * dn, -4.0, 4.0))
+
+        upd = jax.lax.fori_loop(0, neg_rate, neg_term, upd)
+        return Y + alpha * upd, key
+
+    Y, _ = jax.lax.fori_loop(0, n_epochs, epoch, (Y, key))
+    return Y
+
+
+class UMAPConfig:
+    """Configuration holder mirroring the builder-style configs of the
+    reference (cf. ``TSNEConfig``, reference ``tsne/mod.rs:7-13``)."""
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        n_neighbors: int = 15,
+        min_dist: float = 0.1,
+        spread: float = 1.0,
+        n_epochs: int = 200,
+        learning_rate: float = 1.0,
+        negative_sample_rate: int = 5,
+        random_seed: int = 42,
+    ):
+        self.n_components = n_components
+        self.n_neighbors = n_neighbors
+        self.min_dist = min_dist
+        self.spread = spread
+        self.n_epochs = n_epochs
+        self.learning_rate = learning_rate
+        self.negative_sample_rate = negative_sample_rate
+        self.random_seed = random_seed
+
+
+class UMAP:
+    """UMAP over dense embeddings (typically :class:`SparsePCA` scores).
+
+    ``fit_transform(X)`` with X ``[n, d]`` (numpy or jnp) returns the
+    ``[n, n_components]`` embedding as a jnp array (device-resident —
+    downstream similarity / clustering consumes it on-chip).
+    """
+
+    def __init__(self, config: Optional[UMAPConfig] = None, **kw):
+        self.config = config or UMAPConfig(**kw)
+        self.embedding_: Optional[jnp.ndarray] = None
+        self.graph_: Optional[tuple] = None
+
+    def fit_transform(self, X) -> jnp.ndarray:
+        cfg = self.config
+        X = jnp.asarray(X, jnp.float32)
+        n = X.shape[0]
+        k = min(cfg.n_neighbors, n - 1)
+        if k < 1:
+            raise ValueError("need at least 2 samples")
+
+        dists, idx = _knn_graph(X, k=k, block=min(2048, max(8, n)))
+        rho, sigma = _smooth_knn(dists)
+        W = jnp.exp(
+            -jnp.maximum(dists - rho[:, None], 0.0) / sigma[:, None]
+        )  # [n, k] directed memberships
+
+        # fuzzy set union on host over the n*k edge list:
+        # W_sym = W + W^T - W o W^T
+        import scipy.sparse as sp
+
+        rows = np.repeat(np.arange(n, dtype=np.int64), k)
+        cols = np.asarray(idx, np.int64).ravel()
+        vals = np.asarray(W, np.float64).ravel()
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        S = A + A.T - A.multiply(A.T)
+        S = S.tocoo()
+        keep = S.data > 1e-8
+        heads = jnp.asarray(S.row[keep].astype(np.int32))
+        tails = jnp.asarray(S.col[keep].astype(np.int32))
+        w = S.data[keep]
+        weights = jnp.asarray((w / w.max()).astype(np.float32))
+        self.graph_ = (heads, tails, weights)
+
+        a, b = _fit_ab(cfg.spread, cfg.min_dist)
+
+        # spectral-free init: scaled PCA of X projected to n_components
+        # (cheap, deterministic, good enough at library scale)
+        Xc = X - X.mean(axis=0, keepdims=True)
+        _, _, vt = jnp.linalg.svd(
+            Xc[: min(n, 4096)], full_matrices=False
+        )
+        Y0 = jnp.dot(Xc, vt[: cfg.n_components].T)
+        Y0 = Y0 / (jnp.std(Y0) + 1e-9) * 10.0
+        key = jax.random.PRNGKey(cfg.random_seed)
+        Y0 = Y0 + 0.1 * jax.random.normal(key, Y0.shape)
+
+        self.embedding_ = _optimize_layout(
+            Y0.astype(jnp.float32),
+            heads,
+            tails,
+            weights,
+            jax.random.PRNGKey(cfg.random_seed + 1),
+            n=n,
+            n_epochs=cfg.n_epochs,
+            neg_rate=cfg.negative_sample_rate,
+            a=a,
+            b=b,
+            lr=cfg.learning_rate,
+        )
+        return self.embedding_

@@ -1,0 +1,85 @@
+"""UMAP: kNN graph exactness, sigma calibration, cluster preservation."""
+
+import numpy as np
+import pytest
+
+from single_algebra_tpu.models.umap import (
+    UMAP,
+    UMAPConfig,
+    _knn_graph,
+    _smooth_knn,
+)
+
+
+def _blobs(n_per=60, d=20, n_clusters=3, sep=8.0, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d)) * sep
+    X = np.concatenate(
+        [c + rng.standard_normal((n_per, d)) for c in centers]
+    ).astype(np.float32)
+    labels = np.repeat(np.arange(n_clusters), n_per)
+    return X, labels
+
+
+def test_knn_graph_exact():
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((300, 12)).astype(np.float32)
+    k = 10
+    d, idx = _knn_graph(X, k=k, block=128)
+    d, idx = np.asarray(d), np.asarray(idx)
+    # brute-force reference
+    D = np.sqrt(
+        np.maximum(
+            ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1), 0.0
+        )
+    )
+    np.fill_diagonal(D, np.inf)
+    ref_idx = np.argsort(D, axis=1)[:, :k]
+    ref_d = np.sort(D, axis=1)[:, :k]
+    np.testing.assert_allclose(np.sort(d, axis=1), ref_d, atol=1e-2)
+    # index sets must agree (order may differ on ties)
+    for i in range(300):
+        assert set(idx[i]) == set(ref_idx[i]), i
+
+
+def test_smooth_knn_hits_target():
+    rng = np.random.default_rng(2)
+    d = np.abs(rng.standard_normal((100, 15))).astype(np.float32)
+    d.sort(axis=1)
+    rho, sigma = _smooth_knn(d)
+    rho, sigma = np.asarray(rho), np.asarray(sigma)
+    psum = np.exp(
+        -np.maximum(d - rho[:, None], 0.0) / sigma[:, None]
+    ).sum(axis=1)
+    target = np.log2(15)
+    assert np.abs(psum - target).max() < 0.05
+
+
+def test_umap_separates_clusters():
+    X, labels = _blobs()
+    emb = np.asarray(
+        UMAP(
+            UMAPConfig(n_neighbors=10, n_epochs=150, random_seed=0)
+        ).fit_transform(X)
+    )
+    assert emb.shape == (len(X), 2)
+    assert np.isfinite(emb).all()
+    # mean within-cluster distance well below mean across-cluster distance
+    within, across = [], []
+    for c in range(3):
+        pts = emb[labels == c]
+        others = emb[labels != c]
+        within.append(
+            np.linalg.norm(pts - pts.mean(0), axis=1).mean()
+        )
+        across.append(
+            np.linalg.norm(others - pts.mean(0), axis=1).mean()
+        )
+    assert np.mean(across) > 2.0 * np.mean(within), (within, across)
+
+
+def test_umap_validation():
+    with pytest.raises(ValueError, match="samples"):
+        UMAP(UMAPConfig(n_neighbors=5)).fit_transform(
+            np.zeros((1, 3), np.float32)
+        )
