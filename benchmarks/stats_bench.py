@@ -95,6 +95,9 @@ def main():
                             n=n, p=p, density=d, fmt=fmt, op=op_name,
                             time_s=round(dt, 6),
                             gnnz_per_s=round(X.nnz / dt / 1e9, 3),
+                            # wall time within 2x the dispatch floor
+                            # measures tunnel latency, not the kernel
+                            latency_bound=bool(dt < 2 * floor),
                         )
                     )
                     print(

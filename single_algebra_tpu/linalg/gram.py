@@ -1,6 +1,6 @@
-"""Gram-matrix PCA engine: exact PCA in two data passes.
+"""Gram-matrix PCA engine: exact PCA in two data passes, row-bucketed.
 
-The one-hot tiled SpMM pays ~32 VPU ops per DENSE element per product, and
+The one-hot tiled SpMM pays ~wt VPU ops per dense element per product, and
 a randomized-SVD fit makes ~32 such passes — the TPU-native alternative for
 tall-skinny matrices (n >> p, p small enough that the p x p Gram matrix is
 cheap) is the classic covariance method restructured for the MXU:
@@ -12,21 +12,26 @@ cheap) is the classic covariance method restructured for the MXU:
    ~32; the Gram flops ride the MXU at bf16 speed when the values are
    bf16-exact (raw counts always are).
 2. **Solve in p-space**: eigenvectors of the (optionally centered) Gram
-   matrix are the right singular vectors of A; ``eig(G_c) = s^2``. The
-   top-k are extracted with the existing jitted randomized SVD — the
-   centered Gram is symmetric PSD, and squaring the spectrum doubles the
-   effective gap, so a handful of subspace iterations reach f32 accuracy.
+   matrix are the right singular vectors of A; ``eig(G_c) = s^2``. Small
+   Grams (p <= 4096) get an exact ``eigh``; larger ones the jitted
+   randomized solve over a rank-1-centered operator.
 3. **Project**: ``T = A V - 1 (mu^T V)`` with a second slab-densify pass
    (the dense slabs are never materialized in full).
+
+**Row bucketing** (the padding killer): a single global layout pads every
+(row, tile) group to the width of the heaviest row, so one dense row
+multiplies the one-hot work of EVERY row. Here rows are sorted into
+width classes (8, 16, 32, ... slots/tile) and each bucket gets its own
+payload densified at its own width — the one-hot cost tracks the
+per-row structure instead of the global max (measured 2-5x less padded
+work at scRNA-like densities). G is row-order invariant, so bucketing is
+free there; products/projections gather through a stored permutation
+(one [n, k] take).
 
 The Gram matrix is computed once per matrix and cached, so repeated fits
 (different k, masks, seeds) cost only the tiny p-space solve plus one
 projection pass. A boolean feature mask is a SUBMATRIX of the cached G —
 masked PCA at scale reuses the same two-pass machinery.
-
-This engine requires an overflow-free (quantile=1.0) tiled layout so the
-slab densify is exact; ``from_matrix`` returns the padded width, and the
-'auto' selector only picks 'gram' when that payload fits the HBM budget.
 
 Semantic map to the reference: this is an exact implementation of the PCA
 the reference computes approximately (randomized path,
@@ -39,7 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,209 +54,25 @@ from ..types import MATMUL_PRECISION, PowerIterationNormalizer
 from .operators import DenseOperator
 from .svd import randomized_svd, svd_flip
 
-__all__ = ["GramPCAEngine", "gram_matrix", "gram_pca_graph"]
+__all__ = ["GramPCAEngine", "gram_matrix", "gram_pca_graph", "topk_psd_eigh"]
 
-_SLAB = 8192  # rows densified per Gram/projection step
+_SLAB = 8192  # rows densified per Gram/projection step (large-n regime)
 
 
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
-class GramPCAEngine:
-    """Overflow-free tiled payload + slab-densify machinery."""
+def _slab_for(n: int) -> int:
+    """Row-slab granularity: full 8192 at scale, 1024 for small inputs so
+    per-bucket padding stays proportionate (kernels need R % block == 0)."""
 
-    tdata: jnp.ndarray  # [nt * wt, Rp]
-    tlocal: jnp.ndarray
-    shape: Tuple[int, int]
-    meta: Tuple[int, int, int, bool]  # wt, ntiles, ct, exact_bf16
+    return 8192 if n >= 65536 else 1024
 
-    COL_TILE = 256  # default; from_matrix picks adaptively (see below)
-    COL_TILES = (256, 512, 1024)
-    BLOCK_ROWS = 1024
 
-    @classmethod
-    def _payload_bytes_for(cls, m, col_tile: int) -> int:
-        from ..sparse.convert import round_up, tiled_split_widths
+def _width_class(w: int) -> int:
+    """Bucket width: the next power-of-two multiple of 8 >= w."""
 
-        src = m._layout_for("row")
-        src._require_host_structure()
-        n, p = m.shape
-        wt, ntiles, _, _ = tiled_split_widths(
-            src._h_indptr, src._h_indices, n, p,
-            col_tile=col_tile, quantile=1.0,
-        )
-        rp = round_up(n, _SLAB)
-        pp = ntiles * col_tile
-        # payload (f32 + i32) + G (rank-1-centered in the solve, so ONE
-        # pp x pp copy) + the densified slab working set
-        return ntiles * wt * rp * 8 + pp * pp * 4 + pp * _SLAB * 4 * 2
-
-    @classmethod
-    def choose_col_tile(cls, m, budget_bytes: int | None = None):
-        """Smallest column tile whose overflow-free payload fits the HBM
-        budget (small tiles = less one-hot VPU work per slot; large tiles
-        absorb power-law rows with less global padding). Returns
-        ``(col_tile, payload_bytes)`` — the best candidate even when none
-        fits, so callers decide via ``fits()``."""
-
-        from .operators import DensifiedOperator
-
-        if budget_bytes is None:
-            budget_bytes = DensifiedOperator.hbm_budget_bytes()
-        best = None
-        for ct in cls.COL_TILES:
-            b = cls._payload_bytes_for(m, ct)
-            if best is None or b < best[1]:
-                best = (ct, b)
-            if b <= budget_bytes:
-                return ct, b
-        return best
-
-    @classmethod
-    def from_matrix(cls, m) -> "GramPCAEngine":
-        from ..sparse.convert import csr_to_tiled_ell_split_numpy
-
-        import ml_dtypes
-
-        n, p = m.shape
-        ct, _ = cls.choose_col_tile(m)
-        src = m._layout_for("row")
-        src._require_host_structure()
-        vals = src._csr_data_host()
-        td, tl, wt, nt, _, _, ovw = csr_to_tiled_ell_split_numpy(
-            src._h_indptr,
-            src._h_indices,
-            vals,
-            n,
-            p,
-            col_tile=ct,
-            rows_padded_to=_SLAB,
-            quantile=1.0,  # no overflow: the slab densify must be exact
-        )
-        assert ovw == 0
-        v32 = np.asarray(vals, np.float32)
-        exact = not np.any(
-            v32 - v32.astype(ml_dtypes.bfloat16).astype(np.float32)
-        )
-        return cls(
-            jnp.asarray(td), jnp.asarray(tl), (n, p), (wt, nt, ct, exact)
-        )
-
-    @classmethod
-    def payload_bytes(cls, m) -> int:
-        """Device bytes of the best overflow-free payload + the Gram."""
-
-        return cls.choose_col_tile(m)[1]
-
-    @classmethod
-    def fits(cls, m, budget_bytes: int | None = None) -> bool:
-        from .operators import DensifiedOperator
-
-        n, p = m.shape
-        if p > 40960:  # G itself would crowd out HBM
-            return False
-        if budget_bytes is None:
-            budget_bytes = DensifiedOperator.hbm_budget_bytes()
-        return cls.choose_col_tile(m, budget_bytes)[1] <= budget_bytes
-
-    # -- slab machinery ---------------------------------------------------
-
-    @property
-    def n_padded(self) -> int:
-        return self.tdata.shape[1]
-
-    @property
-    def p_padded(self) -> int:
-        return self.meta[1] * self.meta[2]
-
-    def _densify_slab(self, i, out_dtype):
-        from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
-
-        wt, nt, ct, _ = self.meta
-        td = jax.lax.dynamic_slice(
-            self.tdata, (0, i * _SLAB), (self.tdata.shape[0], _SLAB)
-        )
-        tl = jax.lax.dynamic_slice(
-            self.tlocal, (0, i * _SLAB), (self.tlocal.shape[0], _SLAB)
-        )
-        interpret = jax.default_backend() != "tpu"
-        return tiled_ell_densify_t(
-            td, tl, wt=wt, ntiles=nt, col_tile=ct,
-            block_rows=min(self.BLOCK_ROWS, _SLAB),
-            out_dtype=out_dtype, interpret=interpret,
-        )  # [Pp, SLAB]
-
-    def _slab_dot(self, i, M, transposed: bool):
-        """One slab product: ``D_i^T @ M`` ([SLAB, k], transposed=False) or
-        ``D_i @ M_slab`` ([Pp, k], transposed=True) at full precision."""
-
-        exact = self.meta[3]
-        if exact:
-            D = self._densify_slab(i, jnp.bfloat16)
-            m_hi = M.astype(jnp.bfloat16)
-            m_lo = (M - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dims = (((0,), (0,)) if not transposed else ((1,), (0,)))
-            dot = lambda v: jax.lax.dot_general(
-                D, v,
-                dimension_numbers=(dims, ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return dot(m_hi) + dot(m_lo)
-        D = self._densify_slab(i, jnp.float32)
-        dims = (((0,), (0,)) if not transposed else ((1,), (0,)))
-        return jax.lax.dot_general(
-            D, M,
-            dimension_numbers=(dims, ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    def mv(self, B):
-        """A @ B via slab densify passes ([p, k] -> [n, k])."""
-
-        k = B.shape[1]
-        Bp = jnp.pad(
-            B.astype(jnp.float32), ((0, self.p_padded - B.shape[0]), (0, 0))
-        )
-
-        def body(i, T):
-            Ts = self._slab_dot(i, Bp, transposed=False)
-            return jax.lax.dynamic_update_slice(T, Ts, (i * _SLAB, 0))
-
-        T0 = jnp.zeros((self.n_padded, k), jnp.float32)
-        out = jax.lax.fori_loop(0, self.n_padded // _SLAB, body, T0)
-        return out[: self.shape[0]].astype(B.dtype)
-
-    def rmv(self, C):
-        """A^T @ C via slab densify passes ([n, k] -> [p, k])."""
-
-        k = C.shape[1]
-        Cp = jnp.pad(
-            C.astype(jnp.float32), ((0, self.n_padded - C.shape[0]), (0, 0))
-        )
-
-        def body(i, acc):
-            Cs = jax.lax.dynamic_slice(Cp, (i * _SLAB, 0), (_SLAB, k))
-            return acc + self._slab_dot(i, Cs, transposed=True)
-
-        acc0 = jnp.zeros((self.p_padded, k), jnp.float32)
-        out = jax.lax.fori_loop(0, self.n_padded // _SLAB, body, acc0)
-        return out[: self.shape[1]].astype(C.dtype)
-
-    def tree_flatten(self):
-        return (self.tdata, self.tlocal), (self.shape, self.meta)
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
-
-    # -- cached Gram -------------------------------------------------------
-
-    def gram_cached(self) -> jnp.ndarray:
-        g = getattr(self, "_gram_cache", None)
-        if g is None:
-            g = gram_matrix(self)
-            self._gram_cache = g
-        return g
+    c = 8
+    while c < w:
+        c *= 2
+    return c
 
 
 def topk_psd_eigh(Gc: jnp.ndarray, k: int):
@@ -304,37 +125,310 @@ class _CenteredGram:
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GramPCAEngine:
+    """Row-bucketed overflow-free tiled payloads + slab-densify machinery.
+
+    ``bdata[c]``/``blocal[c]`` hold bucket c's transposed tiled payload
+    ``[nt * wt_c, R_c]``; ``pos`` maps natural row -> bucketed position;
+    ``gidx`` maps bucketed position -> natural row (n = padding sentinel).
+    ``meta = (wt_max, ntiles, ct, exact)`` (wt_max informational);
+    ``bwidths`` the per-bucket (wt_c, R_c) pairs (static).
+    """
+
+    bdata: Tuple[jnp.ndarray, ...]
+    blocal: Tuple[jnp.ndarray, ...]
+    pos: jnp.ndarray  # [n] int32: natural row -> bucketed position
+    gidx: jnp.ndarray  # [sum R_c] int32: bucketed position -> row (or n)
+    shape: Tuple[int, int]
+    meta: Tuple[int, int, int, bool]
+    bwidths: Tuple[Tuple[int, int], ...]
+
+    COL_TILE = 256  # default; from_matrix picks adaptively (see below)
+    COL_TILES = (256, 512, 1024)
+
+    # -- capacity planning -------------------------------------------------
+
+    @classmethod
+    def _bucket_plan(cls, m, col_tile: int):
+        """Host-side bucketing plan: list of (class_width, row_idx array)
+        plus total payload bytes (values + ids + G + slab workspace)."""
+
+        from ..sparse.convert import round_up, row_tile_widths
+
+        src = m._layout_for("row")
+        src._require_host_structure()
+        n, p = m.shape
+        slab = _slab_for(n)
+        w_r = row_tile_widths(src._h_indptr, src._h_indices, n, col_tile)
+        w_r = np.maximum(w_r, 1)
+        classes = np.frompyfunc(_width_class, 1, 1)(w_r).astype(np.int64)
+        ntiles = max(-(-p // col_tile), 1)
+        pp = ntiles * col_tile
+        plan, total = [], 0
+        for c in np.unique(classes):
+            rows = np.where(classes == c)[0]
+            rc = round_up(len(rows), slab)
+            plan.append((int(c), rows))
+            total += ntiles * int(c) * rc * 8
+        total += pp * pp * 4 + pp * slab * 4 * 2
+        return plan, total, slab, ntiles
+
+    @classmethod
+    def choose_col_tile(cls, m, budget_bytes: int | None = None):
+        """Smallest column tile whose bucketed payload fits the HBM budget.
+        Returns ``(col_tile, payload_bytes)`` — the cheapest candidate even
+        when none fits, so callers decide via ``fits()``."""
+
+        from .operators import DensifiedOperator
+
+        if budget_bytes is None:
+            budget_bytes = DensifiedOperator.hbm_budget_bytes()
+        best = None
+        for ct in cls.COL_TILES:
+            _, b, _, _ = cls._bucket_plan(m, ct)
+            if best is None or b < best[1]:
+                best = (ct, b)
+            if b <= budget_bytes:
+                return ct, b
+        return best
+
+    @classmethod
+    def payload_bytes(cls, m) -> int:
+        return cls.choose_col_tile(m)[1]
+
+    @classmethod
+    def fits(cls, m, budget_bytes: int | None = None) -> bool:
+        from .operators import DensifiedOperator
+
+        n, p = m.shape
+        if p > 40960:  # G itself would crowd out HBM
+            return False
+        if budget_bytes is None:
+            budget_bytes = DensifiedOperator.hbm_budget_bytes()
+        return cls.choose_col_tile(m, budget_bytes)[1] <= budget_bytes
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_matrix(cls, m) -> "GramPCAEngine":
+        import ml_dtypes
+
+        from ..sparse.convert import (
+            csr_to_tiled_ell_split_numpy,
+            extract_rows_csr,
+            round_up,
+        )
+
+        n, p = m.shape
+        ct, _ = cls.choose_col_tile(m)
+        plan, _, slab, nt = cls._bucket_plan(m, ct)
+        src = m._layout_for("row")
+        src._require_host_structure()
+        indptr, indices = src._h_indptr, src._h_indices
+        vals = src._csr_data_host()
+        v32 = np.asarray(vals, np.float32)
+        exact = not np.any(
+            v32 - v32.astype(ml_dtypes.bfloat16).astype(np.float32)
+        )
+
+        bdata, blocal, bwidths = [], [], []
+        pos = np.zeros(n, np.int64)
+        gidx_parts = []
+        offset = 0
+        wt_max = 8
+        for c, rows in plan:
+            s_ip, s_ix, s_dt = extract_rows_csr(indptr, indices, vals, rows)
+            rc = round_up(len(rows), slab)
+            td, tl, wt_d, nt_d, _, _, ovw = csr_to_tiled_ell_split_numpy(
+                s_ip, s_ix, s_dt, len(rows), p,
+                col_tile=ct, rows_padded_to=rc, quantile=1.0,
+            )
+            assert ovw == 0 and nt_d == nt and wt_d <= c, (wt_d, c)
+            if wt_d < c:  # width-pad to the class (slot = tile*wt + rank)
+                td = np.pad(
+                    td.reshape(nt, wt_d, rc), ((0, 0), (0, c - wt_d), (0, 0))
+                ).reshape(nt * c, rc)
+                tl = np.pad(
+                    tl.reshape(nt, wt_d, rc), ((0, 0), (0, c - wt_d), (0, 0))
+                ).reshape(nt * c, rc)
+            bdata.append(jnp.asarray(td))
+            blocal.append(jnp.asarray(tl))
+            bwidths.append((c, rc))
+            wt_max = max(wt_max, c)
+            pos[rows] = offset + np.arange(len(rows))
+            g = np.full(rc, n, np.int64)
+            g[: len(rows)] = rows
+            gidx_parts.append(g)
+            offset += rc
+
+        return cls(
+            tuple(bdata),
+            tuple(blocal),
+            jnp.asarray(pos.astype(np.int32)),
+            jnp.asarray(np.concatenate(gidx_parts).astype(np.int32)),
+            (n, p),
+            (wt_max, nt, ct, exact),
+            tuple(bwidths),
+        )
+
+    # -- slab machinery ----------------------------------------------------
+
+    @property
+    def n_padded(self) -> int:
+        return sum(rc for _, rc in self.bwidths)
+
+    @property
+    def p_padded(self) -> int:
+        return self.meta[1] * self.meta[2]
+
+    def _densify(self, b: int, i, out_dtype):
+        """Slab i of bucket b -> dense [Pp, slab]."""
+
+        from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
+
+        _, nt, ct, _ = self.meta
+        wt, rc = self.bwidths[b]
+        slab = _slab_for(self.shape[0])
+        td = jax.lax.dynamic_slice(
+            self.bdata[b], (0, i * slab), (self.bdata[b].shape[0], slab)
+        )
+        tl = jax.lax.dynamic_slice(
+            self.blocal[b], (0, i * slab), (self.blocal[b].shape[0], slab)
+        )
+        interpret = jax.default_backend() != "tpu"
+        return tiled_ell_densify_t(
+            td, tl, wt=wt, ntiles=nt, col_tile=ct,
+            block_rows=min(1024, slab),
+            out_dtype=out_dtype, interpret=interpret,
+        )  # [Pp, slab]
+
+    def _slab_dot(self, b: int, i, M, transposed: bool):
+        """One slab product at full precision: ``D^T @ M`` ([slab, k],
+        transposed=False) or ``D @ M_slab`` ([Pp, k], transposed=True)."""
+
+        exact = self.meta[3]
+        dims = (((0,), (0,)) if not transposed else ((1,), (0,)))
+        if exact:
+            D = self._densify(b, i, jnp.bfloat16)
+            m_hi = M.astype(jnp.bfloat16)
+            m_lo = (M - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dot = lambda v: jax.lax.dot_general(
+                D, v,
+                dimension_numbers=(dims, ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return dot(m_hi) + dot(m_lo)
+        D = self._densify(b, i, jnp.float32)
+        return jax.lax.dot_general(
+            D, M,
+            dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def _project_bucketed(self, Bp: jnp.ndarray) -> jnp.ndarray:
+        """``A_perm @ B`` in bucketed row order -> [sum R_c, k] f32."""
+
+        slab = _slab_for(self.shape[0])
+        k = Bp.shape[1]
+        outs = []
+        for b, (_, rc) in enumerate(self.bwidths):
+            def body(i, T, b=b):
+                Ts = self._slab_dot(b, i, Bp, transposed=False)
+                return jax.lax.dynamic_update_slice(T, Ts, (i * slab, 0))
+
+            T0 = jnp.zeros((rc, k), jnp.float32)
+            outs.append(jax.lax.fori_loop(0, rc // slab, body, T0))
+        return jnp.concatenate(outs, axis=0)
+
+    def mv(self, B):
+        """A @ B via slab densify passes ([p, k] -> [n, k])."""
+
+        Bp = jnp.pad(
+            B.astype(jnp.float32), ((0, self.p_padded - B.shape[0]), (0, 0))
+        )
+        out = self._project_bucketed(Bp)
+        return jnp.take(out, self.pos, axis=0).astype(B.dtype)
+
+    def rmv(self, C):
+        """A^T @ C via slab densify passes ([n, k] -> [p, k])."""
+
+        slab = _slab_for(self.shape[0])
+        k = C.shape[1]
+        # route C rows into bucketed positions (padding slots read a zero
+        # row appended at index n)
+        Cx = jnp.concatenate(
+            [C.astype(jnp.float32), jnp.zeros((1, k), jnp.float32)], axis=0
+        )
+        Cb = jnp.take(Cx, self.gidx, axis=0)  # [sum R_c, k]
+        acc = jnp.zeros((self.p_padded, k), jnp.float32)
+        offset = 0
+        for b, (_, rc) in enumerate(self.bwidths):
+            Cc = jax.lax.dynamic_slice(Cb, (offset, 0), (rc, k))
+
+            def body(i, a, b=b, Cc=Cc):
+                Cs = jax.lax.dynamic_slice(Cc, (i * slab, 0), (slab, k))
+                return a + self._slab_dot(b, i, Cs, transposed=True)
+
+            acc = jax.lax.fori_loop(0, rc // slab, body, acc)
+            offset += rc
+        return acc[: self.shape[1]].astype(C.dtype)
+
+    def tree_flatten(self):
+        return (self.bdata, self.blocal, self.pos, self.gidx), (
+            self.shape, self.meta, self.bwidths,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # -- cached Gram -------------------------------------------------------
+
+    def gram_cached(self) -> jnp.ndarray:
+        g = getattr(self, "_gram_cache", None)
+        if g is None:
+            g = gram_matrix(self)
+            self._gram_cache = g
+        return g
+
+
 @jax.jit
 def gram_matrix(eng: GramPCAEngine) -> jnp.ndarray:
     """``A^T A`` as ``[Pp, Pp]`` f32 — slab densify + MXU contraction.
 
-    bf16 slabs (exact for raw-count data) ride the MXU at full speed; for
+    Row-order invariant, so bucketing needs no permutation here. bf16
+    slabs (exact for raw-count data) ride the MXU at full speed; for
     general f32 values the slab stays f32 and the contraction runs at
     HIGHEST precision (6 bf16 passes, still one data pass overall).
     """
 
     exact = eng.meta[3]
     pp = eng.p_padded
-    n_slabs = eng.n_padded // _SLAB
+    slab = _slab_for(eng.shape[0])
 
-    def body(i, G):
-        if exact:
-            D = eng._densify_slab(i, jnp.bfloat16)
+    G = jnp.zeros((pp, pp), jnp.float32)
+    for b, (_, rc) in enumerate(eng.bwidths):
+        def body(i, G, b=b):
+            if exact:
+                D = eng._densify(b, i, jnp.bfloat16)
+                return G + jax.lax.dot_general(
+                    D, D,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            D = eng._densify(b, i, jnp.float32)
             return G + jax.lax.dot_general(
                 D, D,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-        D = eng._densify_slab(i, jnp.float32)
-        return G + jax.lax.dot_general(
-            D, D,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
 
-    G0 = jnp.zeros((pp, pp), jnp.float32)
-    return jax.lax.fori_loop(0, n_slabs, body, G0)
+        G = jax.lax.fori_loop(0, rc // slab, body, G)
+    return G
 
 
 @partial(
@@ -359,15 +453,15 @@ def gram_pca_graph(
     center_T: bool,
     want_transform: bool,
     solver_oversamples: int = 10,
-    solver_iters: int = 4,
+    solver_iters: int = 6,
     mask_idx: jnp.ndarray | None = None,
 ):
     """(s, vt, T) from the cached Gram matrix — one fused device dispatch.
 
-    ``center_svd`` subtracts the rank-1 mean term from G before the solve
-    (true PCA); ``center_T`` centers the projection (the reference applies
-    it even on the uncentered Lanczos path, SURVEY.md §3.2). ``mask_idx``
-    restricts features to a subset: the masked Gram is a submatrix.
+    ``center_svd`` handles the rank-1 mean term (true PCA); ``center_T``
+    centers the projection (the reference applies it even on the
+    uncentered Lanczos path, SURVEY.md §3.2). ``mask_idx`` restricts
+    features to a subset: the masked Gram is a submatrix.
     """
 
     n, p = eng.shape
@@ -429,12 +523,7 @@ def gram_pca_graph(
         # _slab_dot contracts orthonormal V as a bf16 hi+lo pair on exact
         # payloads (two MXU passes, f32 accumulation) so no first-order
         # rounding enters the scores
-        def body(i, T):
-            Ts = eng._slab_dot(i, Vp, transposed=False)  # [SLAB, k]
-            return jax.lax.dynamic_update_slice(T, Ts, (i * _SLAB, 0))
-
-        T0 = jnp.zeros((eng.n_padded, k), jnp.float32)
-        T = jax.lax.fori_loop(0, eng.n_padded // _SLAB, body, T0)[:n]
+        T = jnp.take(eng._project_bucketed(Vp), eng.pos, axis=0)
         if center_T:
             # mu and vt share the solve width (masked or padded-full)
             corr = jnp.dot(mu, vt.T, precision=MATMUL_PRECISION)  # [k]

@@ -62,8 +62,10 @@ class MaskedSparsePCA:
         svd_method: SVDMethod = SVDMethod.lanczos(),
         engine: str = "auto",
         lanczos_steps: int | None = None,
+        lanczos_block: int | None = None,
     ):
         self.lanczos_steps = lanczos_steps
+        self.lanczos_block = lanczos_block
         self.engine = engine
         self.mask = np.asarray(mask, dtype=bool)
         self.n_components = n_components
@@ -147,6 +149,7 @@ class MaskedSparsePCA:
                 steps=self.lanczos_steps,
                 want_transform=want_t,
                 tol=self.tolerance,
+                lanczos_block=self.lanczos_block,
             )
         self._fitted_transform = T
         s_np = np.asarray(s_dev, dtype=np.float64)
@@ -283,6 +286,13 @@ class MaskedSparsePCABuilder:
     )
     _engine: str = "auto"
     _lanczos_steps: int | None = None
+    _lanczos_block: int | None = None
+
+    def lanczos_block(self, b: int | None):
+        """Block size for the Lanczos path (see SparsePCABuilder)."""
+
+        self._lanczos_block = b
+        return self
 
     def lanczos_steps(self, n: int):
         """Krylov depth for the Lanczos path (default: 8k, capped at the
@@ -341,4 +351,5 @@ class MaskedSparsePCABuilder:
             svd_method=self._svd_method,
             engine=self._engine,
             lanczos_steps=self._lanczos_steps,
+            lanczos_block=self._lanczos_block,
         )

@@ -420,3 +420,65 @@ def csr_to_tiled_ell_split_numpy(
         ov_data[o_rows, o_rank] = data[over]
         ov_ids[o_rows, o_rank] = indices[over].astype(np.int32)
     return tdata_t, tlocal_t, wt, ntiles, ov_data, ov_ids, ov_w
+
+
+def row_tile_widths(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    n_rows: int,
+    col_tile: int,
+) -> np.ndarray:
+    """Per-row maximum (row, tile)-group size — one O(nnz) pass.
+
+    The input of row bucketing: a row's width class is the widest of its
+    column-tile groups, i.e. the ``wt`` it would force on an unbucketed
+    layout.
+    """
+
+    indptr = np.asarray(indptr, np.int64)
+    nnz = len(indices)
+    out = np.zeros(n_rows, np.int64)
+    if nnz == 0 or n_rows == 0:
+        return out
+    row_nnz = np.diff(indptr)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), row_nnz)
+    tile_of = np.asarray(indices, np.int64) // col_tile
+    ntiles = max(int(tile_of.max()) + 1, 1)
+    key = row_of * ntiles + tile_of
+    first = np.ones(nnz, dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(nnz), 0))
+    rank = np.arange(nnz) - group_start
+    last = np.ones(nnz, dtype=bool)
+    last[:-1] = key[1:] != key[:-1]
+    sizes = rank[last] + 1
+    np.maximum.at(out, row_of[last], sizes)
+    return out
+
+
+def extract_rows_csr(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    rows: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sub-CSR of a row subset, vectorized (no Python per-row loop).
+
+    Returns ``(sub_indptr, sub_indices, sub_data)`` for the rows in the
+    given order.
+    """
+
+    indptr = np.asarray(indptr, np.int64)
+    rows = np.asarray(rows, np.int64)
+    lens = (indptr[rows + 1] - indptr[rows]).astype(np.int64)
+    sub_indptr = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum(lens, out=sub_indptr[1:])
+    total = int(sub_indptr[-1])
+    if total == 0:
+        return sub_indptr, np.zeros(0, np.int32), np.zeros(0, data.dtype)
+    # gather index: for each output slot, its source position =
+    # row_start[r] + offset_within_row
+    out_row = np.repeat(np.arange(len(rows), dtype=np.int64), lens)
+    within = np.arange(total, dtype=np.int64) - sub_indptr[out_row]
+    src = indptr[rows][out_row] + within
+    return sub_indptr, np.asarray(indices)[src], np.asarray(data)[src]

@@ -50,10 +50,10 @@ def test_gram_adaptive_col_tile_prefers_smallest_fitting():
     m = _m()
     ct_small, b_small = GramPCAEngine.choose_col_tile(m, budget_bytes=1 << 40)
     assert ct_small == GramPCAEngine.COL_TILES[0]
-    # squeeze the budget below the 256-tile payload: the chooser must move
-    # to a wider tile only if that actually shrinks the payload
+    # squeeze the budget below each tile's payload: the chooser must pick a
+    # layout no more expensive than that candidate
     for ct in GramPCAEngine.COL_TILES:
-        b = GramPCAEngine._payload_bytes_for(m, ct)
+        _, b, _, _ = GramPCAEngine._bucket_plan(m, ct)
         chosen_ct, chosen_b = GramPCAEngine.choose_col_tile(
             m, budget_bytes=b
         )
