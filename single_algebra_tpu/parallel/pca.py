@@ -45,6 +45,7 @@ def sharded_pca_fit_transform(
     mask=None,
     lanczos_steps: int | None = None,
     tolerance: float | None = 1e-6,
+    lanczos_block: int | None = None,
 ) -> ShardedPCAResult:
     """Centered PCA of a row-sharded sparse matrix (both SVD methods).
 
@@ -131,6 +132,7 @@ def sharded_pca_fit_transform(
         steps=lanczos_steps,
         want_transform=True,
         tol=tolerance,
+        lanczos_block=lanczos_block,
     )
     ev_np = np.asarray(s_dev, np.float64) ** 2 / max(n - 1, 1)
     if not center:
