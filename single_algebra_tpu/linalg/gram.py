@@ -153,7 +153,15 @@ class GramPCAEngine:
     @classmethod
     def _bucket_plan(cls, m, col_tile: int):
         """Host-side bucketing plan: list of (class_width, row_idx array)
-        plus total payload bytes (values + ids + G + slab workspace)."""
+        plus total payload bytes (values + ids + G + slab workspace).
+        Cached per (matrix, col_tile): the O(nnz) width scan would
+        otherwise repeat across fits()/choose_col_tile()/from_matrix()."""
+
+        cache = getattr(m, "_gram_plan_cache", None)
+        if cache is None:
+            cache = m._gram_plan_cache = {}
+        if col_tile in cache:
+            return cache[col_tile]
 
         from ..sparse.convert import round_up, row_tile_widths
 
@@ -173,7 +181,8 @@ class GramPCAEngine:
             plan.append((int(c), rows))
             total += ntiles * int(c) * rc * 8
         total += pp * pp * 4 + pp * slab * 4 * 2
-        return plan, total, slab, ntiles
+        cache[col_tile] = (plan, total, slab, ntiles)
+        return cache[col_tile]
 
     @classmethod
     def choose_col_tile(cls, m, budget_bytes: int | None = None):
@@ -213,8 +222,7 @@ class GramPCAEngine:
 
     @classmethod
     def from_matrix(cls, m) -> "GramPCAEngine":
-        import ml_dtypes
-
+        from ..native import build as _native
         from ..sparse.convert import (
             csr_to_tiled_ell_split_numpy,
             extract_rows_csr,
@@ -228,10 +236,8 @@ class GramPCAEngine:
         src._require_host_structure()
         indptr, indices = src._h_indptr, src._h_indices
         vals = src._csr_data_host()
-        v32 = np.asarray(vals, np.float32)
-        exact = not np.any(
-            v32 - v32.astype(ml_dtypes.bfloat16).astype(np.float32)
-        )
+        exact = m.values_bf16_exact()
+        lib = _native.get_lib()
 
         bdata, blocal, bwidths = [], [], []
         pos = np.zeros(n, np.int64)
@@ -241,18 +247,33 @@ class GramPCAEngine:
         for c, rows in plan:
             s_ip, s_ix, s_dt = extract_rows_csr(indptr, indices, vals, rows)
             rc = round_up(len(rows), slab)
-            td, tl, wt_d, nt_d, _, _, ovw = csr_to_tiled_ell_split_numpy(
-                s_ip, s_ix, s_dt, len(rows), p,
-                col_tile=ct, rows_padded_to=rc, quantile=1.0,
-            )
-            assert ovw == 0 and nt_d == nt and wt_d <= c, (wt_d, c)
-            if wt_d < c:  # width-pad to the class (slot = tile*wt + rank)
-                td = np.pad(
-                    td.reshape(nt, wt_d, rc), ((0, 0), (0, c - wt_d), (0, 0))
-                ).reshape(nt * c, rc)
-                tl = np.pad(
-                    tl.reshape(nt, wt_d, rc), ((0, 0), (0, c - wt_d), (0, 0))
-                ).reshape(nt * c, rc)
+            if lib is not None and s_dt.dtype == np.float32:
+                # direct fixed-width conversion: the class width bounds
+                # every (row, tile) group by construction, so no hist /
+                # quantile / pad passes are needed
+                td = np.zeros((nt * c, rc), np.float32)
+                tl = np.zeros((nt * c, rc), np.int32)
+                lib.csr_to_tiled_ell_t_f32(
+                    np.ascontiguousarray(s_ip, np.int64),
+                    np.ascontiguousarray(s_ix, np.int32),
+                    np.ascontiguousarray(s_dt, np.float32),
+                    len(rows), ct, c, rc, td, tl,
+                )
+            else:
+                td, tl, wt_d, nt_d, _, _, ovw = csr_to_tiled_ell_split_numpy(
+                    s_ip, s_ix, s_dt, len(rows), p,
+                    col_tile=ct, rows_padded_to=rc, quantile=1.0,
+                )
+                assert ovw == 0 and nt_d == nt and wt_d <= c, (wt_d, c)
+                if wt_d < c:  # width-pad to class (slot = tile*wt + rank)
+                    td = np.pad(
+                        td.reshape(nt, wt_d, rc),
+                        ((0, 0), (0, c - wt_d), (0, 0)),
+                    ).reshape(nt * c, rc)
+                    tl = np.pad(
+                        tl.reshape(nt, wt_d, rc),
+                        ((0, 0), (0, c - wt_d), (0, 0)),
+                    ).reshape(nt * c, rc)
             bdata.append(jnp.asarray(td))
             blocal.append(jnp.asarray(tl))
             bwidths.append((c, rc))

@@ -155,12 +155,7 @@ def _needs_lo(m: SparseMatrix) -> bool:
     engine then needs the second (lo) half, doubling its HBM cost)."""
 
     try:
-        import ml_dtypes
-
-        vals = m._csr_data_host().astype(np.float32)
-        return bool(
-            np.any(vals - vals.astype(ml_dtypes.bfloat16).astype(np.float32))
-        )
+        return not m.values_bf16_exact()
     except Exception:
         return True  # conservative
 

@@ -96,6 +96,14 @@ def get_lib():
             i64p, i32p, f32p, c64, c64, c64, c64, f32p, i32p, f32p, i32p, c64,
         ]
         lib.csr_to_tiled_ell_split_t_f32.restype = None
+        lib.csr_row_tile_widths.argtypes = [i64p, i32p, c64, c64, i64p]
+        lib.csr_row_tile_widths.restype = None
+        lib.csr_extract_rows_f32.argtypes = [
+            i64p, i32p, f32p, i64p, c64, i64p, i32p, f32p,
+        ]
+        lib.csr_extract_rows_f32.restype = None
+        lib.f32_bf16_exact.argtypes = [f32p, c64]
+        lib.f32_bf16_exact.restype = ctypes.c_int32
         _lib = lib
         return _lib
 

@@ -200,3 +200,57 @@ void csr_to_tiled_ell_split_t_f32(const int64_t* indptr,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// per-row maximum (row, tile)-group size (row bucketing input):
+// out[r] = widest column-tile run of row r. One O(nnz) pass.
+void csr_row_tile_widths(const int64_t* indptr, const int32_t* indices,
+                         int64_t n_rows, int64_t col_tile, int64_t* out) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t cur_tile = -1, cnt = 0, best = 0;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const int64_t t = indices[i] / col_tile;
+      cnt = (t == cur_tile) ? cnt + 1 : 1;
+      cur_tile = t;
+      if (cnt > best) best = cnt;
+    }
+    out[r] = best;
+  }
+}
+
+// sub-CSR extraction for a row subset (bucket payload build):
+// out_indptr must be precomputed (cumsum of selected row lengths).
+void csr_extract_rows_f32(const int64_t* indptr, const int32_t* indices,
+                          const float* data, const int64_t* rows,
+                          int64_t n_sel, const int64_t* out_indptr,
+                          int32_t* out_indices, float* out_data) {
+  for (int64_t j = 0; j < n_sel; ++j) {
+    const int64_t src = indptr[rows[j]];
+    const int64_t len = indptr[rows[j] + 1] - src;
+    const int64_t dst = out_indptr[j];
+    std::memcpy(out_indices + dst, indices + src, len * sizeof(int32_t));
+    std::memcpy(out_data + dst, data + src, len * sizeof(float));
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// 1 if every value survives f32 -> bf16 -> f32 round-tripping (early-exit)
+int32_t f32_bf16_exact(const float* data, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = data[i];
+    uint32_t u;
+    std::memcpy(&u, &v, 4);
+    const uint32_t r16 = (u + 0x7FFFu + ((u >> 16) & 1u)) >> 16;
+    const uint32_t back = r16 << 16;
+    float hv;
+    std::memcpy(&hv, &back, 4);
+    if (hv != v) return 0;
+  }
+  return 1;
+}
+
+}  // extern "C"

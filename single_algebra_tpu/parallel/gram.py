@@ -122,8 +122,6 @@ class ShardedGram:
         col_tile: int | None = None,
         slab: int | None = None,
     ) -> "ShardedGram":
-        import ml_dtypes
-
         if m.format != "csr":
             m = m.transpose()
         m._require_host_structure()
@@ -147,10 +145,7 @@ class ShardedGram:
 
         indptr, indices = m._h_indptr, m._h_indices
         data = m._csr_data_host()
-        v32 = np.asarray(data, np.float32)
-        exact = not np.any(
-            v32 - v32.astype(ml_dtypes.bfloat16).astype(np.float32)
-        )
+        exact = m.values_bf16_exact()
 
         # per-slab conversion at quantile=1.0, padded to the global width
         slabs = []

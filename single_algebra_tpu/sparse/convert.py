@@ -440,6 +440,18 @@ def row_tile_widths(
     out = np.zeros(n_rows, np.int64)
     if nnz == 0 or n_rows == 0:
         return out
+
+    from ..native import build as _native
+
+    lib = _native.get_lib()
+    if lib is not None:
+        lib.csr_row_tile_widths(
+            np.ascontiguousarray(indptr, np.int64),
+            np.ascontiguousarray(indices, np.int32),
+            n_rows, col_tile, out,
+        )
+        return out
+
     row_nnz = np.diff(indptr)
     row_of = np.repeat(np.arange(n_rows, dtype=np.int64), row_nnz)
     tile_of = np.asarray(indices, np.int64) // col_tile
@@ -476,6 +488,22 @@ def extract_rows_csr(
     total = int(sub_indptr[-1])
     if total == 0:
         return sub_indptr, np.zeros(0, np.int32), np.zeros(0, data.dtype)
+
+    from ..native import build as _native
+
+    lib = _native.get_lib()
+    if lib is not None and np.asarray(data).dtype == np.float32:
+        out_indices = np.empty(total, np.int32)
+        out_data = np.empty(total, np.float32)
+        lib.csr_extract_rows_f32(
+            np.ascontiguousarray(indptr, np.int64),
+            np.ascontiguousarray(indices, np.int32),
+            np.ascontiguousarray(data, np.float32),
+            np.ascontiguousarray(rows, np.int64),
+            len(rows), sub_indptr, out_indices, out_data,
+        )
+        return sub_indptr, out_indices, out_data
+
     # gather index: for each output slot, its source position =
     # row_start[r] + offset_within_row
     out_row = np.repeat(np.arange(len(rows), dtype=np.int64), lens)

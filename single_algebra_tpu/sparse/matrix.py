@@ -254,6 +254,29 @@ class SparseMatrix:
         )
         return d[mask]
 
+    def values_bf16_exact(self) -> bool:
+        """True when every stored value survives f32 -> bf16 round-tripping
+        (raw counts always do) — decides whether the bf16 fast engines are
+        lossless. One native early-exit pass, cached per matrix."""
+
+        cached = getattr(self, "_bf16_exact_cache", None)
+        if cached is not None:
+            return cached
+        v = np.ascontiguousarray(self._csr_data_host(), np.float32)
+        from ..native import build as _native
+
+        lib = _native.get_lib()
+        if lib is not None:
+            out = bool(lib.f32_bf16_exact(v, len(v)))
+        else:
+            import ml_dtypes
+
+            out = not np.any(
+                v - v.astype(ml_dtypes.bfloat16).astype(np.float32)
+            )
+        self._bf16_exact_cache = out
+        return out
+
     def to_scipy(self):
         import scipy.sparse as sp
 
