@@ -1,7 +1,8 @@
-"""Per-pass device timing: mv vs rmv on the densified engine, Gram rebuild.
+"""Per-pass device timing on the densified engine.
 
-Since block_until_ready is unreliable through the tunnel, every timed graph
-ends in a tiny host pull (sum -> scalar) to force real synchronization.
+block_until_ready is unreliable through the tunnel, so every timed graph
+ends in a scalar reduction pulled to the host (forces real completion of
+the single fused executable).
 """
 
 import sys
@@ -26,7 +27,7 @@ def t(label, fn, n=5):
         fn()
         runs.append(time.perf_counter() - t0)
     print(
-        f"{label:44s} min={min(runs)*1e3:8.1f} ms  "
+        f"{label:46s} min={min(runs)*1e3:8.1f} ms  "
         f"runs={[round(r * 1e3, 1) for r in runs]}"
     )
     return min(runs)
@@ -37,7 +38,6 @@ def main():
     import jax.numpy as jnp
 
     from single_algebra_tpu import SparseMatrix
-    from single_algebra_tpu.linalg import gram_matrix
     from single_algebra_tpu.models.pca import make_engine_operator
 
     cfg = FULL
@@ -47,23 +47,22 @@ def main():
     l = 60
 
     op = make_engine_operator(m, "dense")
-    B = jnp.asarray(np.random.default_rng(0).standard_normal((p, l)), jnp.float32)
-    C = jnp.asarray(np.random.default_rng(1).standard_normal((n, l)), jnp.float32)
+    B = jnp.asarray(
+        np.random.default_rng(0).standard_normal((p, l)), jnp.float32
+    )
+    C = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n, l)), jnp.float32
+    )
 
-    mv1 = jax.jit(lambda o, b: op.mv(b).sum())
-    rmv1 = jax.jit(lambda o, c: op.rmv(c).sum())
+    mv1 = jax.jit(lambda o, b: o.mv(b).sum())
+    rmv1 = jax.jit(lambda o, c: o.rmv(c).sum())
+    pw1 = jax.jit(
+        lambda o, b: o.mv(o.rmv(o.mv(b))).sum()
+    )
 
-    t("dense mv x1 (A@B, 2GB read)", lambda: float(mv1(op, B)))
+    t("dense mv x1  (A@B, 2GB bf16 read)", lambda: float(mv1(op, B)))
     t("dense rmv x1 (A^T@C)", lambda: float(rmv1(op, C)))
-
-    opg = make_engine_operator(m, "gram")
-    gsum = jax.jit(lambda e: gram_matrix(e).sum())
-    t("gram rebuild (1 data pass + G flops)", lambda: float(gsum(opg)), n=3)
-
-    gmv = jax.jit(lambda e, b: e.mv(b).sum())
-    grmv = jax.jit(lambda e, c: e.rmv(c).sum())
-    t("gram-engine mv x1 (slab densify+dot)", lambda: float(gmv(opg, B)))
-    t("gram-engine rmv x1", lambda: float(grmv(opg, C)))
+    t("mv-rmv-mv chain (3 passes fused)", lambda: float(pw1(op, B)))
 
 
 if __name__ == "__main__":
