@@ -30,7 +30,7 @@ streaming analog of ``sum_col_chunk`` / ``var_col_chunk``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Iterable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -145,9 +145,11 @@ def _smooth_knn(dists: jnp.ndarray, *, n_iter: int = 64):
 )
 def _optimize_layout(
     Y,  # [n, dim] initial embedding
-    heads,  # [m] int32
+    heads,  # [m] int32, SORTED ascending (CSR row order)
     tails,  # [m] int32
     weights,  # [m] f32, normalized to max 1
+    tperm,  # [m] int32: argsort(tails) — host-precomputed once
+    tails_sorted,  # [m] int32: tails[tperm]
     key,
     *,
     n: int,
@@ -157,7 +159,14 @@ def _optimize_layout(
     b: float,
     lr: float,
 ):
-    """Negative-sampling SGD layout, one fused fori_loop over epochs."""
+    """Negative-sampling SGD layout, one fused fori_loop over epochs.
+
+    Per-edge gradients are reduced into per-point updates with TWO sorted
+    ``segment_sum``s per epoch (heads are CSR-sorted; tails through a
+    fixed precomputed permutation) — sorted segment reductions lower to
+    contiguous accumulation on TPU, where millions of row-scatters into a
+    narrow [n, 2] array are both slow and fault-prone.
+    """
 
     m = heads.shape[0]
     a = jnp.float32(a)
@@ -179,14 +188,11 @@ def _optimize_layout(
         g_att = jnp.where(active[:, None], g_att, 0.0)
         grad_h = jnp.clip(g_att * d, -4.0, 4.0)
 
-        upd = jnp.zeros_like(Y)
-        upd = upd.at[heads].add(grad_h)
-        upd = upd.at[tails].add(-grad_h)  # move_other
-
-        # repulsion: neg_rate uniform negatives per (active) edge
+        # repulsion: neg_rate uniform negatives per (active) edge, all
+        # accumulated into one per-edge head gradient
         negs = jax.random.randint(k2, (m, neg_rate), 0, n)
 
-        def neg_term(j, upd):
+        def neg_term(j, acc):
             yn = jnp.take(Y, negs[:, j], axis=0)
             dn = yh - yn
             dn2 = jnp.sum(dn * dn, axis=1, keepdims=True)
@@ -196,9 +202,21 @@ def _optimize_layout(
             g_rep = jnp.where(
                 (negs[:, j] == heads)[:, None], 0.0, g_rep
             )
-            return upd.at[heads].add(jnp.clip(g_rep * dn, -4.0, 4.0))
+            return acc + jnp.clip(g_rep * dn, -4.0, 4.0)
 
-        upd = jax.lax.fori_loop(0, neg_rate, neg_term, upd)
+        head_grad = jax.lax.fori_loop(
+            0, neg_rate, neg_term, grad_h
+        )  # [m, dim]
+
+        upd = jax.ops.segment_sum(
+            head_grad, heads, num_segments=n, indices_are_sorted=True
+        )
+        upd = upd + jax.ops.segment_sum(
+            -jnp.take(grad_h, tperm, axis=0),  # move_other
+            tails_sorted,
+            num_segments=n,
+            indices_are_sorted=True,
+        )
         return Y + alpha * upd, key
 
     Y, _ = jax.lax.fori_loop(0, n_epochs, epoch, (Y, key))
@@ -268,8 +286,13 @@ class UMAP:
         S = A + A.T - A.multiply(A.T)
         S = S.tocoo()
         keep = S.data > 1e-8
-        heads = jnp.asarray(S.row[keep].astype(np.int32))
-        tails = jnp.asarray(S.col[keep].astype(np.int32))
+        h_np = S.row[keep].astype(np.int32)  # COO from CSR: row-sorted
+        t_np = S.col[keep].astype(np.int32)
+        tperm_np = np.argsort(t_np, kind="stable").astype(np.int32)
+        heads = jnp.asarray(h_np)
+        tails = jnp.asarray(t_np)
+        tperm = jnp.asarray(tperm_np)
+        tails_sorted = jnp.asarray(t_np[tperm_np])
         w = S.data[keep]
         weights = jnp.asarray((w / w.max()).astype(np.float32))
         self.graph_ = (heads, tails, weights)
@@ -292,6 +315,8 @@ class UMAP:
             heads,
             tails,
             weights,
+            tperm,
+            tails_sorted,
             jax.random.PRNGKey(cfg.random_seed + 1),
             n=n,
             n_epochs=cfg.n_epochs,

@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..linalg import CenteredOperator, MaskedOperator, randomized_svd, svd_flip
+from ..linalg import MaskedOperator
 from ..models.pca import _fit_graph
 from ..sparse.matrix import SparseMatrix
 from ..types import PowerIterationNormalizer, SVDMethod

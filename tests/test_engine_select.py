@@ -6,7 +6,6 @@ planners — with mocked budgets, plus the selector's cache semantics.
 """
 
 import numpy as np
-import pytest
 import scipy.sparse as sp
 
 from single_algebra_tpu import SparseMatrix

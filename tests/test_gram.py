@@ -10,7 +10,7 @@ import pytest
 import scipy.sparse as sp
 
 from single_algebra_tpu import SparseMatrix
-from single_algebra_tpu.linalg import GramPCAEngine, gram_matrix, gram_pca_graph
+from single_algebra_tpu.linalg import GramPCAEngine, gram_matrix
 from single_algebra_tpu.models import MaskedSparsePCABuilder, SparsePCABuilder
 from single_algebra_tpu.types import PowerIterationNormalizer as PIN, SVDMethod
 

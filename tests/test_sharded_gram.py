@@ -5,11 +5,7 @@ import pytest
 import scipy.sparse as sp
 
 from single_algebra_tpu import SparseMatrix
-from single_algebra_tpu.parallel import (
-    ShardedGram,
-    make_mesh,
-    sharded_gram_pca,
-)
+from single_algebra_tpu.parallel import make_mesh, sharded_gram_pca
 from tests.conftest import cluster_counts
 
 
