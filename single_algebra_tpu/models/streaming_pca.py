@@ -119,6 +119,90 @@ def _project_graph(td, tl, Vp, corr, *, wt, ntiles, ct):
     return T - corr[None, :]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("wt", "ntiles", "ct", "exact", "mesh", "ax"),
+    donate_argnums=(0,),
+)
+def _accum_graph_mesh(G, td, tl, *, wt, ntiles, ct, exact, mesh, ax):
+    """Sharded super-slab step: each device densifies its own sub-slab and
+    contributes to the replicated Gram through one psum. td/tl are
+    ``[ndev, nt*wt, SLAB]`` sharded on the leading axis."""
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
+
+    interpret = jax.default_backend() != "tpu"
+    block_rows = min(1024, _SLAB)
+
+    def local(G, td, tl):
+        D = tiled_ell_densify_t(
+            td[0], tl[0], wt=wt, ntiles=ntiles, col_tile=ct,
+            block_rows=block_rows,
+            out_dtype=jnp.bfloat16 if exact else jnp.float32,
+            interpret=interpret,
+        )
+        if exact:
+            Gp = jax.lax.dot_general(
+                D, D, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            Gp = jax.lax.dot_general(
+                D, D, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        x = D.astype(jnp.float32)
+        Gp, s, sq = jax.lax.psum(
+            (Gp, jnp.sum(x, axis=1), jnp.sum(x * x, axis=1)), ax
+        )
+        return G + Gp, s, sq
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(ax, None, None), P(ax, None, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )(G, td, tl)
+
+
+@partial(
+    jax.jit, static_argnames=("wt", "ntiles", "ct", "mesh", "ax")
+)
+def _project_graph_mesh(td, tl, Vp, corr, *, wt, ntiles, ct, mesh, ax):
+    """Sharded super-slab projection -> [ndev * SLAB, k] row-sharded."""
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
+
+    interpret = jax.default_backend() != "tpu"
+
+    def local(td, tl, Vp, corr):
+        D = tiled_ell_densify_t(
+            td[0], tl[0], wt=wt, ntiles=ntiles, col_tile=ct,
+            block_rows=min(1024, _SLAB), out_dtype=jnp.float32,
+            interpret=interpret,
+        )
+        T = jax.lax.dot_general(
+            D, Vp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return T - corr[None, :]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(ax, None, None), P(ax, None, None), P(), P()),
+        out_specs=P(ax, None),
+        check_vma=False,
+    )(td, tl, Vp, corr)
+
+
 @partial(jax.jit, static_argnames=("k", "center"))
 def _solve_graph(G, mu, n, seed, *, k, center):
     """Top-k eigenpairs of the (rank-1 centered) Gram -> (s, vt).
@@ -178,6 +262,8 @@ class StreamingSparsePCA:
         center: bool = True,
         random_seed: int = 42,
         col_tile: int = 256,
+        mesh=None,
+        axis_name: str = "rows",
     ):
         if n_features is None:
             raise ValueError("n_features (matrix width) is required")
@@ -191,6 +277,11 @@ class StreamingSparsePCA:
         self.center = center
         self.random_seed = random_seed
         self.ct = col_tile
+        # optional device mesh: each partial_fit super-slab (ndev * 8192
+        # rows) is row-sharded, densified device-locally, and reduced into
+        # the replicated Gram with one psum — out-of-core AND multi-chip
+        self.mesh = mesh
+        self.axis_name = axis_name
         self.ntiles = max(-(-n_features // col_tile), 1)
         pp = self.ntiles * col_tile
         self._G = jnp.zeros((pp, pp), jnp.float32)
@@ -229,6 +320,45 @@ class StreamingSparsePCA:
                 r1 - r0,
             )
 
+    def _iter_super_slabs(self, chunk):
+        """Mesh mode: yield ``(td [ndev, nt*wt, SLAB], tl, wt, n_rows,
+        exact)`` stacked per-device payloads (common wt, zero-padded
+        trailing sub-slabs)."""
+
+        import ml_dtypes
+
+        ndev = self.mesh.shape[self.axis_name]
+        slabs = list(self._iter_slabs(chunk))
+        for g0 in range(0, len(slabs), ndev):
+            group = slabs[g0 : g0 + ndev]
+            parts, wt = [], 8
+            exact = True
+            n_rows = 0
+            for indptr, indices, data, nr in group:
+                td, tl, wt_d, nt = _slab_payload(
+                    indptr, indices, data, nr, self.n_features, self.ct
+                )
+                exact = exact and not np.any(
+                    data
+                    - data.astype(ml_dtypes.bfloat16).astype(np.float32)
+                )
+                parts.append((td, tl, wt_d, nt))
+                wt = max(wt, wt_d)
+                n_rows += nr
+            nt = parts[0][3]
+            std = np.zeros((ndev, nt * wt, _SLAB), np.float32)
+            stl = np.zeros((ndev, nt * wt, _SLAB), np.int32)
+            for d, (td, tl, wt_d, _) in enumerate(parts):
+                std[d] = np.pad(
+                    td.reshape(nt, wt_d, _SLAB),
+                    ((0, 0), (0, wt - wt_d), (0, 0)),
+                ).reshape(nt * wt, _SLAB)
+                stl[d] = np.pad(
+                    tl.reshape(nt, wt_d, _SLAB),
+                    ((0, 0), (0, wt - wt_d), (0, 0)),
+                ).reshape(nt * wt, _SLAB)
+            yield std, stl, wt, nt, n_rows, bool(exact)
+
     def partial_fit(self, chunk) -> "StreamingSparsePCA":
         """Accumulate one CSR row chunk (any row count) into the Gram and
         the column moments."""
@@ -237,6 +367,26 @@ class StreamingSparsePCA:
 
         if self.components_ is not None:
             raise RuntimeError("finalize() already called")
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(self.axis_name, None, None))
+            for std, stl, wt, nt, n_rows, exact in self._iter_super_slabs(
+                chunk
+            ):
+                self._G, s, sq = _accum_graph_mesh(
+                    self._G,
+                    jax.device_put(std, sh),
+                    jax.device_put(stl, sh),
+                    wt=wt, ntiles=nt, ct=self.ct, exact=exact,
+                    mesh=self.mesh, ax=self.axis_name,
+                )
+                self._sums += np.asarray(s, np.float64)
+                self._sumsq += np.asarray(sq, np.float64)
+                self._n += n_rows
+            return self
+
         for indptr, indices, data, n_rows in self._iter_slabs(chunk):
             td, tl, wt, nt = _slab_payload(
                 indptr, indices, data, n_rows, self.n_features, self.ct
@@ -301,6 +451,22 @@ class StreamingSparsePCA:
         else:
             corr = jnp.zeros((k,), jnp.float32)
         outs = []
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(self.axis_name, None, None))
+            for std, stl, wt, nt, n_rows, _ in self._iter_super_slabs(
+                chunk
+            ):
+                T = _project_graph_mesh(
+                    jax.device_put(std, sh),
+                    jax.device_put(stl, sh),
+                    Vp, corr,
+                    wt=wt, ntiles=nt, ct=self.ct,
+                    mesh=self.mesh, ax=self.axis_name,
+                )
+                outs.append(np.asarray(T)[:n_rows])
+            return np.concatenate(outs, axis=0)
         for indptr, indices, data, n_rows in self._iter_slabs(chunk):
             td, tl, wt, nt = _slab_payload(
                 indptr, indices, data, n_rows, self.n_features, self.ct

@@ -85,3 +85,45 @@ def test_streaming_validation():
         pca.partial_fit(
             sp.random(10, 50, 0.5, format="csr", dtype=np.float32)
         )
+
+
+def test_streaming_mesh_matches_unsharded():
+    """Mesh-mode streaming (row-sharded super-slabs + psum into the
+    replicated Gram) agrees with the single-device stream."""
+
+    from single_algebra_tpu.parallel import make_mesh
+
+    X = _matrix(n=900, p=100, density=0.1, seed=6)
+    k = 4
+    ref = StreamingSparsePCA(n_components=k, n_features=100, random_seed=2)
+    for r0 in range(0, 900, 300):
+        ref.partial_fit(X[r0 : r0 + 300])
+    ref.finalize()
+
+    import single_algebra_tpu.models.streaming_pca as spmod
+
+    old_slab = spmod._SLAB
+    spmod._SLAB = 128  # small slabs so 8 devices see real work in tests
+    try:
+        mesh = make_mesh(8)
+        pca = StreamingSparsePCA(
+            n_components=k, n_features=100, random_seed=2, mesh=mesh
+        )
+        for r0 in range(0, 900, 300):
+            pca.partial_fit(X[r0 : r0 + 300])
+        pca.finalize()
+        T = pca.transform(X[:300])
+    finally:
+        spmod._SLAB = old_slab
+
+    np.testing.assert_allclose(
+        np.asarray(pca.explained_variance_),
+        np.asarray(ref.explained_variance_),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        pca.col_sums(), ref.col_sums(), rtol=1e-5, atol=1e-3
+    )
+    assert T.shape == (300, k)
+    T_ref = ref.transform(X[:300])
+    np.testing.assert_allclose(T, T_ref, rtol=1e-3, atol=1e-4)
