@@ -13,7 +13,7 @@ sequential. The block variant advances ``b`` vectors per step:
 
 Recurrence (block GKL with full reorthogonalization):
 
-    U_j R_j = A V_j - U_{j-1} L_{j-1}       (QR, [n, b])
+    U_j R_j = A V_j - U_{j-1} L_{j-1}^T     (QR, [n, b])
     V_{j+1} L_j = A^T U_j - V_j R_j^T       (QR, [p, b])
 
 giving ``A [V_1..V_m] = [U_1..U_m] B`` with upper block-bidiagonal ``B``
@@ -69,7 +69,9 @@ def block_lanczos_svd(
 
     n, p = op.shape
     k = n_components
-    b = block_size
+    # a block wider than the operator would make the panel QRs rank-
+    # deficient with mismatched [b, b] factor slots
+    b = max(min(block_size, min(n, p)), 1)
     if steps is None:
         kdim = max(16 * k, 384) if tol is not None else max(8 * k, 128)
         steps = max(-(-min(kdim, min(n, p)) // b), 2)
@@ -104,7 +106,7 @@ def block_lanczos_svd(
         V = jax.lax.dynamic_update_slice(V, v_cur.T, (j * b, z))
 
         Au = op_mv(v_cur) - jnp.dot(
-            u_prev, L_prev, precision=MATMUL_PRECISION
+            u_prev, L_prev.T, precision=MATMUL_PRECISION
         )
         Au = reorth(U, Au)
         u, R = _qr_tall(Au)

@@ -54,7 +54,13 @@ from ..types import MATMUL_PRECISION, PowerIterationNormalizer
 from .operators import DenseOperator
 from .svd import randomized_svd, svd_flip
 
-__all__ = ["GramPCAEngine", "gram_matrix", "gram_pca_graph", "topk_psd_eigh"]
+__all__ = [
+    "GramPCAEngine",
+    "gram_matrix",
+    "gram_pca_graph",
+    "topk_psd_eigh",
+    "solve_gram_topk",
+]
 
 _SLAB = 8192  # rows densified per Gram/projection step (large-n regime)
 
@@ -93,6 +99,39 @@ def topk_psd_eigh(Gc: jnp.ndarray, k: int):
 # Grams at or below this width get the exact eigh solve; above it, the
 # jitted randomized solve over the rank-1-centered operator
 EIGH_MAX_PP = 4096
+
+
+def _solve_topk(
+    Gs, mu, n, seed, *, k, center, oversamples=10, iters=6
+):
+    """Shared solve policy (traced): exact eigh for small Grams, the
+    randomized solve over the rank-1-centered operator for large ones.
+    Used by gram_pca_graph, the streaming PCA, and the sharded gram."""
+
+    n_f = jnp.asarray(n, jnp.float32)
+    if Gs.shape[0] <= EIGH_MAX_PP:
+        Gc = Gs - n_f * (mu[:, None] * mu[None, :]) if center else Gs
+        return topk_psd_eigh(Gc, k)
+    if center:
+        # G_c = G - n mu mu^T as a rank-1 correction — never materialize
+        # a second pp x pp array (at p=30k that copy alone is 3.8 GB)
+        solve_op = _CenteredGram(Gs, mu, n_f)
+    else:
+        solve_op = DenseOperator(Gs)
+    res = randomized_svd(
+        solve_op, k, oversamples, iters,
+        PowerIterationNormalizer.QR, seed=seed,
+    )
+    _, vt = svd_flip(res.u, res.vt, u_based_decision=False)
+    s = jnp.sqrt(jnp.maximum(res.s, 0.0))
+    return s, vt
+
+
+@partial(jax.jit, static_argnames=("k", "center"))
+def solve_gram_topk(G, mu, n, seed, *, k, center):
+    """Jitted entry for the shared Gram solve (see :func:`_solve_topk`)."""
+
+    return _solve_topk(G, mu, n, seed, k=k, center=center)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -333,7 +372,12 @@ class GramPCAEngine:
         dims = (((0,), (0,)) if not transposed else ((1,), (0,)))
         if exact:
             D = self._densify(b, i, jnp.bfloat16)
-            m_hi = M.astype(jnp.bfloat16)
+            # the barrier hides the rounding from the simplifier: without
+            # it XLA:TPU folds the f32->bf16->f32 round trip to identity
+            # and m_lo becomes literally zero (measured on-chip: device
+            # split lo == 0, collapsing hi+lo to hi-only 1.9e-3 accuracy;
+            # with the barrier: 2.4e-6)
+            m_hi = jax.lax.optimization_barrier(M.astype(jnp.bfloat16))
             m_lo = (M - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             dot = lambda v: jax.lax.dot_general(
                 D, v,
@@ -502,32 +546,10 @@ def gram_pca_graph(
         mu = jnp.pad(mean.astype(jnp.float32), (0, pp - mean.shape[0]))
         p_out = p
 
-    if Gs.shape[0] <= EIGH_MAX_PP:
-        # exact solve — robust on flat spectra, trivial at this size
-        Gc = (
-            Gs - jnp.asarray(n, jnp.float32) * (mu[:, None] * mu[None, :])
-            if center_svd
-            else Gs
-        )
-        s, vt = topk_psd_eigh(Gc, k)
-    else:
-        solve_op = DenseOperator(Gs)
-        if center_svd:
-            # G_c = G - n mu mu^T as a rank-1 correction — never
-            # materialize a second pp x pp array (at p=30k that copy
-            # alone is 3.8 GB)
-            solve_op = _CenteredGram(Gs, mu, jnp.asarray(n, jnp.float32))
-
-        res = randomized_svd(
-            solve_op,
-            k,
-            solver_oversamples,
-            solver_iters,
-            PowerIterationNormalizer.QR,
-            seed=seed,
-        )
-        _, vt = svd_flip(res.u, res.vt, u_based_decision=False)
-        s = jnp.sqrt(jnp.maximum(res.s, 0.0))
+    s, vt = _solve_topk(
+        Gs, mu, n, seed, k=k, center=center_svd,
+        oversamples=solver_oversamples, iters=solver_iters,
+    )
     if mask_idx is None:
         vt_out = vt[:, :p_out]
     else:

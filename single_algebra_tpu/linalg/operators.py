@@ -321,7 +321,11 @@ class DensifiedOperator:
     # first-order error into the singular values.
     @staticmethod
     def _split(B):
-        hi = B.astype(jnp.bfloat16)
+        # barrier the hi cast: XLA:TPU otherwise folds the
+        # f32->bf16->f32 round trip to identity, making lo literally
+        # zero and silently collapsing the compensated product to
+        # single-bf16 accuracy (measured on-chip)
+        hi = jax.lax.optimization_barrier(B.astype(jnp.bfloat16))
         lo = (B - hi.astype(B.dtype)).astype(jnp.bfloat16)
         return hi, lo
 

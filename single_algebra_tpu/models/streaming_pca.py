@@ -36,13 +36,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import PowerIterationNormalizer
-from ..linalg.svd import randomized_svd, svd_flip
-from ..linalg.gram import _CenteredGram
+from ..linalg.gram import solve_gram_topk
 
 __all__ = ["StreamingSparsePCA"]
 
 _SLAB = 8192
+
+
+def _bf16_exact(data: np.ndarray) -> bool:
+    """bf16-round-trip exactness of a value slab (native early-exit pass;
+    numpy fallback)."""
+
+    from ..native import build as _native
+
+    v = np.ascontiguousarray(data, np.float32)
+    lib = _native.get_lib()
+    if lib is not None:
+        return bool(lib.f32_bf16_exact(v, len(v)))
+    import ml_dtypes
+
+    return not np.any(v - v.astype(ml_dtypes.bfloat16).astype(np.float32))
 
 
 def _slab_payload(indptr, indices, data, n_rows, p, col_tile):
@@ -203,40 +216,6 @@ def _project_graph_mesh(td, tl, Vp, corr, *, wt, ntiles, ct, mesh, ax):
     )(td, tl, Vp, corr)
 
 
-@partial(jax.jit, static_argnames=("k", "center"))
-def _solve_graph(G, mu, n, seed, *, k, center):
-    """Top-k eigenpairs of the (rank-1 centered) Gram -> (s, vt).
-
-    Small Grams (p <= 4096) get an exact ``eigh`` — robust on flat
-    spectra, trivial at this size; larger ones the jitted randomized
-    solve over the rank-1-centered operator (never materializing a
-    second pp x pp array)."""
-
-    from ..linalg.gram import EIGH_MAX_PP, topk_psd_eigh
-
-    pp = G.shape[0]
-    if pp <= EIGH_MAX_PP:
-        Gc = (
-            G - n.astype(jnp.float32) * (mu[:, None] * mu[None, :])
-            if center
-            else G
-        )
-        return topk_psd_eigh(Gc, k)
-
-    if center:
-        op = _CenteredGram(G, mu, n.astype(jnp.float32))
-    else:
-        from ..linalg.operators import DenseOperator
-
-        op = DenseOperator(G)
-    res = randomized_svd(
-        op, k, 10, 6, PowerIterationNormalizer.QR, seed=seed
-    )
-    _, vt = svd_flip(res.u, res.vt, u_based_decision=False)
-    s = jnp.sqrt(jnp.maximum(res.s, 0.0))
-    return s, vt
-
-
 class StreamingSparsePCA:
     """Exact out-of-core PCA over row-slab streams of a CSR matrix.
 
@@ -325,8 +304,6 @@ class StreamingSparsePCA:
         exact)`` stacked per-device payloads (common wt, zero-padded
         trailing sub-slabs)."""
 
-        import ml_dtypes
-
         ndev = self.mesh.shape[self.axis_name]
         slabs = list(self._iter_slabs(chunk))
         for g0 in range(0, len(slabs), ndev):
@@ -338,10 +315,7 @@ class StreamingSparsePCA:
                 td, tl, wt_d, nt = _slab_payload(
                     indptr, indices, data, nr, self.n_features, self.ct
                 )
-                exact = exact and not np.any(
-                    data
-                    - data.astype(ml_dtypes.bfloat16).astype(np.float32)
-                )
+                exact = exact and _bf16_exact(data)
                 parts.append((td, tl, wt_d, nt))
                 wt = max(wt, wt_d)
                 n_rows += nr
@@ -362,8 +336,6 @@ class StreamingSparsePCA:
     def partial_fit(self, chunk) -> "StreamingSparsePCA":
         """Accumulate one CSR row chunk (any row count) into the Gram and
         the column moments."""
-
-        import ml_dtypes
 
         if self.components_ is not None:
             raise RuntimeError("finalize() already called")
@@ -391,12 +363,10 @@ class StreamingSparsePCA:
             td, tl, wt, nt = _slab_payload(
                 indptr, indices, data, n_rows, self.n_features, self.ct
             )
-            exact = not np.any(
-                data - data.astype(ml_dtypes.bfloat16).astype(np.float32)
-            )
+            exact = _bf16_exact(data)
             self._G, s, sq = _accum_graph(
                 self._G, jnp.asarray(td), jnp.asarray(tl),
-                wt=wt, ntiles=nt, ct=self.ct, exact=bool(exact),
+                wt=wt, ntiles=nt, ct=self.ct, exact=exact,
             )
             # host f64 moment accumulation (forces per-slab sync, which
             # also provides transfer backpressure)
@@ -414,7 +384,7 @@ class StreamingSparsePCA:
         mean64 = self._sums / self._n
         self.mean_ = jnp.asarray(mean64[:p].astype(np.float32))
         mu_p = jnp.asarray(mean64.astype(np.float32))
-        s, vt = _solve_graph(
+        s, vt = solve_gram_topk(
             self._G, mu_p, jnp.asarray(self._n), self.random_seed,
             k=self.n_components, center=self.center,
         )
@@ -447,7 +417,12 @@ class StreamingSparsePCA:
             ((0, pp - self.n_features), (0, 0)),
         )
         if self.center:
-            corr = jnp.dot(self.mean_, self.components_.T)
+            from ..types import MATMUL_PRECISION
+
+            corr = jnp.dot(
+                self.mean_, self.components_.T,
+                precision=MATMUL_PRECISION,
+            )
         else:
             corr = jnp.zeros((k,), jnp.float32)
         outs = []
@@ -483,9 +458,13 @@ class StreamingSparsePCA:
     def col_sums(self) -> np.ndarray:
         """Accumulated f64 column sums (streaming ``sum_col_chunk``)."""
 
+        if self._n < 1:
+            raise RuntimeError("no rows accumulated yet")
         return self._sums[: self.n_features].copy()
 
     def col_sums_squared(self) -> np.ndarray:
+        if self._n < 1:
+            raise RuntimeError("no rows accumulated yet")
         return self._sumsq[: self.n_features].copy()
 
     def col_var(self) -> np.ndarray:
@@ -494,6 +473,10 @@ class StreamingSparsePCA:
         reference ``csr.rs:641-657``)."""
 
         n = self._n
+        if n < 2:
+            raise RuntimeError(
+                "need at least 2 accumulated rows for a variance"
+            )
         mean = self._sums / n
         return (
             (self._sumsq - mean * self._sums) / (n - 1)

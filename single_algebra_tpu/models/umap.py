@@ -308,6 +308,20 @@ class UMAP:
         Y0 = jnp.dot(Xc, vt[: cfg.n_components].T)
         Y0 = Y0 / (jnp.std(Y0) + 1e-9) * 10.0
         key = jax.random.PRNGKey(cfg.random_seed)
+        if Y0.shape[1] < cfg.n_components:
+            # input had fewer dims than n_components: PCA init can only
+            # seed d columns — fill the rest with small noise so the
+            # documented [n, n_components] contract holds
+            key, kpad = jax.random.split(key)
+            Y0 = jnp.concatenate(
+                [
+                    Y0,
+                    jax.random.normal(
+                        kpad, (n, cfg.n_components - Y0.shape[1])
+                    ),
+                ],
+                axis=1,
+            )
         Y0 = Y0 + 0.1 * jax.random.normal(key, Y0.shape)
 
         self.embedding_ = _optimize_layout(

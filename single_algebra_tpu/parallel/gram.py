@@ -128,9 +128,15 @@ class ShardedGram:
         n, p = m.shape
         ndev = mesh.shape[axis_name]
         if slab is None:
-            slab = 8192 if n >= 8192 * ndev else max(
-                _cv.round_up(-(-n // ndev), 128), 128
-            )
+            if n >= 8192 * ndev:
+                slab = 8192
+            else:
+                slab = max(_cv.round_up(-(-n // ndev), 128), 128)
+                if slab > 1024:
+                    # the densify kernel needs slab % block_rows == 0 with
+                    # block_rows = min(1024, slab)
+                    slab = min(_cv.round_up(slab, 1024), 8192)
+        assert slab <= 1024 or slab % 1024 == 0, slab
         rs = _cv.round_up(-(-n // ndev), slab)
 
         if col_tile is None:
@@ -261,7 +267,7 @@ def sharded_gram_pca(
     ``sharded_pca_fit_transform`` (transformed row-sharded, components,
     explained_variance, mean, total_variance)."""
 
-    from ..models.streaming_pca import _solve_graph
+    from ..linalg.gram import solve_gram_topk
 
     cache = getattr(m, "_operator_cache", None)
     key = f"sharded:gram:{mesh.shape}:{tuple(d.id for d in mesh.devices.flat)}"
@@ -303,7 +309,7 @@ def sharded_gram_pca(
         Gs = G
         mu_solve = jnp.pad(mean, (0, pp - p))
 
-    s_dev, vt = _solve_graph(
+    s_dev, vt = solve_gram_topk(
         Gs, mu_solve, jnp.asarray(n), seed, k=k, center=center
     )
 
@@ -316,8 +322,12 @@ def sharded_gram_pca(
     else:
         Vp = jnp.pad(vt.T, ((0, pp - vt.shape[1]), (0, 0)))
         comps = vt[:, :p]
+    from ..types import MATMUL_PRECISION
+
     corr = (
-        jnp.dot(mu_solve, vt.T) if center else jnp.zeros((k,), jnp.float32)
+        jnp.dot(mu_solve, vt.T, precision=MATMUL_PRECISION)
+        if center
+        else jnp.zeros((k,), jnp.float32)
     )
     T = op.project(Vp, corr)
 

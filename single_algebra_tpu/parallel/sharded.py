@@ -309,7 +309,10 @@ class ShardedDensified:
     def _precise(self, B, dims, spec_out, mv_like):
         ax = self.axis_name
         parts = [self.hi] + ([self.lo] if self.lo is not None else [])
-        b_hi = B.astype(jnp.bfloat16)
+        # barrier the hi cast: XLA:TPU folds the f32->bf16->f32 round trip
+        # to identity otherwise, zeroing the compensation term (see
+        # DensifiedOperator._split)
+        b_hi = jax.lax.optimization_barrier(B.astype(jnp.bfloat16))
         b_lo = (B - b_hi.astype(B.dtype)).astype(jnp.bfloat16)
 
         def local(*args):

@@ -108,3 +108,10 @@ def test_pca_builder_block_lanczos():
         rtol=1e-4,
     )
     np.testing.assert_allclose(np.abs(Tb), np.abs(Ts), atol=2e-3)
+
+
+def test_block_wider_than_operator_is_clamped():
+    op, X = _op(n=40, p=5, density=0.5, seed=13)
+    res = block_lanczos_svd(op, 2, block_size=8, steps=4, seed=0)
+    s_ref = np.linalg.svd(X.toarray().astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(np.asarray(res.s, np.float64), s_ref[:2], rtol=1e-4)

@@ -83,3 +83,16 @@ def test_sharded_gram_uncentered(data):
     ev_ref = s_ref[:3] ** 2 / (data.shape[0] - 1)
     ev = np.asarray(res.explained_variance, np.float64)
     assert np.abs(ev - ev_ref).max() / ev_ref[0] < 1e-4
+
+
+def test_sharded_gram_odd_slab_granularity():
+    """n/ndev landing between 1024 and 8192 off the 1024 grid must not
+    trip the densify kernel's block alignment (regression: slab=1280)."""
+
+    X = cluster_counts(10_000, 60, n_clusters=4, seed=9).astype(np.float32)
+    m = SparseMatrix.from_scipy(X)
+    res = sharded_gram_pca(m, make_mesh(8), n_components=3, seed=0)
+    ev = np.asarray(res.explained_variance, np.float64)
+    ev_ref = _truth(X, 3)
+    assert np.abs(ev - ev_ref).max() / ev_ref[0] < 1e-4
+    assert np.asarray(res.transformed).shape == (10_000, 3)

@@ -127,3 +127,14 @@ def test_streaming_mesh_matches_unsharded():
     assert T.shape == (300, k)
     T_ref = ref.transform(X[:300])
     np.testing.assert_allclose(T, T_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_streaming_moment_guards():
+    pca = StreamingSparsePCA(n_components=2, n_features=30)
+    with pytest.raises(RuntimeError, match="no rows"):
+        pca.col_sums()
+    with pytest.raises(RuntimeError, match="no rows"):
+        pca.col_sums_squared()
+    pca.partial_fit(sp.random(1, 30, 0.5, format="csr", dtype=np.float32))
+    with pytest.raises(RuntimeError, match="variance"):
+        pca.col_var()

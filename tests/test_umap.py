@@ -83,3 +83,11 @@ def test_umap_validation():
         UMAP(UMAPConfig(n_neighbors=5)).fit_transform(
             np.zeros((1, 3), np.float32)
         )
+
+
+def test_umap_pads_when_input_narrower_than_components():
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((60, 1)).astype(np.float32)
+    emb = np.asarray(UMAP(UMAPConfig(n_neighbors=5, n_epochs=20)).fit_transform(X))
+    assert emb.shape == (60, 2)
+    assert np.isfinite(emb).all()
