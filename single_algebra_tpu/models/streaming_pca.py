@@ -377,6 +377,16 @@ class StreamingSparsePCA:
 
     # -- solve -------------------------------------------------------------
 
+    def refit(self, n_components: int | None = None) -> "StreamingSparsePCA":
+        """Re-solve from the accumulated Gram at a (possibly different)
+        component count — costs only the tiny p-space solve, no pass over
+        the data."""
+
+        if n_components is not None:
+            self.n_components = n_components
+        self.components_ = None
+        return self.finalize()
+
     def finalize(self) -> "StreamingSparsePCA":
         if self._n < 2:
             raise RuntimeError("need at least 2 accumulated rows")

@@ -138,3 +138,17 @@ def test_streaming_moment_guards():
     pca.partial_fit(sp.random(1, 30, 0.5, format="csr", dtype=np.float32))
     with pytest.raises(RuntimeError, match="variance"):
         pca.col_var()
+
+
+def test_streaming_refit_other_k():
+    X = _matrix(n=400, p=60, seed=8)
+    pca = StreamingSparsePCA(n_components=3, n_features=60, random_seed=0)
+    pca.partial_fit(X).finalize()
+    ev3 = np.asarray(pca.explained_variance_).copy()
+    pca.refit(5)
+    assert np.asarray(pca.explained_variance_).shape == (5,)
+    np.testing.assert_allclose(
+        np.asarray(pca.explained_variance_)[:3], ev3, rtol=1e-6
+    )
+    pca.refit(3)
+    assert np.asarray(pca.explained_variance_).shape == (3,)
