@@ -218,8 +218,12 @@ class DensifiedOperator:
     lo: jnp.ndarray | None  # [n, p] bfloat16 or None when exact
     shape: Tuple[int, int]
 
-    @classmethod
-    def from_matrix(cls, m) -> "DensifiedOperator":
+    @staticmethod
+    def densify_host(m):
+        """Host-side densification -> numpy ``(hi, lo_or_None)`` bf16
+        arrays. Shared by the single-device constructor and the sharded
+        engine (which must NOT stage the full array on one device)."""
+
         import ml_dtypes
 
         sp_mat = m.to_scipy().tocsr()
@@ -241,11 +245,9 @@ class DensifiedOperator:
         )
         if nat is not None:
             hi_u16, lo_u16, _ = nat
-            hi = jnp.asarray(hi_u16.view(ml_dtypes.bfloat16))
-            lo = (
-                None if exact else jnp.asarray(lo_u16.view(ml_dtypes.bfloat16))
-            )
-            return cls(hi, lo, (n, p))
+            hi = hi_u16.view(ml_dtypes.bfloat16)
+            lo = None if exact else lo_u16.view(ml_dtypes.bfloat16)
+            return hi, lo
 
         # numpy fallback: memset + nnz-only scatter — O(dense) zeroing +
         # O(nnz) conversion, never a dense f32 intermediate
@@ -254,18 +256,22 @@ class DensifiedOperator:
             np.diff(sp_mat.indptr).astype(np.int64),
         )
         cols = sp_mat.indices.astype(np.int64)
-        hi_np = np.zeros((n, p), dtype=ml_dtypes.bfloat16)
-        hi_np[rows, cols] = hi_vals
-        hi = jnp.asarray(hi_np)
-        del hi_np
-
+        hi = np.zeros((n, p), dtype=ml_dtypes.bfloat16)
+        hi[rows, cols] = hi_vals
         lo = None
         if not exact:
-            lo_np = np.zeros((n, p), dtype=ml_dtypes.bfloat16)
-            lo_np[rows, cols] = lo_vals.astype(ml_dtypes.bfloat16)
-            lo = jnp.asarray(lo_np)
-            del lo_np
-        return cls(hi, lo, (n, p))
+            lo = np.zeros((n, p), dtype=ml_dtypes.bfloat16)
+            lo[rows, cols] = lo_vals.astype(ml_dtypes.bfloat16)
+        return hi, lo
+
+    @classmethod
+    def from_matrix(cls, m) -> "DensifiedOperator":
+        hi, lo = cls.densify_host(m)
+        return cls(
+            jnp.asarray(hi),
+            None if lo is None else jnp.asarray(lo),
+            m.shape,
+        )
 
     @staticmethod
     def hbm_budget_bytes() -> int:

@@ -127,16 +127,23 @@ class MaskedSparsePCA:
 
         if isinstance(op, GramPCAEngine):
             # masked Gram PCA = submatrix of the cached full Gram
+            sm = self.svd_method
             s_dev, vt, T = gram_pca_graph(
                 op,
                 op.gram_cached(),
                 jnp.asarray(mean_np),
                 self.random_seed,
                 k=k,
-                center_svd=self.center and self.svd_method.is_random,
+                center_svd=self.center and sm.is_random,
                 center_T=self.center,
                 want_transform=want_t,
                 mask_idx=idx,
+                solver_oversamples=(
+                    sm.n_oversamples if sm.is_random else 10
+                ),
+                solver_iters=(
+                    sm.n_power_iterations if sm.is_random else 6
+                ),
             )
         else:
             s_dev, vt, T = _fit_graph(
@@ -253,6 +260,10 @@ class MaskedSparsePCA:
 
     @classmethod
     def load(cls, path: str) -> "MaskedSparsePCA":
+        import os
+
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path += ".npz"  # np.savez appends the suffix; np.load does not
         with np.load(path) as z:
             meta = z["meta"]
             obj = cls(

@@ -182,7 +182,11 @@ def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
         return cache[requested]
     if engine == "auto":
         if jax.default_backend() == "tpu" and m.dtype == jnp.float32:
-            if DensifiedOperator.fits(m.shape, needs_lo=_needs_lo(m)):
+            # cheap shape-only check first: the O(nnz) bf16-exactness scan
+            # is pointless when even the hi-only form cannot fit
+            if DensifiedOperator.fits(
+                m.shape, needs_lo=False
+            ) and DensifiedOperator.fits(m.shape, needs_lo=_needs_lo(m)):
                 engine = "dense"
             elif GramPCAEngine.fits(m):
                 # tall-skinny beyond dense-fits (e.g. the reference's
@@ -288,15 +292,24 @@ class SparsePCA:
             # exact two-pass Gram path; the Lanczos method maps to the
             # uncentered solve (reference semantics, SURVEY §3.2), the
             # randomized method to the centered one
+            sm = self.svd_method
             s_dev, vt, T = gram_pca_graph(
                 op,
                 op.gram_cached(),
                 self.mean_,
                 self.random_seed,
                 k=k,
-                center_svd=self.center and self.svd_method.is_random,
+                center_svd=self.center and sm.is_random,
                 center_T=self.center,
                 want_transform=want_t,
+                # large-Gram randomized solve honors the user's method
+                # hyperparameters (ignored by the exact eigh small path)
+                solver_oversamples=(
+                    sm.n_oversamples if sm.is_random else 10
+                ),
+                solver_iters=(
+                    sm.n_power_iterations if sm.is_random else 6
+                ),
             )
         else:
             s_dev, vt, T = _fit_graph(
@@ -417,6 +430,10 @@ class SparsePCA:
 
     @classmethod
     def load(cls, path: str) -> "SparsePCA":
+        import os
+
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path += ".npz"  # np.savez appends the suffix; np.load does not
         with np.load(path) as z:
             meta = z["meta"]
             obj = cls(

@@ -156,7 +156,9 @@ def var_stored_major(
     sq = sum_major_squared(ell_data)
     safe = jnp.maximum(count, 1)
     mean = s / safe
-    var = sq / safe - mean * mean
+    # clamp: sq/n - mean^2 cancels catastrophically for near-constant
+    # lines and can round negative
+    var = jnp.maximum(sq / safe - mean * mean, 0)
     return jnp.where(count > 0, var, 0)
 
 
@@ -172,7 +174,7 @@ def var_stored_major_masked(
     sq = sum_major_squared_masked(ell_data, ell_ids, row_nnz, mask)
     safe = jnp.maximum(count, 1)
     mean = s / safe
-    var = sq / safe - mean * mean
+    var = jnp.maximum(sq / safe - mean * mean, 0)
     return jnp.where(count > 0, var, 0)
 
 
@@ -218,7 +220,8 @@ def var_bessel_dense(
     dt = s.dtype
     nf = jnp.asarray(n, dtype=dt)
     mean = s / nf
-    pop = sq / nf - mean * mean
+    # clamp: the cancelling form can round negative for near-constant axes
+    pop = jnp.maximum(sq / nf - mean * mean, 0)
     if n <= 1:
         return jnp.zeros_like(s)
     return pop * (nf / (nf - 1))

@@ -168,7 +168,6 @@ class ShardedSpMM:
         """A^T @ C -> [p, k] replicated; one psum over the mesh axis."""
 
         ax = self.axis_name
-        rs = self.rows_per_shard
         Cp = jnp.zeros((self.n_padded, C.shape[1]), C.dtype)
         Cp = jax.lax.dynamic_update_slice(Cp, C.astype(Cp.dtype), (0, 0))
 
@@ -250,8 +249,11 @@ class ShardedDensified:
     ) -> "ShardedDensified":
         from ..linalg.operators import DensifiedOperator
 
-        # host densify (native C++), then shard rows across the mesh
-        base = DensifiedOperator.from_matrix(m)
+        # host densify (native C++); rows are padded and sharded straight
+        # from HOST memory — the full dense array must never be staged on
+        # one device (the north-star 1M x 30k is ~60 GB bf16, far beyond
+        # a single chip's HBM but fine in host RAM)
+        hi_np, lo_np = DensifiedOperator.densify_host(m)
         n, p = m.shape
         ndev = mesh.shape[axis_name]
         rs = _cv.round_up(-(-n // ndev), 8)
@@ -261,10 +263,10 @@ class ShardedDensified:
         def place(arr):
             if arr is None:
                 return None
-            a = jnp.pad(arr, ((0, pad), (0, 0))) if pad else arr
+            a = np.pad(arr, ((0, pad), (0, 0))) if pad else arr
             return jax.device_put(a, sh)
 
-        return cls(place(base.hi), place(base.lo), (n, p), mesh, axis_name)
+        return cls(place(hi_np), place(lo_np), (n, p), mesh, axis_name)
 
     def _dots(self, x, B, dims):
         return jax.lax.dot_general(
@@ -306,7 +308,7 @@ class ShardedDensified:
         )(self.hi, Cp)
         return out.astype(C.dtype)
 
-    def _precise(self, B, dims, spec_out, mv_like):
+    def _precise(self, B, dims, mv_like):
         ax = self.axis_name
         parts = [self.hi] + ([self.lo] if self.lo is not None else [])
         # barrier the hi cast: XLA:TPU folds the f32->bf16->f32 round trip
@@ -341,13 +343,13 @@ class ShardedDensified:
         return out.astype(B.dtype)
 
     def mv_precise(self, B):
-        return self._precise(B, ((1,), (0,)), P(self.axis_name, None), True)
+        return self._precise(B, ((1,), (0,)), True)
 
     def rmv_precise(self, C):
         Np = self.hi.shape[0]
         Cp = jnp.zeros((Np, C.shape[1]), C.dtype)
         Cp = jax.lax.dynamic_update_slice(Cp, C, (0, 0))
-        return self._precise(Cp, ((0,), (0,)), P(), False)
+        return self._precise(Cp, ((0,), (0,)), False)
 
     @jax.jit
     def col_stats(self):

@@ -321,3 +321,19 @@ def test_uncentered_ratio_uses_computed_sum(data):
         float(np.asarray(pca.explained_variance_).sum()),
         rtol=1e-6,
     )
+
+
+def test_save_load_without_npz_suffix(tmp_path, data):
+    from single_algebra_tpu.models import SparsePCA
+
+    pca = SparsePCA(n_components=3, svd_method=__import__(
+        "single_algebra_tpu").types.SVDMethod.random(4, 4)
+    )
+    pca.fit(data)
+    path = str(tmp_path / "model")  # no .npz
+    pca.save(path)
+    back = SparsePCA.load(path)
+    import numpy as np
+    np.testing.assert_allclose(
+        np.asarray(back.components_), np.asarray(pca.components_)
+    )
