@@ -292,12 +292,22 @@ class GramPCAEngine:
                 # quantile / pad passes are needed
                 td = np.zeros((nt * c, rc), np.float32)
                 tl = np.zeros((nt * c, rc), np.int32)
-                lib.csr_to_tiled_ell_t_f32(
+                dropped = lib.csr_to_tiled_ell_t_f32(
                     np.ascontiguousarray(s_ip, np.int64),
                     np.ascontiguousarray(s_ix, np.int32),
                     np.ascontiguousarray(s_dt, np.float32),
                     len(rows), ct, c, rc, td, tl,
                 )
+                if dropped:
+                    # a violated class-width invariant means the cached
+                    # bucket plan is stale (e.g. matrix mutated after
+                    # planning) — fail loudly instead of solving on a
+                    # silently truncated payload
+                    raise RuntimeError(
+                        f"bucket width plan stale: {dropped} entries "
+                        f"exceed class width {c} (col_tile={ct}); "
+                        "rebuild the operator after mutating the matrix"
+                    )
             else:
                 td, tl, wt_d, nt_d, _, _, ovw = csr_to_tiled_ell_split_numpy(
                     s_ip, s_ix, s_dt, len(rows), p,

@@ -127,6 +127,9 @@ class MaskedSparsePCA:
 
         if isinstance(op, GramPCAEngine):
             # masked Gram PCA = submatrix of the cached full Gram
+            from .pca import _warn_gram_ignores_lanczos_knobs
+
+            _warn_gram_ignores_lanczos_knobs(self)
             sm = self.svd_method
             s_dev, vt, T = gram_pca_graph(
                 op,

@@ -131,9 +131,13 @@ def _fit_graph(
         )
     elif lanczos_block is not None:
         # block GKL: b Krylov directions per step — MXU-shaped matvecs
-        # and b-fold fewer sequential steps (same raw-operator semantics)
+        # and b-fold fewer sequential steps (same raw-operator semantics).
+        # `steps` is the KRYLOV DIMENSION on every builder surface
+        # (lanczos_steps docs); block_lanczos_svd counts block steps, so
+        # convert here — a tuned depth carries over between modes.
+        bsteps = None if steps is None else max(-(-steps // lanczos_block), 2)
         res = block_lanczos_svd(
-            op, k, block_size=lanczos_block, steps=steps, seed=seed,
+            op, k, block_size=lanczos_block, steps=bsteps, seed=seed,
             tol=tol,
         )
     else:
@@ -217,6 +221,36 @@ def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
     return op
 
 
+def _warn_gram_ignores_lanczos_knobs(model) -> None:
+    """engine='gram' maps the Lanczos method to the exact uncentered Gram
+    solve (``linalg/gram.py`` module docs): ``lanczos_steps`` /
+    ``lanczos_block`` / ``tolerance`` have no effect there. Emit a signal
+    when the user explicitly tuned them, so silence doesn't read as
+    "applied"."""
+
+    if model.svd_method.is_random:
+        return
+    tuned = [
+        name
+        for name, v in (
+            ("lanczos_steps", model.lanczos_steps),
+            ("lanczos_block", model.lanczos_block),
+        )
+        if v is not None
+    ]
+    if tuned:
+        import warnings
+
+        warnings.warn(
+            "engine='gram' computes the Lanczos method as an exact "
+            f"(uncentered) Gram solve; {', '.join(tuned)} (and tolerance) "
+            "are not used on this path. Set engine='dense'/'sparse'/"
+            "'tiled' to run the iterative Lanczos solver.",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 class SparsePCA:
     """PCA on sparse matrices (samples x features).
 
@@ -292,6 +326,7 @@ class SparsePCA:
             # exact two-pass Gram path; the Lanczos method maps to the
             # uncentered solve (reference semantics, SURVEY §3.2), the
             # randomized method to the centered one
+            _warn_gram_ignores_lanczos_knobs(self)
             sm = self.svd_method
             s_dev, vt, T = gram_pca_graph(
                 op,
@@ -470,7 +505,9 @@ class SparsePCABuilder:
     def lanczos_block(self, b: int | None):
         """Block size for the Lanczos path: b Krylov directions per step
         (MXU-shaped matvecs, b-fold fewer sequential steps). None (default)
-        = the scalar recurrence."""
+        = the scalar recurrence. ``lanczos_steps`` keeps its
+        Krylov-dimension meaning in block mode (the engine runs
+        ceil(steps/b) block steps), so a tuned depth carries over."""
 
         self._lanczos_block = b
         return self

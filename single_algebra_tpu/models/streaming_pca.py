@@ -243,6 +243,7 @@ class StreamingSparsePCA:
         col_tile: int = 256,
         mesh=None,
         axis_name: str = "rows",
+        fold_every: int | None = None,
     ):
         if n_features is None:
             raise ValueError("n_features (matrix width) is required")
@@ -267,10 +268,47 @@ class StreamingSparsePCA:
         self._sums = np.zeros(pp, np.float64)
         self._sumsq = np.zeros(pp, np.float64)
         self._n = 0
+        # f32 accumulation of G over an unbounded slab count drifts like
+        # eps * sqrt(n_slabs); every `fold_every` slabs the device G is
+        # folded into a host f64 accumulator (mirroring the column-moment
+        # handling), bounding the drift to one fold group. The fold costs
+        # a [pp, pp] device->host pull, so large Grams fold less often.
+        if fold_every is None:
+            fold_every = 256 if pp <= 8192 else 2048
+        self.fold_every = fold_every
+        self._G64: Optional[np.ndarray] = None
+        self._slabs_since_fold = 0
         self.components_: Optional[jnp.ndarray] = None
         self.explained_variance_: Optional[jnp.ndarray] = None
         self.mean_: Optional[jnp.ndarray] = None
         self.total_variance_: Optional[float] = None
+
+    def _fold_gram(self) -> None:
+        """Fold the device f32 Gram into the host f64 accumulator and
+        reset the device accumulator."""
+
+        if self._slabs_since_fold == 0:
+            return
+        if self._G64 is None:
+            self._G64 = np.zeros(self._G.shape, np.float64)
+        self._G64 += np.asarray(self._G, np.float64)
+        self._G = jnp.zeros(self._G64.shape, jnp.float32)
+        self._slabs_since_fold = 0
+
+    def _count_slabs(self, k: int) -> None:
+        self._slabs_since_fold += k
+        if self._slabs_since_fold >= self.fold_every:
+            self._fold_gram()
+
+    def _invalidate_solve(self) -> None:
+        """New data after finalize(): the Gram is additive, so keep
+        accumulating and just drop the stale solve (true online PCA)."""
+
+        if self.components_ is not None:
+            self.components_ = None
+            self.explained_variance_ = None
+            self.mean_ = None
+            self.total_variance_ = None
 
     # -- accumulation ----------------------------------------------------
 
@@ -335,10 +373,11 @@ class StreamingSparsePCA:
 
     def partial_fit(self, chunk) -> "StreamingSparsePCA":
         """Accumulate one CSR row chunk (any row count) into the Gram and
-        the column moments."""
+        the column moments. Legal after ``finalize()`` too: the Gram is
+        additive, so new data simply invalidates the solved state — call
+        ``finalize()`` again for components over everything seen so far."""
 
-        if self.components_ is not None:
-            raise RuntimeError("finalize() already called")
+        self._invalidate_solve()
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -357,6 +396,7 @@ class StreamingSparsePCA:
                 self._sums += np.asarray(s, np.float64)
                 self._sumsq += np.asarray(sq, np.float64)
                 self._n += n_rows
+                self._count_slabs(self.mesh.shape[self.axis_name])
             return self
 
         for indptr, indices, data, n_rows in self._iter_slabs(chunk):
@@ -373,6 +413,7 @@ class StreamingSparsePCA:
             self._sums += np.asarray(s, np.float64)
             self._sumsq += np.asarray(sq, np.float64)
             self._n += n_rows
+            self._count_slabs(1)
         return self
 
     # -- solve -------------------------------------------------------------
@@ -394,8 +435,15 @@ class StreamingSparsePCA:
         mean64 = self._sums / self._n
         self.mean_ = jnp.asarray(mean64[:p].astype(np.float32))
         mu_p = jnp.asarray(mean64.astype(np.float32))
+        if self._G64 is not None:
+            # drain the open fold group, solve on the f64-accumulated Gram
+            # (rounded once to f32 — eps relative, slab-count independent)
+            self._fold_gram()
+            G_solve = jnp.asarray(self._G64.astype(np.float32))
+        else:
+            G_solve = self._G
         s, vt = solve_gram_topk(
-            self._G, mu_p, jnp.asarray(self._n), self.random_seed,
+            G_solve, mu_p, jnp.asarray(self._n), self.random_seed,
             k=self.n_components, center=self.center,
         )
         s_np = np.asarray(s, np.float64)

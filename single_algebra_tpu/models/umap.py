@@ -188,24 +188,19 @@ def _optimize_layout(
         g_att = jnp.where(active[:, None], g_att, 0.0)
         grad_h = jnp.clip(g_att * d, -4.0, 4.0)
 
-        # repulsion: neg_rate uniform negatives per (active) edge, all
-        # accumulated into one per-edge head gradient
+        # repulsion: neg_rate uniform negatives per (active) edge — ONE
+        # batched [m, neg_rate, dim] pass (a single gather + vectorized
+        # arithmetic) instead of neg_rate sequential [m, dim] passes
         negs = jax.random.randint(k2, (m, neg_rate), 0, n)
-
-        def neg_term(j, acc):
-            yn = jnp.take(Y, negs[:, j], axis=0)
-            dn = yh - yn
-            dn2 = jnp.sum(dn * dn, axis=1, keepdims=True)
-            g_rep = (2.0 * b) / ((eps + dn2) * (1.0 + a * dn2**b))
-            g_rep = jnp.where(active[:, None], g_rep, 0.0)
-            # umap-learn skips self-negatives
-            g_rep = jnp.where(
-                (negs[:, j] == heads)[:, None], 0.0, g_rep
-            )
-            return acc + jnp.clip(g_rep * dn, -4.0, 4.0)
-
-        head_grad = jax.lax.fori_loop(
-            0, neg_rate, neg_term, grad_h
+        yn = jnp.take(Y, negs, axis=0)  # [m, neg_rate, dim]
+        dn = yh[:, None, :] - yn  # [m, neg_rate, dim]
+        dn2 = jnp.sum(dn * dn, axis=2, keepdims=True)
+        g_rep = (2.0 * b) / ((eps + dn2) * (1.0 + a * dn2**b))
+        g_rep = jnp.where(active[:, None, None], g_rep, 0.0)
+        # umap-learn skips self-negatives
+        g_rep = jnp.where((negs == heads[:, None])[..., None], 0.0, g_rep)
+        head_grad = grad_h + jnp.sum(
+            jnp.clip(g_rep * dn, -4.0, 4.0), axis=1
         )  # [m, dim]
 
         upd = jax.ops.segment_sum(

@@ -81,7 +81,10 @@ def get_lib():
         lib.csr_to_tiled_ell_t_f32.argtypes = [
             i64p, i32p, f32p, c64, c64, c64, c64, f32p, i32p,
         ]
-        lib.csr_to_tiled_ell_t_f32.restype = None
+        # returns the count of entries whose rank overflowed wt (caller
+        # bug when nonzero — a stale width plan would otherwise corrupt
+        # the heap silently)
+        lib.csr_to_tiled_ell_t_f32.restype = c64
         lib.csr_tile_width.argtypes = [i64p, i32p, c64, c64]
         lib.csr_tile_width.restype = c64
         lib.csr_densify_bf16.argtypes = [

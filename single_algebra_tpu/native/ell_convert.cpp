@@ -54,13 +54,16 @@ void csr_transpose_f32(const int64_t* indptr, const int32_t* indices,
 // CSR -> column-tiled padded ELL (the Pallas SpMM kernel layout),
 // TRANSPOSED orientation: outputs are [ntiles * wt, rows_padded].
 // tdata_t/tlocal_t must be zero-initialized by the caller.
-// Returns the max per-(row, tile) group size (caller pre-computes wt with
-// csr_tile_width and passes it back here).
-void csr_to_tiled_ell_t_f32(const int64_t* indptr, const int32_t* indices,
-                            const float* data, int64_t n_rows,
-                            int64_t col_tile, int64_t wt,
-                            int64_t rows_padded, float* tdata_t,
-                            int32_t* tlocal_t) {
+// The caller pre-computes wt with csr_tile_width and passes it back here;
+// entries whose within-(row, tile) rank reaches wt are NOT written (they
+// would index past the slot array) and are counted in the return value —
+// callers must treat a nonzero return as a caller bug (stale width plan).
+int64_t csr_to_tiled_ell_t_f32(const int64_t* indptr, const int32_t* indices,
+                               const float* data, int64_t n_rows,
+                               int64_t col_tile, int64_t wt,
+                               int64_t rows_padded, float* tdata_t,
+                               int32_t* tlocal_t) {
+  int64_t dropped = 0;
   for (int64_t r = 0; r < n_rows; ++r) {
     int64_t cur_tile = -1;
     int64_t rank = 0;
@@ -69,11 +72,16 @@ void csr_to_tiled_ell_t_f32(const int64_t* indptr, const int32_t* indices,
       const int64_t t = c / col_tile;
       rank = (t == cur_tile) ? rank + 1 : 0;
       cur_tile = t;
+      if (rank >= wt) {
+        ++dropped;
+        continue;
+      }
       const int64_t slot = (t * wt + rank) * rows_padded + r;
       tdata_t[slot] = data[i];
       tlocal_t[slot] = static_cast<int32_t>(c - t * col_tile);
     }
   }
+  return dropped;
 }
 
 // max per-(row, tile) group size, needed to size wt before conversion

@@ -115,3 +115,37 @@ def test_block_wider_than_operator_is_clamped():
     res = block_lanczos_svd(op, 2, block_size=8, steps=4, seed=0)
     s_ref = np.linalg.svd(X.toarray().astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(np.asarray(res.s, np.float64), s_ref[:2], rtol=1e-4)
+
+
+def test_pca_block_steps_are_krylov_dimension(monkeypatch):
+    """SparsePCABuilder.lanczos_steps documents the KRYLOV DIMENSION; in
+    block mode the engine must receive ceil(steps/b) BLOCK steps (advisor
+    r2: a tuned depth silently did b-fold more work)."""
+
+    import scipy.sparse as sp
+
+    import single_algebra_tpu.models.pca as pcamod
+    from single_algebra_tpu.models import SparsePCABuilder
+
+    seen = {}
+    real = pcamod.block_lanczos_svd
+
+    def spy(op, k, *, block_size, steps, seed, tol=None):
+        seen["steps"] = steps
+        seen["block"] = block_size
+        return real(op, k, block_size=block_size, steps=steps, seed=seed,
+                    tol=tol)
+
+    monkeypatch.setattr(pcamod, "block_lanczos_svd", spy)
+    X = sp.random(
+        300, 90, 0.1, format="csr", dtype=np.float32, random_state=7
+    )
+    # unique (steps, block) pair so the jitted fit graph retraces and the
+    # trace goes through the spy
+    pca = (
+        SparsePCABuilder().n_components(3).lanczos_steps(37)
+        .lanczos_block(5).engine("sparse").build()
+    )
+    pca.fit(X)
+    assert seen["block"] == 5
+    assert seen["steps"] == -(-37 // 5)  # ceil(krylov_dim / b) = 8

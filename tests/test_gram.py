@@ -135,3 +135,42 @@ def test_gram_inexact_values_f32_path():
     G = np.asarray(gram_matrix(eng))
     ref = X.toarray().T @ X.toarray()
     assert np.abs(G[:90, :90] - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_gram_warns_on_ignored_lanczos_knobs(counts):
+    """engine='gram' maps Lanczos to the exact solve — tuning
+    lanczos_steps/lanczos_block there must emit a signal, not silence."""
+
+    import warnings
+
+    X, m = counts
+    pca = (
+        SparsePCABuilder().n_components(4)
+        .svd_method(SVDMethod.lanczos())
+        .lanczos_steps(64).engine("gram").build()
+    )
+    with pytest.warns(UserWarning, match="lanczos_steps"):
+        pca.fit(m)
+
+    # no knobs tuned -> no warning; randomized method -> no warning
+    for builder in (
+        SparsePCABuilder().n_components(4)
+        .svd_method(SVDMethod.lanczos()).engine("gram"),
+        SparsePCABuilder().n_components(4)
+        .svd_method(SVDMethod.random(10, 7, PIN.QR))
+        .lanczos_steps(64).engine("gram"),
+    ):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            builder.build().fit(m)
+
+    # masked surface warns too
+    mask = np.zeros(X.shape[1], bool)
+    mask[:100] = True
+    mpca = (
+        MaskedSparsePCABuilder().n_components(4).mask(mask)
+        .svd_method(SVDMethod.lanczos())
+        .lanczos_block(8).engine("gram").build()
+    )
+    with pytest.warns(UserWarning, match="lanczos_block"):
+        mpca.fit(m)

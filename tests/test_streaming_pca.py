@@ -81,10 +81,72 @@ def test_streaming_validation():
         StreamingSparsePCA(n_components=3)
     pca.partial_fit(sp.random(10, 50, 0.5, format="csr", dtype=np.float32))
     pca.finalize()
-    with pytest.raises(RuntimeError, match="finalize"):
-        pca.partial_fit(
+    # new data after finalize is legal (the Gram is additive) but drops
+    # the stale solve until the next finalize()
+    pca.partial_fit(sp.random(10, 50, 0.5, format="csr", dtype=np.float32))
+    assert pca.components_ is None
+    with pytest.raises(RuntimeError, match="fitted"):
+        pca.transform(
             sp.random(10, 50, 0.5, format="csr", dtype=np.float32)
         )
+
+
+def test_streaming_incremental_refit():
+    """fit A -> finalize -> fit B -> finalize == one-shot fit of [A; B]
+    (true online PCA: G is additive, the solve is just re-run)."""
+
+    X = _matrix(n=500, p=80, seed=11)
+    A, B = X[:300], X[300:]
+    k = 4
+    inc = StreamingSparsePCA(n_components=k, n_features=80, random_seed=1)
+    inc.partial_fit(A).finalize()
+    ev_a = np.asarray(inc.explained_variance_).copy()
+    inc.partial_fit(B)
+    inc.finalize()
+
+    one = StreamingSparsePCA(n_components=k, n_features=80, random_seed=1)
+    one.partial_fit(X).finalize()
+
+    assert not np.allclose(ev_a, np.asarray(inc.explained_variance_))
+    np.testing.assert_allclose(
+        np.asarray(inc.explained_variance_),
+        np.asarray(one.explained_variance_),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(inc.components_)),
+        np.abs(np.asarray(one.components_)),
+        rtol=1e-2, atol=1e-4,
+    )
+    np.testing.assert_allclose(inc.col_sums(), one.col_sums(), rtol=1e-6)
+    # transforms agree too
+    np.testing.assert_allclose(
+        inc.transform(A), one.transform(A), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_streaming_fold_matches_unfolded():
+    """The periodic f64 Gram fold is numerically transparent at small
+    slab counts (its purpose is bounding drift at large ones)."""
+
+    X = _matrix(n=600, p=64, seed=12)
+    a = StreamingSparsePCA(
+        n_components=3, n_features=64, random_seed=0, fold_every=1
+    )
+    b = StreamingSparsePCA(
+        n_components=3, n_features=64, random_seed=0, fold_every=10**9
+    )
+    for r0 in range(0, 600, 150):
+        a.partial_fit(X[r0 : r0 + 150])
+        b.partial_fit(X[r0 : r0 + 150])
+    a.finalize()
+    b.finalize()
+    assert a._G64 is not None and b._G64 is None
+    np.testing.assert_allclose(
+        np.asarray(a.explained_variance_),
+        np.asarray(b.explained_variance_),
+        rtol=1e-5,
+    )
 
 
 def test_streaming_mesh_matches_unsharded():
