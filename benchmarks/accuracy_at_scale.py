@@ -1,0 +1,236 @@
+"""EV exactness + baselines at the flagship shapes (VERDICT r2 #1/#3).
+
+Round 2's large-shape rows carried only an `ev_head` on flat-spectrum
+uniform data (indistinguishable from a subtly wrong solve) and NO CPU
+denominator. This script re-runs the reference stress shape (10M x 2,500,
+``pca/sparse/mod.rs:540-562``) and the wide dense-doesn't-fit shape
+(400k x 30k) with PLANTED gapped spectra (the cluster generator from
+tests/conftest.py, streamed slab-wise so the dense intermediate never
+materializes), and records for each:
+
+* ``ev_rel_err`` — explained-variance relative error vs a host-computable
+  f64 truth (sparse-sparse Gram + centered eigh/eigsh; cheap BECAUSE the
+  data is sparse: cost ~ sum_r nnz_r^2, not n p^2);
+* ``warm_fit_s`` (operator+Gram cached: the repeated-fit path) and
+  ``warm_full_s`` (Gram cache dropped: one full data pass + solve +
+  projection);
+* ``cpu_1core_s`` measured on the SAME matrix (bench.py's Halko pipeline)
+  and the projected 64-core baseline + ``vs_64core`` speedups.
+
+Writes ``benchmarks/results_large_tpu.json`` (replacing the round-2 file —
+the tautological ``ev_ratio_sum_k`` field is gone).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+from single_algebra_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TRUTH_CACHE = os.path.join(HERE, "_truth_cache")
+
+SHAPES = {
+    "stress": dict(n=10_000_000, p=2_500, density=0.01, k=50, seed=7),
+    "wide": dict(n=400_000, p=30_000, density=0.01, k=50, seed=7),
+}
+
+
+def _log(msg):
+    print(f"[acc] {msg}", file=sys.stderr, flush=True)
+
+
+def cluster_counts_big(n, p, n_clusters=16, seed=0, density=0.01):
+    """Slab-streamed planted-spectrum counts (tests/conftest.py generator
+    at scales where the dense [n, p] intermediate cannot exist)."""
+
+    rng = np.random.default_rng(seed)
+    base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
+        rng.random((n_clusters, p)) < 0.5
+    )
+    scale = np.geomspace(8, 1, n_clusters)[:, None]
+    lam = (base * scale * (density / max(base.mean(), 1e-9))).astype(
+        np.float64
+    )
+    slab = max(1, int(2e8 // p))  # ~1.6 GB of int64 draws per slab
+    blocks = []
+    t0 = time.time()
+    for r0 in range(0, n, slab):
+        r1 = min(r0 + slab, n)
+        labels = rng.integers(0, n_clusters, r1 - r0)
+        Xs = rng.poisson(lam[labels]).astype(np.float32)
+        blocks.append(sp.csr_matrix(Xs))
+        if r0 // slab % 8 == 0:
+            _log(f"gen {r1}/{n} rows ({time.time() - t0:.0f}s)")
+    return sp.vstack(blocks).tocsr()
+
+
+def host_truth_ev(X, k, name):
+    """Top-k centered EVs in f64: sparse-sparse Gram + eigh (p <= 4096)
+    or eigsh on the dense f64 Gram (larger p). Cached on disk."""
+
+    os.makedirs(TRUTH_CACHE, exist_ok=True)
+    cpath = os.path.join(TRUTH_CACHE, f"{name}_ev.npy")
+    if os.path.exists(cpath):
+        return np.load(cpath)
+    n, p = X.shape
+    t0 = time.time()
+    X64 = sp.csr_matrix(X, dtype=np.float64)
+    G = (X64.T @ X64).toarray()
+    mu = np.asarray(X64.mean(axis=0)).ravel()
+    _log(f"truth Gram built in {time.time() - t0:.0f}s")
+    Gc = G - n * np.outer(mu, mu)
+    del G
+    if p <= 4096:
+        w = np.linalg.eigvalsh(Gc)[::-1][:k]
+    else:
+        from scipy.sparse.linalg import eigsh
+
+        w, _ = eigsh(Gc, k=k, which="LA")
+        w = np.sort(w)[::-1]
+    ev = w / (n - 1)
+    _log(f"truth eigs done in {time.time() - t0:.0f}s")
+    np.save(cpath, ev)
+    return ev
+
+
+def cpu_reference(X, k, key):
+    """Measured 1-core Halko on this matrix (cached in BASELINE_LOCAL)."""
+
+    import bench
+
+    cache = {}
+    if os.path.exists(bench.BASELINE_CACHE):
+        cache = json.load(open(bench.BASELINE_CACHE))
+    if key in cache and isinstance(cache[key], dict):
+        return cache[key]
+    total, spmm, dense, _ = bench.run_cpu_reference(X, k)
+    cache[key] = {"total_1core_s": total, "spmm_s": spmm, "dense_s": dense}
+    json.dump(cache, open(bench.BASELINE_CACHE, "w"))
+    return cache[key]
+
+
+def tpu_fit(X, k, seed):
+    """(warm_fit_s, warm_full_s, cold_s, load_s, ev, engine)."""
+
+    import jax
+
+    from single_algebra_tpu import SparseMatrix
+    from single_algebra_tpu.models import SparsePCABuilder
+    from single_algebra_tpu.types import PowerIterationNormalizer, SVDMethod
+
+    t0 = time.perf_counter()
+    m = SparseMatrix.from_scipy(X, device=False)
+    load_s = time.perf_counter() - t0
+
+    def one_fit():
+        pca = (
+            SparsePCABuilder()
+            .n_components(k)
+            .svd_method(SVDMethod.random(10, 7, PowerIterationNormalizer.QR))
+            .random_seed(seed)
+            .build()
+        )
+        t1 = time.perf_counter()
+        pca.fit(m)
+        jax.device_get(
+            (pca.components_, pca.explained_variance_, pca.mean_)
+        )
+        return time.perf_counter() - t1, pca
+
+    cold_s, pca = one_fit()
+    _log(f"cold fit {cold_s:.1f}s")
+    warms = [one_fit()[0] for _ in range(3)]
+    warm_fit_s = min(warms)
+    # warm INCLUDING the Gram/data pass: drop the per-matrix Gram cache
+    op = next(iter(getattr(m, "_operator_cache", {}).values()), None)
+    fulls = []
+    for _ in range(2):
+        if op is not None and hasattr(op, "_gram_cache"):
+            del op._gram_cache
+        dt, pca = one_fit()
+        fulls.append(dt)
+    warm_full_s = min(fulls)
+    engine = type(op).__name__ if op is not None else "?"
+    return dict(
+        load_s=load_s, cold_s=cold_s, warm_fit_s=warm_fit_s,
+        warm_full_s=warm_full_s,
+        ev=np.asarray(pca.explained_variance_, np.float64), engine=engine,
+    )
+
+
+def main():
+    import bench as bench_mod
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", nargs="*", default=list(SHAPES))
+    ap.add_argument("--skip-cpu", action="store_true")
+    args = ap.parse_args()
+
+    rows = []
+    for name in args.shapes:
+        cfg = SHAPES[name]
+        _log(f"=== {name}: {cfg}")
+        X = cluster_counts_big(
+            cfg["n"], cfg["p"], seed=cfg["seed"], density=cfg["density"]
+        )
+        _log(f"{name}: nnz={X.nnz} ({X.nnz / cfg['n'] / cfg['p']:.4f})")
+        ev_ref = host_truth_ev(X, cfg["k"], name)
+
+        r = tpu_fit(X, cfg["k"], cfg["seed"])
+        ev = r.pop("ev")[: len(ev_ref)]
+        ev_rel_err = float(np.abs(ev - ev_ref).max() / ev_ref[0])
+
+        row = dict(
+            shape=name, n=cfg["n"], p=cfg["p"], nnz=int(X.nnz),
+            k=cfg["k"], backend=str(jax.devices()[0].device_kind),
+            planted_spectrum=True, ev_rel_err=ev_rel_err, **{
+                k2: (round(v, 4) if isinstance(v, float) else v)
+                for k2, v in r.items()
+            },
+        )
+        if not args.skip_cpu:
+            key = f"planted:{name}:{cfg['n']}x{cfg['p']}x{cfg['seed']}"
+            cpu = cpu_reference(X, cfg["k"], key)
+            p64 = bench_mod.project_64core(cpu["spmm_s"], cpu["dense_s"])
+            row.update(
+                cpu_1core_s=round(cpu["total_1core_s"], 1),
+                cpu_64core_projected_s=round(p64, 2),
+                vs_1core=round(cpu["total_1core_s"] / r["warm_fit_s"], 1),
+                vs_64core=round(p64 / r["warm_fit_s"], 2),
+                vs_64core_full=round(p64 / r["warm_full_s"], 2),
+            )
+        rows.append(row)
+        _log(json.dumps(row))
+        del X
+
+    out = dict(
+        note=(
+            "flagship shapes, PLANTED gapped spectra; ev_rel_err vs host "
+            "f64 sparse-Gram truth; vs_64core uses the documented "
+            "CPU-favoring projection (BASELINE.md); warm_fit = operator+"
+            "Gram cached (repeated-fit path), warm_full = Gram re-computed "
+            "(one full data pass + solve + projection)"
+        ),
+        rows=rows,
+    )
+    path = os.path.join(HERE, "results_large_tpu.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"written": path, "rows": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,15 +1,22 @@
-"""Graded workloads #2 and #5 (BASELINE.json) + UMAP at scale, on-chip.
+"""All five graded workloads (BASELINE.json) in one artifact, at HEAD.
 
-#2: Normalize + Log1P preprocessing on a sparse expression matrix.
-#5: Cosine / euclidean similarity over PCA-scale embeddings.
-Bonus: UMAP end-to-end on 50k cells x 50 dims (kNN + fuzzy graph + 200
-epochs of layout optimization).
+#1: CSR column stats (sum_col / sum_col_squared) on 1000x5000 f64 —
+    run in a SUBPROCESS via f64_on_chip.py (x64 mode is process-global).
+#2: Normalize + Log1P preprocessing on a 100k x 10k (30M nnz) matrix.
+#3: SparsePCA, randomized SVD (k=50, os=10, QR) — warm at the 100k x 10k
+    shape, EV parity on gapped 20k x 1500 cluster data vs host f64 SVD.
+#4: MaskedSparsePCA with Lanczos SVD, 30% HVG mask on 50k x 10k — warm,
+    plus EV parity vs an uncentered host f64 Gram eigendecomposition of
+    the masked submatrix (the Lanczos path's reference semantics).
+Bonus: UMAP end-to-end on 50k cells x 50 dims.
 
-Appends results to benchmarks/results_graded.json.
+Every row carries BOTH a warm time and an accuracy figure (VERDICT r2
+next-round #6). Writes benchmarks/results_graded.json.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,7 +28,8 @@ from single_algebra_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results_graded.json")
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "results_graded.json")
 
 
 def _timed(fn, n=3):
@@ -34,19 +42,60 @@ def _timed(fn, n=3):
     return min(runs)
 
 
+def _cluster_counts(n, p, n_clusters=16, seed=0, density=0.1):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
+        rng.random((n_clusters, p)) < 0.5
+    )
+    scale = np.geomspace(8, 1, n_clusters)[:, None]
+    lam = base * scale * (density / max(base.mean(), 1e-9))
+    labels = rng.integers(0, n_clusters, n)
+    X = rng.poisson(lam[labels]).astype(np.float64)
+    return sp.csr_matrix(X)
+
+
 def main():
     import jax
     import scipy.sparse as sp
 
     from single_algebra_tpu import Direction, SparseMatrix
+    from single_algebra_tpu.models import (
+        MaskedSparsePCABuilder,
+        SparsePCABuilder,
+        UMAP,
+        UMAPConfig,
+    )
     from single_algebra_tpu.similarity import (
         CosineSimilarity,
         EuclideanSimilarity,
     )
-    from single_algebra_tpu.models import UMAP, UMAPConfig
+    from single_algebra_tpu.types import (
+        PowerIterationNormalizer as PIN,
+        SVDMethod,
+    )
 
     d = jax.devices()[0]
     res = {"backend": f"{d.platform}:{d.device_kind}"}
+
+    # -- #1 f64 col stats: subprocess (x64 is process-global) -------------
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "f64_on_chip.py")],
+        capture_output=True, text=True, timeout=900,
+    )
+    if proc.returncode == 0:
+        f64 = json.loads(proc.stdout.strip().splitlines()[-1])
+        res["config1_f64_col_stats_1000x5000"] = f64[
+            "f64_col_stats_1000x5000"
+        ]
+        res["f64_pca_20000x2000_k10"] = f64.get("f64_pca_20000x2000_k10")
+        print("#1 (f64 subprocess):", res["config1_f64_col_stats_1000x5000"],
+              file=sys.stderr)
+    else:
+        res["config1_f64_col_stats_1000x5000"] = {
+            "error": proc.stderr[-500:]
+        }
 
     # -- #2 normalize + log1p on 100k x 10k d=0.03 (30M nnz) --------------
     rng = np.random.default_rng(42)
@@ -61,10 +110,96 @@ def main():
     def pipe():
         out = m.normalize(sums, 1e4, Direction.ROW).log1p_normalize()
         np.asarray(out.sum_row()[:1])  # sync
+        return out
 
     t2 = _timed(pipe)
-    print(f"#2 normalize+log1p 30M nnz: {t2*1e3:.0f} ms warm", file=sys.stderr)
-    res["config2_normalize_log1p_30Mnnz"] = {"warm_s": round(t2, 4)}
+    # accuracy: device row sums of the transformed matrix vs host scipy
+    out = pipe()
+    dev_sums = np.asarray(out.sum_row(), np.float64)
+    Xh = X.copy()
+    s = np.asarray(Xh.sum(axis=1)).ravel()
+    scale = np.divide(1e4, s, out=np.zeros_like(s), where=s != 0)
+    Xh = sp.diags(scale) @ Xh
+    Xh.data = np.log1p(Xh.data)
+    ref_sums = np.asarray(Xh.sum(axis=1)).ravel()
+    err2 = float(
+        np.abs(dev_sums - ref_sums).max() / max(np.abs(ref_sums).max(), 1e-9)
+    )
+    print(f"#2 normalize+log1p 30M nnz: {t2*1e3:.0f} ms warm, "
+          f"rowsum rel err {err2:.1e}", file=sys.stderr)
+    res["config2_normalize_log1p_30Mnnz"] = {
+        "warm_s": round(t2, 4), "rowsum_rel_err": err2,
+    }
+
+    # -- #3 SparsePCA randomized k=50: warm at scale + EV parity ----------
+    pca3 = (
+        SparsePCABuilder().n_components(50)
+        .svd_method(SVDMethod.random(10, 7, PIN.QR)).build()
+    )
+
+    def fit3():
+        p3 = (
+            SparsePCABuilder().n_components(50)
+            .svd_method(SVDMethod.random(10, 7, PIN.QR)).build()
+        )
+        p3.fit(m)
+        jax.device_get(p3.components_[:1])
+
+    t3 = _timed(fit3)
+    Xc = _cluster_counts(20_000, 1_500, seed=3).astype(np.float32)
+    mc = SparseMatrix.from_scipy(Xc)
+    pca3.n_components = 8
+    pca3.fit(mc)
+    D = Xc.toarray().astype(np.float64)
+    Dc = D - D.mean(axis=0)
+    ev_ref = np.linalg.svd(Dc, compute_uv=False)[:8] ** 2 / (20_000 - 1)
+    err3 = float(
+        np.abs(np.asarray(pca3.explained_variance_, np.float64) - ev_ref).max()
+        / ev_ref[0]
+    )
+    print(f"#3 PCA k=50 100kx10k: {t3:.3f} s warm; EV rel err (gapped "
+          f"20kx1500, k=8) {err3:.1e}", file=sys.stderr)
+    res["config3_pca_randomized_k50_100kx10k"] = {
+        "warm_s": round(t3, 4),
+        "ev_rel_err_gapped_20kx1500_k8": err3,
+    }
+
+    # -- #4 MaskedSparsePCA Lanczos k=30, 30% HVG mask on 50k x 10k -------
+    X4 = _cluster_counts(50_000, 10_000, seed=6, density=0.03).astype(
+        np.float32
+    )
+    m4 = SparseMatrix.from_scipy(X4)
+    # "HVG" mask: top-30% variance columns (the reference workload shape)
+    var = np.asarray(m4.var_col(), np.float64)
+    thr = np.quantile(var, 0.7)
+    mask = var >= thr
+
+    def fit4():
+        p4 = (
+            MaskedSparsePCABuilder().n_components(30).mask(mask)
+            .svd_method(SVDMethod.lanczos()).build()
+        )
+        p4.fit(m4)
+        jax.device_get(p4.components_[:1])
+        return p4
+
+    t4 = _timed(fit4)
+    p4 = fit4()
+    # truth: Lanczos path = truncated SVD of RAW masked X (SURVEY 3.2):
+    # uncentered f64 Gram of the masked submatrix, top-k eigs
+    Xm = sp.csr_matrix(X4[:, mask], dtype=np.float64)
+    G = (Xm.T @ Xm).toarray()
+    w = np.linalg.eigvalsh(G)[::-1][:30]
+    ev_ref4 = w / (50_000 - 1)
+    ev4 = np.asarray(p4.explained_variance_, np.float64)
+    err4 = float(np.abs(ev4 - ev_ref4).max() / ev_ref4[0])
+    print(f"#4 masked Lanczos k=30 50kx10k (30% mask): {t4:.3f} s warm; "
+          f"EV rel err vs f64 Gram {err4:.1e}", file=sys.stderr)
+    res["config4_masked_lanczos_k30_50kx10k"] = {
+        "warm_s": round(t4, 4),
+        "mask_frac": round(float(mask.mean()), 3),
+        "ev_rel_err_vs_f64_gram": err4,
+    }
 
     # -- #5 similarity over embeddings ------------------------------------
     E = rng.standard_normal((20_000, 50)).astype(np.float32)
@@ -75,19 +210,28 @@ def main():
     euc = EuclideanSimilarity()
 
     def cos_run():
-        np.asarray(cos.pairwise(Ed)[:1, :1])
+        return cos.pairwise(Ed)
 
     def euc_run():
-        np.asarray(euc.pairwise(Ed)[:1, :1])
+        return euc.pairwise(Ed)
 
-    t5c, t5e = _timed(cos_run), _timed(euc_run)
+    t5c = _timed(lambda: np.asarray(cos_run()[:1, :1]))
+    t5e = _timed(lambda: np.asarray(euc_run()[:1, :1]))
+    # accuracy on a 128-row block vs numpy f64
+    S = np.asarray(cos_run()[:128, :128], np.float64)
+    Eb = E[:128].astype(np.float64)
+    nrm = np.linalg.norm(Eb, axis=1, keepdims=True)
+    S_ref = (Eb / nrm) @ (Eb / nrm).T
+    err5 = float(np.abs(S - S_ref).max())
     print(
-        f"#5 cosine 20k x 20k: {t5c*1e3:.0f} ms; euclidean {t5e*1e3:.0f} ms",
+        f"#5 cosine 20k x 20k: {t5c*1e3:.0f} ms; euclidean {t5e*1e3:.0f} ms;"
+        f" cosine abs err {err5:.1e}",
         file=sys.stderr,
     )
     res["config5_similarity_20k_50d"] = {
         "cosine_warm_s": round(t5c, 4),
         "euclidean_warm_s": round(t5e, 4),
+        "cosine_abs_err_128blk": err5,
     }
 
     # -- UMAP on 50k x 50 --------------------------------------------------
@@ -95,10 +239,16 @@ def main():
     lab = rng.integers(0, 10, 50_000)
     Xu = (centers[lab] + rng.standard_normal((50_000, 50))).astype(np.float32)
     t0 = time.perf_counter()
-    emb = UMAP(UMAPConfig(n_neighbors=15, n_epochs=200)).fit_transform(Xu)
+    um = UMAP(UMAPConfig(n_neighbors=15, n_epochs=200))
+    emb = um.fit_transform(Xu)
     emb_np = np.asarray(emb)
     t_umap = time.perf_counter() - t0
     assert np.isfinite(emb_np).all()
+    # warm layout-only timing (the batched-negatives epoch loop)
+    t1 = time.perf_counter()
+    emb2 = um.fit_transform(Xu)
+    np.asarray(emb2)
+    t_umap_warm = time.perf_counter() - t1
     within = np.mean(
         [
             np.linalg.norm(
@@ -113,13 +263,14 @@ def main():
     )
     min_across = dmat[dmat > 0].min()
     print(
-        f"UMAP 50k x 50 -> 2d: {t_umap:.1f} s end-to-end (cold incl. "
-        f"compile); separation min-across/within = {min_across/within:.1f}",
+        f"UMAP 50k x 50 -> 2d: {t_umap:.1f} s cold, {t_umap_warm:.1f} s "
+        f"warm; separation min-across/within = {min_across/within:.1f}",
         file=sys.stderr,
     )
     assert min_across > 2 * within
     res["umap_50k_50d"] = {
         "end_to_end_cold_s": round(t_umap, 1),
+        "end_to_end_warm_s": round(t_umap_warm, 1),
         "separation_ratio": round(float(min_across / within), 2),
     }
 

@@ -3,18 +3,26 @@
 The single-chip :class:`~single_algebra_tpu.linalg.gram.GramPCAEngine` does
 exact PCA in two data passes (slab densify -> ``G += D D^T`` on the MXU,
 p-space solve, one projection pass). Sharding it follows the same recipe as
-the other engines: each device holds a contiguous row slab's overflow-free
-column-tiled payload; the Gram accumulation is embarrassingly local with a
-single ``psum`` at the end (G is p x p — tiny next to the data); the solve
-runs replicated; the projection is purely local (output row-sharded).
+the other engines: each device holds a contiguous row block's column-tiled
+payload; the Gram accumulation is embarrassingly local with a single
+``psum`` at the end (G is p x p — tiny next to the data); the solve runs
+replicated; the projection is purely local (output row-sharded).
 
 Collective cost per fit: ONE psum of ``[pp, pp]`` floats — independent of
 n. This is the minimum-communication schedule for tall-skinny PCA (the
 p-width statistics are the only cross-slab coupling).
 
-Payload shapes are uniform across devices (global ``wt`` = max over slabs,
-per-slab layouts padded on the width axis), so the whole engine is plain
-``shard_map`` over stacked arrays.
+**Row bucketing** (mirrors the single-chip engine): a uniform payload pads
+every (row, tile) group to the width of the globally heaviest row, so one
+dense row multiplies the one-hot densify work of EVERY row — measured
+2-5x padded-work inflation on power-law scRNA profiles. Here each
+device's rows are sorted into the GLOBAL width classes (8, 16, 32, ...
+slots/tile) and every class gets its own ``[ndev, nt*c, Rc]`` stacked
+payload (Rc = max per-device class population, slab-rounded) — shapes stay
+uniform across devices, so the whole engine remains plain ``shard_map``
+over stacked arrays. Natural row order is restored inside the local
+projection body with one per-device gather (``pos_local``), so bucketing
+adds NO collectives.
 """
 
 from __future__ import annotations
@@ -72,8 +80,10 @@ def _local_gram(td, tl, *, wt, nt, ct, slab, exact):
     return jax.lax.fori_loop(0, rs // slab, body, G0)
 
 
-def _local_project(td, tl, Vp, corr, *, wt, nt, ct, slab):
-    """[Rs, k] local projection ``D^T V - 1 corr^T`` of one device slab."""
+def _local_project(td, tl, Vp, *, wt, nt, ct, slab):
+    """[Rs, k] local projection ``D^T V`` of one device-class payload
+    (bucketed row order; centering applied by the caller after the
+    natural-order gather)."""
 
     from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
 
@@ -98,18 +108,28 @@ def _local_project(td, tl, Vp, corr, *, wt, nt, ct, slab):
         return jax.lax.dynamic_update_slice(T, Ts, (i * slab, 0))
 
     T0 = jnp.zeros((rs, k), jnp.float32)
-    return jax.lax.fori_loop(0, rs // slab, body, T0) - corr[None, :]
+    return jax.lax.fori_loop(0, rs // slab, body, T0)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ShardedGram:
-    """Row-sharded overflow-free tiled payload + the Gram machinery."""
+    """Row-sharded, row-bucketed tiled payloads + the Gram machinery.
 
-    tdata: jnp.ndarray  # [ndev, nt*wt, Rs]  P(axis, None, None)
-    tlocal: jnp.ndarray
+    ``bdata[c]``/``blocal[c]`` hold width-class c's stacked payload
+    ``[ndev, nt * wc, Rc]`` (device-sharded on axis 0); ``pos_local``
+    ``[ndev, rs]`` maps each device's natural local row index to its
+    bucketed position in the concatenated per-class projection output
+    (padding slots point at the appended zero row). ``bwidths`` is the
+    static per-class ``(wc, Rc, slab_c)`` list; ``meta = (nt, ct, exact)``.
+    """
+
+    bdata: Tuple[jnp.ndarray, ...]
+    blocal: Tuple[jnp.ndarray, ...]
+    pos_local: jnp.ndarray  # [ndev, rs] int32
     shape: Tuple[int, int]
-    meta: Tuple[int, int, int, int, bool]  # wt, nt, ct, slab, exact
+    meta: Tuple[int, int, bool]  # nt, ct, exact
+    bwidths: Tuple[Tuple[int, int, int], ...]  # per class: (wc, Rc, slab_c)
     mesh: Mesh
     axis_name: str
 
@@ -122,22 +142,31 @@ class ShardedGram:
         col_tile: int | None = None,
         slab: int | None = None,
     ) -> "ShardedGram":
+        from ..linalg.gram import _width_class
+        from ..native import build as _native
+        from ..sparse.convert import extract_rows_csr, row_tile_widths
+
         if m.format != "csr":
             m = m.transpose()
         m._require_host_structure()
         n, p = m.shape
         ndev = mesh.shape[axis_name]
-        if slab is None:
-            if n >= 8192 * ndev:
-                slab = 8192
-            else:
-                slab = max(_cv.round_up(-(-n // ndev), 128), 128)
-                if slab > 1024:
-                    # the densify kernel needs slab % block_rows == 0 with
-                    # block_rows = min(1024, slab)
-                    slab = min(_cv.round_up(slab, 1024), 8192)
-        assert slab <= 1024 or slab % 1024 == 0, slab
-        rs = _cv.round_up(-(-n // ndev), slab)
+        rs = -(-n // ndev)  # natural rows per device (contiguous blocks)
+
+        def _slab_for_rows(cap: int) -> int:
+            """Sub-slab granularity for a row population: full 8192 at
+            scale, small otherwise so a near-empty width class doesn't pay
+            a whole slab of padding. The densify kernel needs
+            slab % block_rows == 0 with block_rows = min(1024, slab)."""
+
+            if slab is not None:
+                return slab
+            if cap >= 8192:
+                return 8192
+            s = max(_cv.round_up(max(cap, 1), 128), 128)
+            if s > 1024:
+                s = min(_cv.round_up(s, 1024), 8192)
+            return s
 
         if col_tile is None:
             from ..linalg.gram import GramPCAEngine
@@ -152,68 +181,153 @@ class ShardedGram:
         indptr, indices = m._h_indptr, m._h_indices
         data = m._csr_data_host()
         exact = m.values_bf16_exact()
+        lib = _native.get_lib()
 
-        # per-slab conversion at quantile=1.0, padded to the global width
-        slabs = []
-        wt = 1
+        # global width classes (one O(nnz) pass), then per-device split
+        w_r = np.maximum(
+            row_tile_widths(indptr, indices, n, ct), 1
+        )
+        classes = np.frompyfunc(_width_class, 1, 1)(w_r).astype(np.int64)
+        class_list = [int(c) for c in np.unique(classes)]
+
+        # per (device, class) natural-row lists + class capacities
+        dev_rows = []  # [ndev][class] -> natural row indices
+        caps = {c: 0 for c in class_list}
         for d in range(ndev):
-            r0, r1 = min(d * rs, n), min((d + 1) * rs, n)
-            lo, hi = int(indptr[r0]), int(indptr[r1])
-            s_indptr = (
-                indptr[r0 : r1 + 1] - lo if r1 > r0 else np.zeros(1, np.int64)
+            r0, r1 = d * rs, min((d + 1) * rs, n)
+            cd = classes[r0:r1]
+            per = {}
+            for c in class_list:
+                rows_c = np.where(cd == c)[0] + r0
+                per[c] = rows_c
+                caps[c] = max(caps[c], len(rows_c))
+            dev_rows.append(per)
+        bwidths = tuple(
+            (
+                c,
+                _cv.round_up(max(caps[c], 1), _slab_for_rows(caps[c])),
+                _slab_for_rows(caps[c]),
             )
-            td, tl, wt_d, nt_d, _, _, ovw = _cv.csr_to_tiled_ell_split_numpy(
-                s_indptr, indices[lo:hi], data[lo:hi],
-                max(r1 - r0, 0), p,
-                col_tile=ct, rows_padded_to=rs, quantile=1.0,
-            )
-            assert ovw == 0 and nt_d == nt
-            slabs.append((td, tl, wt_d))
-            wt = max(wt, wt_d)
+            for c in class_list
+        )
 
-        tdata = np.zeros((ndev, nt * wt, rs), np.float32)
-        tlocal = np.zeros((ndev, nt * wt, rs), np.int32)
-        for d, (td, tl, wt_d) in enumerate(slabs):
-            # width-pad [nt*wt_d, rs] -> [nt, wt, rs] (slot = tile*wt+rank)
-            tdata[d, :, :] = np.pad(
-                td.reshape(nt, wt_d, rs), ((0, 0), (0, wt - wt_d), (0, 0))
-            ).reshape(nt * wt, rs)
-            tlocal[d, :, :] = np.pad(
-                tl.reshape(nt, wt_d, rs), ((0, 0), (0, wt - wt_d), (0, 0))
-            ).reshape(nt * wt, rs)
+        # class payload fill + the natural->bucketed local position map
+        bdata_np = [
+            np.zeros((ndev, nt * c, rc), np.float32) for c, rc, _ in bwidths
+        ]
+        blocal_np = [
+            np.zeros((ndev, nt * c, rc), np.int32) for c, rc, _ in bwidths
+        ]
+        r_tot = sum(rc for _, rc, _ in bwidths)
+        pos_local = np.full((ndev, rs), r_tot, np.int64)  # pad -> zero row
+        for d in range(ndev):
+            offset = 0
+            for b, (c, rc, _) in enumerate(bwidths):
+                rows = dev_rows[d][c]
+                if len(rows):
+                    s_ip, s_ix, s_dt = extract_rows_csr(
+                        indptr, indices, data, rows
+                    )
+                    if lib is not None and s_dt.dtype == np.float32:
+                        dropped = lib.csr_to_tiled_ell_t_f32(
+                            np.ascontiguousarray(s_ip, np.int64),
+                            np.ascontiguousarray(s_ix, np.int32),
+                            np.ascontiguousarray(s_dt, np.float32),
+                            len(rows), ct, c, rc,
+                            bdata_np[b][d], blocal_np[b][d],
+                        )
+                        assert dropped == 0, (dropped, c)
+                    else:
+                        td, tl, wt_d, nt_d, _, _, ovw = (
+                            _cv.csr_to_tiled_ell_split_numpy(
+                                s_ip, s_ix, s_dt, len(rows), p,
+                                col_tile=ct, rows_padded_to=rc,
+                                quantile=1.0,
+                            )
+                        )
+                        assert ovw == 0 and nt_d == nt and wt_d <= c
+                        if wt_d < c:  # width-pad to class
+                            td = np.pad(
+                                td.reshape(nt, wt_d, rc),
+                                ((0, 0), (0, c - wt_d), (0, 0)),
+                            ).reshape(nt * c, rc)
+                            tl = np.pad(
+                                tl.reshape(nt, wt_d, rc),
+                                ((0, 0), (0, c - wt_d), (0, 0)),
+                            ).reshape(nt * c, rc)
+                        bdata_np[b][d] = td
+                        blocal_np[b][d] = tl
+                    pos_local[d, rows - d * rs] = offset + np.arange(
+                        len(rows)
+                    )
+                offset += rc
 
         sh = NamedSharding(mesh, P(axis_name, None, None))
+        sh2 = NamedSharding(mesh, P(axis_name, None))
         return cls(
-            jax.device_put(tdata, sh),
-            jax.device_put(tlocal, sh),
+            tuple(jax.device_put(a, sh) for a in bdata_np),
+            tuple(jax.device_put(a, sh) for a in blocal_np),
+            jax.device_put(pos_local.astype(np.int32), sh2),
             (n, p),
-            (wt, nt, ct, slab, exact),
+            (nt, ct, exact),
+            bwidths,
             mesh,
             axis_name,
         )
+
+    # -- capacity accounting ---------------------------------------------
+
+    @property
+    def payload_bytes(self) -> int:
+        """Device-resident payload bytes (values f32 + local ids i32) —
+        tracks per-row structure via the width classes."""
+
+        return sum(a.size * 4 for a in self.bdata) + sum(
+            a.size * 4 for a in self.blocal
+        )
+
+    @property
+    def unbucketed_payload_bytes(self) -> int:
+        """What a single global-width payload would cost (the pre-r3
+        layout: every device slab padded to the max class width)."""
+
+        ndev = self.bdata[0].shape[0]
+        nt = self.meta[0]
+        wt_max = max(c for c, _, _ in self.bwidths)
+        slab_max = max(s for _, _, s in self.bwidths)
+        n = self.shape[0]
+        rs = _cv.round_up(-(-n // ndev), slab_max)
+        return 2 * ndev * nt * wt_max * rs * 4
 
     # -- device passes ---------------------------------------------------
 
     @jax.jit
     def gram(self) -> jnp.ndarray:
-        """Replicated ``A^T A`` [pp, pp] — local accumulation + one psum."""
+        """Replicated ``A^T A`` [pp, pp] — local per-class accumulation +
+        one psum."""
 
-        wt, nt, ct, slab, exact = self.meta
+        nt, ct, exact = self.meta
         ax = self.axis_name
+        bwidths = self.bwidths
 
-        def local(td, tl):
-            G = _local_gram(
-                td[0], tl[0], wt=wt, nt=nt, ct=ct, slab=slab, exact=exact
-            )
+        def local(bdata, blocal):
+            pp = nt * ct
+            G = jnp.zeros((pp, pp), jnp.float32)
+            for b, (c, _, slab_c) in enumerate(bwidths):
+                G = G + _local_gram(
+                    bdata[b][0], blocal[b][0],
+                    wt=c, nt=nt, ct=ct, slab=slab_c, exact=exact,
+                )
             return jax.lax.psum(G, ax)
 
+        spec = tuple(P(ax, None, None) for _ in bwidths)
         return jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(ax, None, None), P(ax, None, None)),
+            in_specs=(spec, spec),
             out_specs=P(),
             check_vma=False,  # pallas_call outputs carry no vma metadata
-        )(self.tdata, self.tlocal)
+        )(self.bdata, self.blocal)
 
     def gram_cached(self) -> jnp.ndarray:
         g = getattr(self, "_gram_cache", None)
@@ -224,29 +338,41 @@ class ShardedGram:
 
     @partial(jax.jit, static_argnames=())
     def project(self, Vp: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
-        """Row-sharded scores ``(A - 1 mu^T) V`` -> [n, k]; no collectives
-        (Vp [pp, k] and corr [k] are replicated)."""
+        """Row-sharded scores ``(A - 1 mu^T) V`` -> [n, k] in NATURAL row
+        order; no collectives (Vp [pp, k] / corr [k] replicated; the
+        bucketed->natural reorder is a per-device local gather)."""
 
-        wt, nt, ct, slab, _ = self.meta
+        nt, ct, _ = self.meta
         ax = self.axis_name
+        bwidths = self.bwidths
 
-        def local(td, tl, Vp, corr):
-            return _local_project(
-                td[0], tl[0], Vp, corr, wt=wt, nt=nt, ct=ct, slab=slab
+        def local(bdata, blocal, pos, Vp, corr):
+            k = Vp.shape[1]
+            parts = [
+                _local_project(
+                    bdata[b][0], blocal[b][0], Vp,
+                    wt=c, nt=nt, ct=ct, slab=slab_c,
+                )
+                for b, (c, _, slab_c) in enumerate(bwidths)
+            ]
+            Tb = jnp.concatenate(
+                parts + [jnp.zeros((1, k), jnp.float32)], axis=0
             )
+            return jnp.take(Tb, pos[0], axis=0) - corr[None, :]
 
+        spec = tuple(P(ax, None, None) for _ in bwidths)
         T = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(ax, None, None), P(ax, None, None), P(), P()),
+            in_specs=(spec, spec, P(ax, None), P(), P()),
             out_specs=P(ax, None),
             check_vma=False,  # pallas_call outputs carry no vma metadata
-        )(self.tdata, self.tlocal, Vp, corr)
+        )(self.bdata, self.blocal, self.pos_local, Vp, corr)
         return T[: self.shape[0]]
 
     def tree_flatten(self):
-        return (self.tdata, self.tlocal), (
-            self.shape, self.meta, self.mesh, self.axis_name,
+        return (self.bdata, self.blocal, self.pos_local), (
+            self.shape, self.meta, self.bwidths, self.mesh, self.axis_name,
         )
 
     @classmethod
@@ -279,7 +405,7 @@ def sharded_gram_pca(
             cache[key] = op
 
     n, p = op.shape
-    pp = op.meta[1] * op.meta[2]
+    pp = op.meta[0] * op.meta[1]
     k = n_components
 
     # host f64 column moments (exact, one numpy pass, cached on the matrix)

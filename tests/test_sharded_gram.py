@@ -96,3 +96,39 @@ def test_sharded_gram_odd_slab_granularity():
     ev_ref = _truth(X, 3)
     assert np.abs(ev - ev_ref).max() / ev_ref[0] < 1e-4
     assert np.asarray(res.transformed).shape == (10_000, 3)
+
+
+def test_sharded_gram_bucketed_payload_tracks_row_structure():
+    """On power-law rows the bucketed payload must be far smaller than a
+    single global-width layout (one dense row no longer multiplies the
+    one-hot work of every row), and the engine must stay exact."""
+
+    rng = np.random.default_rng(13)
+    n, p = 4000, 96
+    X = sp.random(
+        n, p, density=0.02, format="csr", dtype=np.float32,
+        random_state=rng, data_rvs=lambda s: rng.poisson(2, s) + 1.0,
+    ).tolil()
+    X[7] = rng.poisson(3, p) + 1.0  # one dense row
+    X = X.tocsr().astype(np.float32)
+
+    from single_algebra_tpu.parallel.gram import ShardedGram
+
+    m = SparseMatrix.from_scipy(X)
+    mesh = make_mesh(4)
+    op = ShardedGram.from_matrix(m, mesh)
+    assert len(op.bwidths) >= 2  # the dense row landed in its own class
+    assert op.payload_bytes < 0.55 * op.unbucketed_payload_bytes, (
+        op.payload_bytes, op.unbucketed_payload_bytes, op.bwidths,
+    )
+
+    res = sharded_gram_pca(m, mesh, n_components=3, seed=0)
+    ev = np.asarray(res.explained_variance, np.float64)
+    ev_ref = _truth(sp.csr_matrix(X), 3)
+    assert np.abs(ev - ev_ref).max() / ev_ref[0] < 1e-4
+    # natural row order restored by the local gather
+    D = X.toarray().astype(np.float64)
+    Dc = D - D.mean(axis=0)
+    T_ref = Dc @ np.asarray(res.components, np.float64).T
+    T = np.asarray(res.transformed)
+    assert np.abs(np.abs(T) - np.abs(T_ref)).max() < 1e-3 * np.abs(T_ref).max()
