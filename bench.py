@@ -181,8 +181,38 @@ def run_tpu(X, k):
         f"warm fit done in {t_warm:.2f}s + {t_pull:.2f}s T pull "
         f"(runs: {[round(w, 3) for w in warms]})"
     )
+    # device-side fit cost under pipelined dispatch: enqueue several fit
+    # graphs back-to-back (JAX async dispatch) and sync once — host RTTs
+    # and state pulls amortize away, leaving the per-fit device graph time
+    # a production host sees when fitting repeatedly (refits, seed sweeps,
+    # masked variants). Distinct seeds keep the executions distinct.
+    from single_algebra_tpu.models.pca import _fit_graph, make_engine_operator
+    import jax
+
+    op = make_engine_operator(m, "auto")
+    reps = 4
+    outs = None
+
+    def enqueue():
+        return [
+            _fit_graph(
+                op, pca.mean_, SEED + 1 + i, k=k, method=method,
+                center=True, steps=None, want_transform=True, tol=1e-6,
+                lanczos_block=None,
+            )
+            for i in range(reps)
+        ]
+
+    outs = enqueue()
+    jax.block_until_ready(outs[-1][0])  # compile (seed is traced: cached)
+    t0 = time.perf_counter()
+    outs = enqueue()
+    jax.block_until_ready([o[0] for o in outs])
+    t_graph = (time.perf_counter() - t0) / reps
+    _log(f"pipelined device graph: {t_graph:.3f}s/fit (x{reps})")
     return dict(
-        load=t_load, cold=t_cold, warm=t_warm, pull_T=t_pull, pca=pca
+        load=t_load, cold=t_cold, warm=t_warm, pull_T=t_pull,
+        graph=t_graph, pca=pca,
     )
 
 
@@ -248,12 +278,17 @@ def main():
     ap.add_argument("--big", action="store_true")
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument("--shape", default=None,
+                    help="override: n,p,density,k (e.g. 300000,20000,0.1,50)")
     args = ap.parse_args()
     cfg = (
         SMOKE
         if args.smoke
         else (BIG if args.big else (FULL if args.full else HUGE))
     )
+    if args.shape:
+        n_, p_, d_, k_ = args.shape.split(",")
+        cfg = dict(n=int(n_), p=int(p_), density=float(d_), k=int(k_))
 
     X = make_matrix(cfg["n"], cfg["p"], cfg["density"])
     _log(f"matrix ready: {X.shape} nnz={X.nnz}")
@@ -328,6 +363,10 @@ def main():
                     ),
                     "vs_64core_projected_incl_T_pull": (
                         round(cpu64 / warm_e2e, 2) if cpu64 else None
+                    ),
+                    "graph_pipelined_s": round(tpu["graph"], 4),
+                    "vs_64core_projected_pipelined": (
+                        round(cpu64 / tpu["graph"], 2) if cpu64 else None
                     ),
                 }
             }
