@@ -42,8 +42,16 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 TRUTH_CACHE = os.path.join(HERE, "_truth_cache")
 
 SHAPES = {
-    "stress": dict(n=10_000_000, p=2_500, density=0.01, k=50, seed=7),
-    "wide": dict(n=400_000, p=30_000, density=0.01, k=50, seed=7),
+    # stress: 16 clusters is fine — the p<=4096 solve is an exact eigh.
+    # wide: 64 planted directions so the FULL k=50 range is structured
+    # (with 16, ranks 17-50 sit in the near-degenerate noise bulk, which
+    # no iterative solver resolves to 1e-6 — and carries no signal anyway)
+    "stress": dict(
+        n=10_000_000, p=2_500, density=0.01, k=50, seed=7, n_clusters=16
+    ),
+    "wide": dict(
+        n=400_000, p=30_000, density=0.01, k=50, seed=7, n_clusters=64
+    ),
 }
 
 
@@ -52,8 +60,15 @@ def _log(msg):
 
 
 def cluster_counts_big(n, p, n_clusters=16, seed=0, density=0.01):
-    """Slab-streamed planted-spectrum counts (tests/conftest.py generator
-    at scales where the dense [n, p] intermediate cannot exist)."""
+    """Planted-spectrum counts at flagship scale, sampled SPARSELY.
+
+    Same cluster structure as tests/conftest.py::cluster_counts, but only
+    the ~density*n*p nonzero entries are ever drawn (dense per-element
+    poisson at 10M x 2,500 would be 2.5e10 draws — ~40 minutes): per
+    cluster, per-column nonzero counts ~ Binomial(n_c, 1 - exp(-lam)),
+    positions uniform, values 1 + Poisson(lam). Rows are grouped by
+    cluster (order is irrelevant to spectra, CPU timing, and the engines).
+    """
 
     rng = np.random.default_rng(seed)
     base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
@@ -63,25 +78,55 @@ def cluster_counts_big(n, p, n_clusters=16, seed=0, density=0.01):
     lam = (base * scale * (density / max(base.mean(), 1e-9))).astype(
         np.float64
     )
-    slab = max(1, int(2e8 // p))  # ~1.6 GB of int64 draws per slab
-    blocks = []
+    # calibrate so the REALIZED nonzero fraction mean(1 - exp(-f*lam))
+    # hits `density` (uncalibrated, heavy clusters saturate and the
+    # realized density lands ~3x the target)
+    lo, hi = 0.0, 1.0
+    while np.mean(-np.expm1(-hi * lam)) < density:
+        hi *= 2
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        if np.mean(-np.expm1(-mid * lam)) < density:
+            lo = mid
+        else:
+            hi = mid
+    lam *= 0.5 * (lo + hi)
+    sizes = np.full(n_clusters, n // n_clusters, np.int64)
+    sizes[: n % n_clusters] += 1
     t0 = time.time()
-    for r0 in range(0, n, slab):
-        r1 = min(r0 + slab, n)
-        labels = rng.integers(0, n_clusters, r1 - r0)
-        Xs = rng.poisson(lam[labels]).astype(np.float32)
-        blocks.append(sp.csr_matrix(Xs))
-        if r0 // slab % 8 == 0:
-            _log(f"gen {r1}/{n} rows ({time.time() - t0:.0f}s)")
-    return sp.vstack(blocks).tocsr()
+    blocks = []
+    r_off = 0
+    for c in range(n_clusters):
+        n_c = int(sizes[c])
+        lam_c = lam[c]
+        p1 = -np.expm1(-lam_c)  # P(count >= 1) per column
+        counts = rng.binomial(n_c, p1)
+        total = int(counts.sum())
+        cols = np.repeat(np.arange(p, dtype=np.int32), counts)
+        rows = rng.integers(0, n_c, total, dtype=np.int64) + r_off
+        vals = (1 + rng.poisson(np.repeat(lam_c, counts))).astype(
+            np.float32
+        )
+        blocks.append((rows, cols, vals))
+        r_off += n_c
+        _log(f"gen cluster {c + 1}/{n_clusters} ({time.time() - t0:.0f}s)")
+    rows = np.concatenate([b[0] for b in blocks])
+    cols = np.concatenate([b[1] for b in blocks])
+    vals = np.concatenate([b[2] for b in blocks])
+    X = sp.coo_matrix((vals, (rows, cols)), shape=(n, p)).tocsr()
+    _log(f"gen assembled in {time.time() - t0:.0f}s")
+    return X
 
 
 def host_truth_ev(X, k, name):
     """Top-k centered EVs in f64: sparse-sparse Gram + eigh (p <= 4096)
-    or eigsh on the dense f64 Gram (larger p). Cached on disk."""
+    or eigsh on the dense f64 Gram (larger p). Cached on disk, keyed by
+    the matrix fingerprint (shape + nnz)."""
 
     os.makedirs(TRUTH_CACHE, exist_ok=True)
-    cpath = os.path.join(TRUTH_CACHE, f"{name}_ev.npy")
+    cpath = os.path.join(
+        TRUTH_CACHE, f"{name}_{X.shape[0]}x{X.shape[1]}_{X.nnz}_ev.npy"
+    )
     if os.path.exists(cpath):
         return np.load(cpath)
     n, p = X.shape
@@ -184,7 +229,8 @@ def main():
         cfg = SHAPES[name]
         _log(f"=== {name}: {cfg}")
         X = cluster_counts_big(
-            cfg["n"], cfg["p"], seed=cfg["seed"], density=cfg["density"]
+            cfg["n"], cfg["p"], seed=cfg["seed"], density=cfg["density"],
+            n_clusters=cfg.get("n_clusters", 16),
         )
         _log(f"{name}: nnz={X.nnz} ({X.nnz / cfg['n'] / cfg['p']:.4f})")
         ev_ref = host_truth_ev(X, cfg["k"], name)
@@ -202,7 +248,10 @@ def main():
             },
         )
         if not args.skip_cpu:
-            key = f"planted:{name}:{cfg['n']}x{cfg['p']}x{cfg['seed']}"
+            key = (
+                f"planted:{name}:{cfg['n']}x{cfg['p']}x{cfg['seed']}"
+                f":{X.nnz}"
+            )
             cpu = cpu_reference(X, cfg["k"], key)
             p64 = bench_mod.project_64core(cpu["spmm_s"], cpu["dense_s"])
             row.update(
@@ -215,6 +264,17 @@ def main():
         rows.append(row)
         _log(json.dumps(row))
         del X
+
+    path = os.path.join(HERE, "results_large_tpu.json")
+    if os.path.exists(path):  # merge: keep rows for shapes not re-run
+        try:
+            old = json.load(open(path)).get("rows", [])
+            done = {r["shape"] for r in rows}
+            rows = rows + [
+                r for r in old if r.get("shape") not in done
+            ]
+        except Exception:
+            pass
 
     out = dict(
         note=(

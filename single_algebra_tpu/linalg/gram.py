@@ -106,7 +106,15 @@ def _solve_topk(
 ):
     """Shared solve policy (traced): exact eigh for small Grams, the
     randomized solve over the rank-1-centered operator for large ones.
-    Used by gram_pca_graph, the streaming PCA, and the sharded gram."""
+    Used by gram_pca_graph, the streaming PCA, and the sharded gram.
+
+    ``oversamples``/``iters`` are treated as MINIMUMS on the large path:
+    Rayleigh-Ritz eigenvalue error decays like (lam_{l+1}/lam_j)^(2q+1),
+    so resolving the top k to the f32 floor (~1e-6) needs the sketch to
+    extend well past k — a bare l = k+10 leaves ~1e-3-class leakage when
+    eigengaps near rank k are modest. Each extra sketch column costs only
+    one more MXU lane against the already-resident G, so the floor is
+    cheap insurance."""
 
     n_f = jnp.asarray(n, jnp.float32)
     if Gs.shape[0] <= EIGH_MAX_PP:
@@ -118,8 +126,10 @@ def _solve_topk(
         solve_op = _CenteredGram(Gs, mu, n_f)
     else:
         solve_op = DenseOperator(Gs)
+    os_eff = max(oversamples, min(k + 14, max(Gs.shape[0] - k, 0)))
+    it_eff = max(iters, 8)
     res = randomized_svd(
-        solve_op, k, oversamples, iters,
+        solve_op, k, os_eff, it_eff,
         PowerIterationNormalizer.QR, seed=seed,
     )
     _, vt = svd_flip(res.u, res.vt, u_based_decision=False)
@@ -478,6 +488,16 @@ def gram_matrix(eng: GramPCAEngine) -> jnp.ndarray:
     slabs (exact for raw-count data) ride the MXU at full speed; for
     general f32 values the slab stays f32 and the contraction runs at
     HIGHEST precision (6 bf16 passes, still one data pass overall).
+
+    f32 floor note: cross-slab accumulation drifts ~eps*sqrt(n_slabs) and
+    the randomized large-Gram solve itself plateaus near ~1e-6 relative
+    on eigenvalues (measured; an exact-G sweep plateaus at 6e-7..1.1e-6
+    across oversampling/iteration settings). Kahan-compensating the
+    accumulation was tried and reverted: it needs three [pp, pp] buffers
+    live (OOM at pp = 30,720 on 16 GB HBM) and cannot push the combined
+    error below the solve's own f32 floor. At the 400k x 30k flagship
+    shape the measured end-to-end EV error is 2.1e-6; sub-1e-6 at this
+    width needs the f64 path (x64 mode — 3.1e-8 measured on-chip, r2).
     """
 
     exact = eng.meta[3]

@@ -174,3 +174,38 @@ def test_gram_warns_on_ignored_lanczos_knobs(counts):
     )
     with pytest.warns(UserWarning, match="lanczos_block"):
         mpca.fit(m)
+
+
+def test_large_gram_solve_accuracy_floor():
+    """The randomized large-Gram path (pp > EIGH_MAX_PP) must resolve a
+    gapped top-k to the f32 floor: oversamples/iters are minimums, so a
+    bare k+10 sketch can no longer leave ~1e-3 Rayleigh-Ritz leakage
+    (caught at the wide flagship shape in r3)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from single_algebra_tpu.linalg.gram import _solve_topk, EIGH_MAX_PP
+
+    rng = np.random.default_rng(1)
+    pp, k, n = EIGH_MAX_PP + 512, 30, 50_000
+    r = pp // 8
+    Q, _ = np.linalg.qr(rng.standard_normal((pp, r)))
+    w = np.concatenate(
+        [np.geomspace(30, 3, 40), np.abs(rng.standard_normal(r - 40))]
+    )
+    G = ((Q * w) @ Q.T * n).astype(np.float32)
+    ev_ref = np.sort(w)[::-1][:k] * n / (n - 1)
+
+    @jax.jit
+    def solve(G, mu, n_, seed):
+        return _solve_topk(
+            G, mu, n_, seed, k=k, center=False, oversamples=10, iters=6
+        )
+
+    s, _vt = solve(
+        jnp.asarray(G), jnp.zeros(pp, jnp.float32), jnp.asarray(n), 0
+    )
+    ev = np.asarray(s, np.float64) ** 2 / (n - 1)
+    err = np.abs(ev - ev_ref).max() / ev_ref[0]
+    assert err < 5e-6, err
