@@ -87,7 +87,7 @@ def main():
     if proc.returncode == 0:
         f64 = json.loads(proc.stdout.strip().splitlines()[-1])
         res["config1_f64_col_stats_1000x5000"] = f64[
-            "f64_col_stats_1000x5000"
+            "config1_colstats_1000x5000_f64"
         ]
         res["f64_pca_20000x2000_k10"] = f64.get("f64_pca_20000x2000_k10")
         print("#1 (f64 subprocess):", res["config1_f64_col_stats_1000x5000"],

@@ -77,14 +77,18 @@ def _batched_stat(m, op_name, reps):
 
     @partial(jax.jit, static_argnames=("reps", "op"))
     def run(d, ids, nnz, *, reps, op):
+        def nz(s):
+            # the loop-dependence must reach the count's INPUT (an output
+            # scale gets the whole reduction hoisted out of the loop): add
+            # a runtime-zero int (isnan of the loop-carried scale — always
+            # 0 at runtime, unprovable at compile time) to row_nnz
+            zi = jnp.isnan(s).astype(jnp.int32)
+            return _st.count_major(ids, nnz + zi).astype(jnp.float32)
+
         r0 = {
             "sum_col": lambda s: _st.sum_major(d * s),
             "sum_col_squared": lambda s: _st.sum_major_squared(d * s),
-            # count ignores values; perturb via the ids' validity mask path
-            "nonzero_col": lambda s: _st.count_major(ids, nnz).astype(
-                jnp.float32
-            )
-            * s,
+            "nonzero_col": nz,
         }[op]
 
         def body(i, acc):
@@ -151,13 +155,24 @@ def main():
                         latency_bound=bool(dt < 2 * floor),
                     )
                     if op_name in _BATCH_OPS:
-                        reps = 64 if dt < 2 * floor else 8
+                        # one-shot reps sizing (every distinct reps value
+                        # is a fresh remote compile — escalation loops are
+                        # minutes-expensive here): estimate the per-pass
+                        # kernel time from memory bandwidth and size the
+                        # loop to ~6x the dispatch floor, snapped to a
+                        # power of 8 so repeated shapes share compiles
+                        est = max(X.nnz * 8 / 400e9, 2e-6)
+                        reps = 8
+                        while reps < 32768 and reps * est < 6 * floor:
+                            reps *= 8
                         wall = _batched_stat(m, op_name, reps)
                         per = max(wall - floor, 0.0) / reps
-                        row["batched_kernel_us"] = round(per * 1e6, 2)
+                        row["batched_reps"] = reps
+                        row["batched_kernel_us"] = round(per * 1e6, 3)
                         row["batched_gnnz_per_s"] = round(
                             X.nnz / max(per, 1e-9) / 1e9, 3
                         )
+                        row["batched_resolved"] = bool(wall > 2 * floor)
                     rows.append(row)
                     print(
                         f"{n}x{p} d={d} {fmt} {op_name}: "

@@ -34,7 +34,8 @@ def main():
 
     import bench
     from single_algebra_tpu import SparseMatrix
-    from single_algebra_tpu.models import SparsePCABuilder, make_engine_operator
+    from single_algebra_tpu.models import SparsePCABuilder
+    from single_algebra_tpu.models.pca import make_engine_operator
     from single_algebra_tpu.types import PowerIterationNormalizer, SVDMethod
 
     X = bench.make_matrix(N, P, DENSITY, seed=SEED)
