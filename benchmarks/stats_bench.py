@@ -79,11 +79,12 @@ def _batched_stat(m, op_name, reps):
     def run(d, ids, nnz, *, reps, op):
         def nz(s):
             # the loop-dependence must reach the count's INPUT (an output
-            # scale gets the whole reduction hoisted out of the loop): add
-            # a runtime-zero int (isnan of the loop-carried scale — always
-            # 0 at runtime, unprovable at compile time) to row_nnz
+            # scale gets the whole reduction hoisted out of the loop), and
+            # it must be barriered — XLA folds both 0-adds and isnan
+            # guards (measured: the count hoisted and "ran" in ~1 us)
             zi = jnp.isnan(s).astype(jnp.int32)
-            return _st.count_major(ids, nnz + zi).astype(jnp.float32)
+            nnz_b, _ = jax.lax.optimization_barrier((nnz + zi, s))
+            return _st.count_major(ids, nnz_b).astype(jnp.float32)
 
         r0 = {
             "sum_col": lambda s: _st.sum_major(d * s),
