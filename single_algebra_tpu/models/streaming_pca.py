@@ -278,10 +278,25 @@ class StreamingSparsePCA:
         self.fold_every = fold_every
         self._G64: Optional[np.ndarray] = None
         self._slabs_since_fold = 0
+        # pipeline window: per-slab moment pulls are deferred behind a
+        # small deque so the host builds slab i+2's payload while the
+        # device still chews on slab i (the pull is the only sync point);
+        # every reader of the moments drains first
+        self._pending: list = []
+        self._pipeline_depth = 2
         self.components_: Optional[jnp.ndarray] = None
         self.explained_variance_: Optional[jnp.ndarray] = None
         self.mean_: Optional[jnp.ndarray] = None
         self.total_variance_: Optional[float] = None
+
+    def _drain_moments(self, keep: int = 0) -> None:
+        """Pull queued per-slab moment vectors into the host f64
+        accumulators, leaving at most ``keep`` dispatches in flight."""
+
+        while len(self._pending) > keep:
+            s, sq = self._pending.pop(0)
+            self._sums += np.asarray(s, np.float64)
+            self._sumsq += np.asarray(sq, np.float64)
 
     def _fold_gram(self) -> None:
         """Fold the device f32 Gram into the host f64 accumulator and
@@ -393,10 +408,10 @@ class StreamingSparsePCA:
                     wt=wt, ntiles=nt, ct=self.ct, exact=exact,
                     mesh=self.mesh, ax=self.axis_name,
                 )
-                self._sums += np.asarray(s, np.float64)
-                self._sumsq += np.asarray(sq, np.float64)
+                self._pending.append((s, sq))
                 self._n += n_rows
                 self._count_slabs(self.mesh.shape[self.axis_name])
+                self._drain_moments(self._pipeline_depth)
             return self
 
         for indptr, indices, data, n_rows in self._iter_slabs(chunk):
@@ -408,12 +423,13 @@ class StreamingSparsePCA:
                 self._G, jnp.asarray(td), jnp.asarray(tl),
                 wt=wt, ntiles=nt, ct=self.ct, exact=exact,
             )
-            # host f64 moment accumulation (forces per-slab sync, which
-            # also provides transfer backpressure)
-            self._sums += np.asarray(s, np.float64)
-            self._sumsq += np.asarray(sq, np.float64)
+            # deferred host f64 moment accumulation: draining to a depth-2
+            # window keeps the device ~2 slabs ahead of the host payload
+            # build (bounded in-flight transfers as backpressure)
+            self._pending.append((s, sq))
             self._n += n_rows
             self._count_slabs(1)
+            self._drain_moments(self._pipeline_depth)
         return self
 
     # -- solve -------------------------------------------------------------
@@ -431,6 +447,7 @@ class StreamingSparsePCA:
     def finalize(self) -> "StreamingSparsePCA":
         if self._n < 2:
             raise RuntimeError("need at least 2 accumulated rows")
+        self._drain_moments(0)
         p, pp = self.n_features, self._G.shape[0]
         mean64 = self._sums / self._n
         self.mean_ = jnp.asarray(mean64[:p].astype(np.float32))
@@ -483,7 +500,10 @@ class StreamingSparsePCA:
             )
         else:
             corr = jnp.zeros((k,), jnp.float32)
-        outs = []
+        # enqueue every slab's projection before pulling any result: the
+        # host-side payload builds overlap the device dispatches, and the
+        # pulls drain in order at the end (slab outputs are small)
+        handles = []
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -498,18 +518,20 @@ class StreamingSparsePCA:
                     wt=wt, ntiles=nt, ct=self.ct,
                     mesh=self.mesh, ax=self.axis_name,
                 )
-                outs.append(np.asarray(T)[:n_rows])
-            return np.concatenate(outs, axis=0)
-        for indptr, indices, data, n_rows in self._iter_slabs(chunk):
-            td, tl, wt, nt = _slab_payload(
-                indptr, indices, data, n_rows, self.n_features, self.ct
-            )
-            T = _project_graph(
-                jnp.asarray(td), jnp.asarray(tl), Vp, corr,
-                wt=wt, ntiles=nt, ct=self.ct,
-            )
-            outs.append(np.asarray(T[:n_rows]))
-        return np.concatenate(outs, axis=0)
+                handles.append((T, n_rows))
+        else:
+            for indptr, indices, data, n_rows in self._iter_slabs(chunk):
+                td, tl, wt, nt = _slab_payload(
+                    indptr, indices, data, n_rows, self.n_features, self.ct
+                )
+                T = _project_graph(
+                    jnp.asarray(td), jnp.asarray(tl), Vp, corr,
+                    wt=wt, ntiles=nt, ct=self.ct,
+                )
+                handles.append((T, n_rows))
+        return np.concatenate(
+            [np.asarray(T)[:n_rows] for T, n_rows in handles], axis=0
+        )
 
     # -- streaming statistics byproducts ------------------------------------
 
@@ -518,11 +540,13 @@ class StreamingSparsePCA:
 
         if self._n < 1:
             raise RuntimeError("no rows accumulated yet")
+        self._drain_moments(0)
         return self._sums[: self.n_features].copy()
 
     def col_sums_squared(self) -> np.ndarray:
         if self._n < 1:
             raise RuntimeError("no rows accumulated yet")
+        self._drain_moments(0)
         return self._sumsq[: self.n_features].copy()
 
     def col_var(self) -> np.ndarray:
@@ -535,6 +559,7 @@ class StreamingSparsePCA:
             raise RuntimeError(
                 "need at least 2 accumulated rows for a variance"
             )
+        self._drain_moments(0)
         mean = self._sums / n
         return (
             (self._sumsq - mean * self._sums) / (n - 1)
