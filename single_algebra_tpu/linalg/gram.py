@@ -271,12 +271,7 @@ class GramPCAEngine:
 
     @classmethod
     def from_matrix(cls, m) -> "GramPCAEngine":
-        from ..native import build as _native
-        from ..sparse.convert import (
-            csr_to_tiled_ell_split_numpy,
-            extract_rows_csr,
-            round_up,
-        )
+        from ..sparse.convert import fill_class_payload, round_up
 
         n, p = m.shape
         ct, _ = cls.choose_col_tile(m)
@@ -286,7 +281,6 @@ class GramPCAEngine:
         indptr, indices = src._h_indptr, src._h_indices
         vals = src._csr_data_host()
         exact = m.values_bf16_exact()
-        lib = _native.get_lib()
 
         bdata, blocal, bwidths = [], [], []
         pos = np.zeros(n, np.int64)
@@ -294,45 +288,10 @@ class GramPCAEngine:
         offset = 0
         wt_max = 8
         for c, rows in plan:
-            s_ip, s_ix, s_dt = extract_rows_csr(indptr, indices, vals, rows)
             rc = round_up(len(rows), slab)
-            if lib is not None and s_dt.dtype == np.float32:
-                # direct fixed-width conversion: the class width bounds
-                # every (row, tile) group by construction, so no hist /
-                # quantile / pad passes are needed
-                td = np.zeros((nt * c, rc), np.float32)
-                tl = np.zeros((nt * c, rc), np.int32)
-                dropped = lib.csr_to_tiled_ell_t_f32(
-                    np.ascontiguousarray(s_ip, np.int64),
-                    np.ascontiguousarray(s_ix, np.int32),
-                    np.ascontiguousarray(s_dt, np.float32),
-                    len(rows), ct, c, rc, td, tl,
-                )
-                if dropped:
-                    # a violated class-width invariant means the cached
-                    # bucket plan is stale (e.g. matrix mutated after
-                    # planning) — fail loudly instead of solving on a
-                    # silently truncated payload
-                    raise RuntimeError(
-                        f"bucket width plan stale: {dropped} entries "
-                        f"exceed class width {c} (col_tile={ct}); "
-                        "rebuild the operator after mutating the matrix"
-                    )
-            else:
-                td, tl, wt_d, nt_d, _, _, ovw = csr_to_tiled_ell_split_numpy(
-                    s_ip, s_ix, s_dt, len(rows), p,
-                    col_tile=ct, rows_padded_to=rc, quantile=1.0,
-                )
-                assert ovw == 0 and nt_d == nt and wt_d <= c, (wt_d, c)
-                if wt_d < c:  # width-pad to class (slot = tile*wt + rank)
-                    td = np.pad(
-                        td.reshape(nt, wt_d, rc),
-                        ((0, 0), (0, c - wt_d), (0, 0)),
-                    ).reshape(nt * c, rc)
-                    tl = np.pad(
-                        tl.reshape(nt, wt_d, rc),
-                        ((0, 0), (0, c - wt_d), (0, 0)),
-                    ).reshape(nt * c, rc)
+            td, tl = fill_class_payload(
+                indptr, indices, vals, rows, p, ct, c, rc
+            )
             bdata.append(jnp.asarray(td))
             blocal.append(jnp.asarray(tl))
             bwidths.append((c, rc))

@@ -328,6 +328,19 @@ class SparsePCA:
             # randomized method to the centered one
             _warn_gram_ignores_lanczos_knobs(self)
             sm = self.svd_method
+            if self.verbose:
+                from ..linalg.gram import EIGH_MAX_PP
+
+                if op.p_padded > EIGH_MAX_PP and sm.is_random:
+                    # _solve_topk treats the user's sketch params as
+                    # MINIMUMS there (accuracy floor, linalg/gram.py) —
+                    # surface that the effective solve may be larger
+                    print(
+                        "Large-Gram randomized solve: oversamples/"
+                        "power-iterations are treated as minimums "
+                        f"(l >= k+14, q >= 8; requested "
+                        f"{sm.n_oversamples}/{sm.n_power_iterations})"
+                    )
             s_dev, vt, T = gram_pca_graph(
                 op,
                 op.gram_cached(),

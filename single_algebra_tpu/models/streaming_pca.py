@@ -500,10 +500,18 @@ class StreamingSparsePCA:
             )
         else:
             corr = jnp.zeros((k,), jnp.float32)
-        # enqueue every slab's projection before pulling any result: the
-        # host-side payload builds overlap the device dispatches, and the
-        # pulls drain in order at the end (slab outputs are small)
-        handles = []
+        # keep a small window of in-flight slab projections: the host
+        # payload build overlaps the device dispatches, while draining the
+        # oldest handle bounds device memory to ~window slabs (the
+        # out-of-core contract: chunk size never dictates HBM footprint)
+        outs: list = []
+        handles: list = []
+
+        def drain(keep):
+            while len(handles) > keep:
+                T, nr = handles.pop(0)
+                outs.append(np.asarray(T)[:nr])
+
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -519,6 +527,7 @@ class StreamingSparsePCA:
                     mesh=self.mesh, ax=self.axis_name,
                 )
                 handles.append((T, n_rows))
+                drain(self._pipeline_depth)
         else:
             for indptr, indices, data, n_rows in self._iter_slabs(chunk):
                 td, tl, wt, nt = _slab_payload(
@@ -529,9 +538,9 @@ class StreamingSparsePCA:
                     wt=wt, ntiles=nt, ct=self.ct,
                 )
                 handles.append((T, n_rows))
-        return np.concatenate(
-            [np.asarray(T)[:n_rows] for T, n_rows in handles], axis=0
-        )
+                drain(self._pipeline_depth)
+        drain(0)
+        return np.concatenate(outs, axis=0)
 
     # -- streaming statistics byproducts ------------------------------------
 

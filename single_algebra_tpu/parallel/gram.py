@@ -143,8 +143,7 @@ class ShardedGram:
         slab: int | None = None,
     ) -> "ShardedGram":
         from ..linalg.gram import _width_class
-        from ..native import build as _native
-        from ..sparse.convert import extract_rows_csr, row_tile_widths
+        from ..sparse.convert import row_tile_widths
 
         if m.format != "csr":
             m = m.transpose()
@@ -152,6 +151,14 @@ class ShardedGram:
         n, p = m.shape
         ndev = mesh.shape[axis_name]
         rs = -(-n // ndev)  # natural rows per device (contiguous blocks)
+
+        if slab is not None and not (slab <= 1024 or slab % 1024 == 0):
+            # the densify kernel needs slab % block_rows == 0 with
+            # block_rows = min(1024, slab) — catch it at build time
+            # instead of a bare assert deep in a shard_map trace
+            raise ValueError(
+                f"slab={slab} must be <= 1024 or a multiple of 1024"
+            )
 
         def _slab_for_rows(cap: int) -> int:
             """Sub-slab granularity for a row population: full 8192 at
@@ -181,7 +188,6 @@ class ShardedGram:
         indptr, indices = m._h_indptr, m._h_indices
         data = m._csr_data_host()
         exact = m.values_bf16_exact()
-        lib = _native.get_lib()
 
         # global width classes (one O(nnz) pass), then per-device split
         w_r = np.maximum(
@@ -225,38 +231,10 @@ class ShardedGram:
             for b, (c, rc, _) in enumerate(bwidths):
                 rows = dev_rows[d][c]
                 if len(rows):
-                    s_ip, s_ix, s_dt = extract_rows_csr(
-                        indptr, indices, data, rows
+                    _cv.fill_class_payload(
+                        indptr, indices, data, rows, p, ct, c, rc,
+                        out_td=bdata_np[b][d], out_tl=blocal_np[b][d],
                     )
-                    if lib is not None and s_dt.dtype == np.float32:
-                        dropped = lib.csr_to_tiled_ell_t_f32(
-                            np.ascontiguousarray(s_ip, np.int64),
-                            np.ascontiguousarray(s_ix, np.int32),
-                            np.ascontiguousarray(s_dt, np.float32),
-                            len(rows), ct, c, rc,
-                            bdata_np[b][d], blocal_np[b][d],
-                        )
-                        assert dropped == 0, (dropped, c)
-                    else:
-                        td, tl, wt_d, nt_d, _, _, ovw = (
-                            _cv.csr_to_tiled_ell_split_numpy(
-                                s_ip, s_ix, s_dt, len(rows), p,
-                                col_tile=ct, rows_padded_to=rc,
-                                quantile=1.0,
-                            )
-                        )
-                        assert ovw == 0 and nt_d == nt and wt_d <= c
-                        if wt_d < c:  # width-pad to class
-                            td = np.pad(
-                                td.reshape(nt, wt_d, rc),
-                                ((0, 0), (0, c - wt_d), (0, 0)),
-                            ).reshape(nt * c, rc)
-                            tl = np.pad(
-                                tl.reshape(nt, wt_d, rc),
-                                ((0, 0), (0, c - wt_d), (0, 0)),
-                            ).reshape(nt * c, rc)
-                        bdata_np[b][d] = td
-                        blocal_np[b][d] = tl
                     pos_local[d, rows - d * rs] = offset + np.arange(
                         len(rows)
                     )

@@ -510,3 +510,72 @@ def extract_rows_csr(
     within = np.arange(total, dtype=np.int64) - sub_indptr[out_row]
     src = indptr[rows][out_row] + within
     return sub_indptr, np.asarray(indices)[src], np.asarray(data)[src]
+
+
+def fill_class_payload(
+    indptr,
+    indices,
+    data,
+    rows,
+    n_cols,
+    col_tile,
+    class_width,
+    rows_padded,
+    out_td=None,
+    out_tl=None,
+):
+    """Transposed tiled payload ``[ntiles * class_width, rows_padded]``
+    for a row subset whose per-(row, tile) group widths are bounded by
+    ``class_width`` (a width-class bucket). Shared by the single-chip and
+    sharded Gram engines.
+
+    Native fast path with the stale-width-plan guard (the converter
+    counts entries whose rank overflows the class width — nonzero means
+    the caller's cached bucket plan no longer matches the matrix); numpy
+    fallback converts at the true width and pads up to the class.
+    ``out_td``/``out_tl`` may be preallocated zeroed views (e.g. slices
+    of a stacked per-device array); allocated when omitted.
+    """
+
+    from ..native import build as _native
+
+    nt = max(-(-n_cols // col_tile), 1)
+    c, rc = class_width, rows_padded
+    if out_td is None:
+        out_td = np.zeros((nt * c, rc), np.float32)
+        out_tl = np.zeros((nt * c, rc), np.int32)
+    s_ip, s_ix, s_dt = extract_rows_csr(indptr, indices, data, rows)
+    lib = _native.get_lib()
+    if lib is not None and s_dt.dtype == np.float32:
+        dropped = lib.csr_to_tiled_ell_t_f32(
+            np.ascontiguousarray(s_ip, np.int64),
+            np.ascontiguousarray(s_ix, np.int32),
+            np.ascontiguousarray(s_dt, np.float32),
+            len(rows), col_tile, c, rc, out_td, out_tl,
+        )
+        if dropped:
+            raise RuntimeError(
+                f"bucket width plan stale: {dropped} entries exceed "
+                f"class width {c} (col_tile={col_tile}); rebuild the "
+                "operator after mutating the matrix"
+            )
+        return out_td, out_tl
+    td, tl, wt_d, nt_d, _, _, ovw = csr_to_tiled_ell_split_numpy(
+        s_ip, s_ix, s_dt, len(rows), n_cols,
+        col_tile=col_tile, rows_padded_to=rc, quantile=1.0,
+    )
+    if ovw != 0 or nt_d != nt or wt_d > c:
+        raise RuntimeError(
+            f"bucket width plan stale: width {wt_d} exceeds class {c} "
+            f"(col_tile={col_tile}, overflow={ovw})"
+        )
+    if wt_d < c:  # width-pad to class (slot = tile * c + rank)
+        td = np.pad(
+            td.reshape(nt, wt_d, rc), ((0, 0), (0, c - wt_d), (0, 0))
+        ).reshape(nt * c, rc)
+        tl = np.pad(
+            tl.reshape(nt, wt_d, rc), ((0, 0), (0, c - wt_d), (0, 0))
+        ).reshape(nt * c, rc)
+    out_td[:] = td
+    out_tl[:] = tl
+    return out_td, out_tl

@@ -132,3 +132,11 @@ def test_sharded_gram_bucketed_payload_tracks_row_structure():
     T_ref = Dc @ np.asarray(res.components, np.float64).T
     T = np.asarray(res.transformed)
     assert np.abs(np.abs(T) - np.abs(T_ref)).max() < 1e-3 * np.abs(T_ref).max()
+
+
+def test_sharded_gram_rejects_bad_slab(data):
+    from single_algebra_tpu.parallel.gram import ShardedGram
+
+    m = SparseMatrix.from_scipy(data)
+    with pytest.raises(ValueError, match="slab"):
+        ShardedGram.from_matrix(m, make_mesh(2), slab=1500)
