@@ -533,6 +533,10 @@ def fill_class_payload(
     counts entries whose rank overflows the class width — nonzero means
     the caller's cached bucket plan no longer matches the matrix); numpy
     fallback converts at the true width and pads up to the class.
+    ``class_width`` should be a multiple of 8 (the engines use
+    ``_width_class`` powers of two): the numpy fallback rounds its
+    computed width up to 8, so a narrower class would spuriously trip
+    the stale-plan check.
     ``out_td``/``out_tl`` may be preallocated zeroed views (e.g. slices
     of a stacked per-device array); allocated when omitted.
     """

@@ -423,3 +423,55 @@ def test_native_lib_rebuild(tmp_path, small_csr):
     finally:
         os.environ.pop("SINGLE_ALGEBRA_TPU_NO_NATIVE")
         nb._tried, nb._lib = False, None
+
+
+def test_fill_class_payload_native_matches_numpy():
+    """The shared class-payload converter (both Gram engines) produces
+    identical payloads from its native and numpy paths, and rejects a
+    stale width plan instead of truncating silently."""
+
+    import os
+
+    import scipy.sparse as sp
+
+    from single_algebra_tpu.native import build as native_build
+    from single_algebra_tpu.sparse.convert import (
+        fill_class_payload,
+        row_tile_widths,
+    )
+
+    rng = np.random.default_rng(4)
+    X = sp.random(
+        300, 200, density=0.08, format="csr", dtype=np.float32,
+        random_state=rng, data_rvs=lambda s: rng.poisson(2, s) + 1.0,
+    )
+    indptr = X.indptr.astype(np.int64)
+    indices = X.indices.astype(np.int32)
+    data = X.data.astype(np.float32)
+    from single_algebra_tpu.linalg.gram import _width_class
+
+    ct = 64
+    rows = np.arange(0, 300, 2, dtype=np.int64)
+    w = row_tile_widths(indptr, indices, 300, ct)[rows].max()
+    c, rc = _width_class(int(max(8, w))), 256
+    assert c > 8  # the stale-plan probe below needs a smaller class
+
+    td_n, tl_n = fill_class_payload(
+        indptr, indices, data, rows, 200, ct, c, rc
+    )
+    if native_build.get_lib() is not None:
+        os.environ["SINGLE_ALGEBRA_TPU_NO_NATIVE"] = "1"
+        native_build._lib, native_build._tried = None, True
+        try:
+            td_p, tl_p = fill_class_payload(
+                indptr, indices, data, rows, 200, ct, c, rc
+            )
+        finally:
+            del os.environ["SINGLE_ALGEBRA_TPU_NO_NATIVE"]
+            native_build._tried = False
+        np.testing.assert_array_equal(td_n, td_p)
+        np.testing.assert_array_equal(tl_n, tl_p)
+
+    # stale plan: a class width below the true max must raise, not drop
+    with pytest.raises(RuntimeError, match="stale"):
+        fill_class_payload(indptr, indices, data, rows, 200, ct, 8, rc)
