@@ -171,11 +171,13 @@ def run_tpu(X, k):
     t_cold, t_cold_pull, _ = one_fit()  # includes compile + operator build
     _log(f"cold fit done in {t_cold:.1f}s (+{t_cold_pull:.1f}s T pull)")
     warms, pulls = [], []
-    for _ in range(3):
+    for _ in range(5):
         t_w, t_p, pca = one_fit()
         warms.append(t_w)
         pulls.append(t_p)
-    t_warm = min(warms)  # min-of-3: tunnel latency jitter dominates
+    # min-of-5: tunnel latency/bandwidth jitter varies ~3x run-to-run
+    # (the pipelined device-graph time below is stable at ~±1%)
+    t_warm = min(warms)
     t_pull = min(pulls)
     _log(
         f"warm fit done in {t_warm:.2f}s + {t_pull:.2f}s T pull "
@@ -213,6 +215,7 @@ def run_tpu(X, k):
     return dict(
         load=t_load, cold=t_cold, warm=t_warm, pull_T=t_pull,
         graph=t_graph, pca=pca,
+        warm_runs=[round(w, 3) for w in warms],
     )
 
 
@@ -368,6 +371,7 @@ def main():
                     "vs_64core_projected_pipelined": (
                         round(cpu64 / tpu["graph"], 2) if cpu64 else None
                     ),
+                    "warm_runs_s": tpu["warm_runs"],
                 }
             }
         ),
