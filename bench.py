@@ -175,10 +175,12 @@ def run_tpu(X, k):
         t_w, t_p, pca = one_fit()
         warms.append(t_w)
         pulls.append(t_p)
-    # min-of-5: tunnel latency/bandwidth jitter varies ~3x run-to-run
-    # (the pipelined device-graph time below is stable at ~±1%)
-    t_warm = min(warms)
-    t_pull = min(pulls)
+    # min-of-5 OVER WHOLE RUNS: tunnel jitter varies ~3x run-to-run, and
+    # combining the best fit of one run with the best pull of another
+    # would report an end-to-end time no run actually achieved
+    best = min(range(5), key=lambda i: warms[i] + pulls[i])
+    t_warm = warms[best]
+    t_pull = pulls[best]
     _log(
         f"warm fit done in {t_warm:.2f}s + {t_pull:.2f}s T pull "
         f"(runs: {[round(w, 3) for w in warms]})"

@@ -23,6 +23,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from single_algebra_tpu.utils.cache import enable_compile_cache
 
@@ -42,18 +43,14 @@ def _timed(fn, n=3):
     return min(runs)
 
 
-def _cluster_counts(n, p, n_clusters=16, seed=0, density=0.1):
-    import scipy.sparse as sp
+from _datagen import cluster_counts as _cluster_counts_shared  # noqa: E402
 
-    rng = np.random.default_rng(seed)
-    base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
-        rng.random((n_clusters, p)) < 0.5
+
+def _cluster_counts(n, p, n_clusters=16, seed=0, density=0.1):
+    # graded default density 0.1 (the recorded r2/r3 workload shapes)
+    return _cluster_counts_shared(
+        n, p, n_clusters=n_clusters, seed=seed, density=density
     )
-    scale = np.geomspace(8, 1, n_clusters)[:, None]
-    lam = base * scale * (density / max(base.mean(), 1e-9))
-    labels = rng.integers(0, n_clusters, n)
-    X = rng.poisson(lam[labels]).astype(np.float64)
-    return sp.csr_matrix(X)
 
 
 def main():

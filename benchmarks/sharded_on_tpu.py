@@ -24,6 +24,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -37,20 +38,7 @@ N, P, K = 100_000, 2_000, 20
 SEED = 5
 
 
-def cluster_counts(n, p, n_clusters=16, seed=0, density=0.03):
-    """Gapped-spectrum synthetic counts (mirrors tests/conftest.py)."""
-
-    import scipy.sparse as sp
-
-    rng = np.random.default_rng(seed)
-    base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
-        rng.random((n_clusters, p)) < 0.5
-    )
-    scale = np.geomspace(8, 1, n_clusters)[:, None]
-    lam = base * scale * (density / max(base.mean(), 1e-9))
-    labels = rng.integers(0, n_clusters, n)
-    X = rng.poisson(lam[labels]).astype(np.float64)
-    return sp.csr_matrix(X)
+from _datagen import cluster_counts  # noqa: E402
 
 
 def host_truth(X, k):

@@ -335,10 +335,13 @@ class SparsePCA:
                     # _solve_topk treats the user's sketch params as
                     # MINIMUMS there (accuracy floor, linalg/gram.py) —
                     # surface that the effective solve may be larger
+                    k_ = self.n_components
+                    os_floor = min(k_ + 14, max(op.p_padded - k_, 0))
                     print(
                         "Large-Gram randomized solve: oversamples/"
                         "power-iterations are treated as minimums "
-                        f"(l >= k+14, q >= 8; requested "
+                        f"(oversamples >= {os_floor} i.e. sketch width "
+                        f"l >= {k_ + os_floor}, q >= 8; requested "
                         f"{sm.n_oversamples}/{sm.n_power_iterations})"
                     )
             s_dev, vt, T = gram_pca_graph(

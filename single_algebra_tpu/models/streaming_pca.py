@@ -353,9 +353,10 @@ class StreamingSparsePCA:
             )
 
     def _iter_super_slabs(self, chunk):
-        """Mesh mode: yield ``(td [ndev, nt*wt, SLAB], tl, wt, n_rows,
-        exact)`` stacked per-device payloads (common wt, zero-padded
-        trailing sub-slabs)."""
+        """Mesh mode: yield ``(td [ndev, nt*wt, SLAB], tl, wt, ntiles,
+        n_rows, exact, n_real_slabs)`` stacked per-device payloads
+        (common wt, zero-padded trailing sub-slabs; ``n_real_slabs`` =
+        non-padding sub-slabs in the group, for fold accounting)."""
 
         ndev = self.mesh.shape[self.axis_name]
         slabs = list(self._iter_slabs(chunk))
@@ -384,7 +385,7 @@ class StreamingSparsePCA:
                     tl.reshape(nt, wt_d, _SLAB),
                     ((0, 0), (0, wt - wt_d), (0, 0)),
                 ).reshape(nt * wt, _SLAB)
-            yield std, stl, wt, nt, n_rows, bool(exact)
+            yield std, stl, wt, nt, n_rows, bool(exact), len(group)
 
     def partial_fit(self, chunk) -> "StreamingSparsePCA":
         """Accumulate one CSR row chunk (any row count) into the Gram and
@@ -398,9 +399,9 @@ class StreamingSparsePCA:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sh = NamedSharding(self.mesh, P(self.axis_name, None, None))
-            for std, stl, wt, nt, n_rows, exact in self._iter_super_slabs(
-                chunk
-            ):
+            for (
+                std, stl, wt, nt, n_rows, exact, n_real
+            ) in self._iter_super_slabs(chunk):
                 self._G, s, sq = _accum_graph_mesh(
                     self._G,
                     jax.device_put(std, sh),
@@ -410,7 +411,10 @@ class StreamingSparsePCA:
                 )
                 self._pending.append((s, sq))
                 self._n += n_rows
-                self._count_slabs(self.mesh.shape[self.axis_name])
+                # count REAL sub-slabs, not the zero-padded group width —
+                # padding slabs add no f32 rounding, and overcounting
+                # fires the [pp, pp] fold pull up to ndev-fold too often
+                self._count_slabs(n_real)
                 self._drain_moments(self._pipeline_depth)
             return self
 
@@ -516,9 +520,9 @@ class StreamingSparsePCA:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sh = NamedSharding(self.mesh, P(self.axis_name, None, None))
-            for std, stl, wt, nt, n_rows, _ in self._iter_super_slabs(
-                chunk
-            ):
+            for (
+                std, stl, wt, nt, n_rows, _, _nr
+            ) in self._iter_super_slabs(chunk):
                 T = _project_graph_mesh(
                     jax.device_put(std, sh),
                     jax.device_put(stl, sh),

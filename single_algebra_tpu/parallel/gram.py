@@ -142,8 +142,7 @@ class ShardedGram:
         col_tile: int | None = None,
         slab: int | None = None,
     ) -> "ShardedGram":
-        from ..linalg.gram import _width_class
-        from ..sparse.convert import row_tile_widths
+        from ..linalg.gram import GramPCAEngine
 
         if m.format != "csr":
             m = m.transpose()
@@ -176,7 +175,6 @@ class ShardedGram:
             return s
 
         if col_tile is None:
-            from ..linalg.gram import GramPCAEngine
             from ..linalg.operators import DensifiedOperator
 
             # per-device budget: the payload splits ndev ways
@@ -189,12 +187,15 @@ class ShardedGram:
         data = m._csr_data_host()
         exact = m.values_bf16_exact()
 
-        # global width classes (one O(nnz) pass), then per-device split
-        w_r = np.maximum(
-            row_tile_widths(indptr, indices, n, ct), 1
-        )
-        classes = np.frompyfunc(_width_class, 1, 1)(w_r).astype(np.int64)
-        class_list = [int(c) for c in np.unique(classes)]
+        # global width classes: reuse the bucket plan choose_col_tile just
+        # computed and cached for this (matrix, col_tile) — re-running the
+        # O(nnz) width scan here doubled the dominant host build cost
+        plan, _, _, nt_plan = GramPCAEngine._bucket_plan(m, ct)
+        assert nt_plan == nt
+        classes = np.empty(n, np.int64)
+        for c, rows_c in plan:
+            classes[rows_c] = c
+        class_list = [int(c) for c, _ in plan]
 
         # per (device, class) natural-row lists + class capacities
         dev_rows = []  # [ndev][class] -> natural row indices

@@ -47,7 +47,9 @@ def small_csr():
 
 
 def cluster_counts(n, p, n_clusters=8, seed=0, density=0.1):
-    """scRNA-like synthetic counts with a genuinely gapped spectrum."""
+    """scRNA-like synthetic counts with a genuinely gapped spectrum.
+    Keep in sync with ``benchmarks/_datagen.py`` (same recipe; the
+    benchmarks measure exactly the structure these tests validate)."""
 
     rng = np.random.default_rng(seed)
     base = rng.gamma(2.0, 1.0, size=(n_clusters, p)) * (
