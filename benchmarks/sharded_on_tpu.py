@@ -127,6 +127,16 @@ def main():
     )
     record("sharded_spmm_pallas", cold, warm, r.explained_variance)
 
+    # 2b. ShardedTiled: Pallas densify-then-contract kernels per slab —
+    # the r3 fast path for the sparse fallback band (ROADMAP #4)
+    cold, warm, r = timed(
+        lambda: sharded_pca_fit_transform(
+            m, K, mesh=mesh, engine="tiled", seed=SEED
+        ),
+        lambda r: np.asarray(r.transformed[:1]),
+    )
+    record("sharded_tiled_pallas", cold, warm, r.explained_variance)
+
     # 3. Sharded Gram: Pallas one-hot densify + MXU contraction + psum
     cold, warm, r = timed(
         lambda: sharded_gram_pca(m, mesh, n_components=K, seed=SEED),

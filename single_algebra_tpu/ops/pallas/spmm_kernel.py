@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -48,6 +49,23 @@ __all__ = [
 # but costs +32% HBM for the layout
 DEFAULT_COL_TILE = 256
 DEFAULT_BLOCK_ROWS = 1024
+
+# Index-map constants must be explicit int32: with jax_enable_x64 on (the
+# f64 configuration), a Python literal `0` traces as i64 and Mosaic fails
+# to legalize the index-map function (`func.return (i64, i32)`), killing
+# every tiled kernel on hardware. A numpy scalar stays i32 either way
+# (and, unlike jnp.int32(0), doesn't touch the backend at import time).
+_ZERO = np.int32(0)
+
+
+def _check_mosaic_dtype(dtype, interpret: bool) -> None:
+    # Mosaic has no 64-bit support; surface the limit at the API edge
+    # instead of a NotImplementedError deep inside kernel lowering
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError(
+            f"Pallas TPU kernels do not support 64-bit dtypes (got {dtype});"
+            " use engine='sparse' or 'gram' for f64 matrices, or fit in f32"
+        )
 
 
 def _spmm_kernel(td_ref, tl_ref, bt_ref, o_ref, *, wt: int, ct: int):
@@ -97,6 +115,7 @@ def tiled_ell_spmm_t(
     R must be a multiple of ``block_rows`` (a multiple of 128).
     """
 
+    _check_mosaic_dtype(tdata_t.dtype, interpret)
     R = tdata_t.shape[1]
     kp = Bt.shape[0]
     assert R % block_rows == 0, (R, block_rows)
@@ -117,11 +136,11 @@ def tiled_ell_spmm_t(
                 (wt, block_rows), lambda i, t: (t, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (kp, col_tile), lambda i, t: (0, t), memory_space=pltpu.VMEM
+                (kp, col_tile), lambda i, t: (_ZERO, t), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (kp, block_rows), lambda i, t: (0, i), memory_space=pltpu.VMEM
+            (kp, block_rows), lambda i, t: (_ZERO, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((kp, R), tdata_t.dtype),
         interpret=interpret,
@@ -171,6 +190,7 @@ def tiled_ell_densify_t(
     the ~32-VPU-ops-per-dense-element one-hot cost is paid once per fit
     instead of once per SpMM in the sketching loop."""
 
+    _check_mosaic_dtype(tdata_t.dtype, interpret)
     R = tdata_t.shape[1]
     assert R % block_rows == 0, (R, block_rows)
     grid = (ntiles, R // block_rows)
@@ -252,6 +272,7 @@ def tiled_ell_rmv_t(
     accumulates across row blocks.
     """
 
+    _check_mosaic_dtype(tdata_t.dtype, interpret)
     R = tdata_t.shape[1]
     kp = Ct.shape[0]
     assert R % block_rows == 0, (R, block_rows)
@@ -272,11 +293,11 @@ def tiled_ell_rmv_t(
                 (wt, block_rows), lambda t, i: (t, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (kp, block_rows), lambda t, i: (0, i), memory_space=pltpu.VMEM
+                (kp, block_rows), lambda t, i: (_ZERO, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (col_tile, kp), lambda t, i: (t, 0), memory_space=pltpu.VMEM
+            (col_tile, kp), lambda t, i: (t, _ZERO), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles * col_tile, kp), Ct.dtype),
         interpret=interpret,

@@ -21,9 +21,49 @@ from ..linalg import MaskedOperator
 from ..models.pca import _fit_graph
 from ..sparse.matrix import SparseMatrix
 from ..types import PowerIterationNormalizer, SVDMethod
-from .sharded import Mesh, ShardedDensified, ShardedSpMM, make_mesh
+from .sharded import (
+    Mesh,
+    ShardedDensified,
+    ShardedSpMM,
+    ShardedTiled,
+    make_mesh,
+)
 
-__all__ = ["ShardedPCAResult", "sharded_pca_fit_transform"]
+__all__ = [
+    "ShardedPCAResult",
+    "choose_sharded_engine",
+    "sharded_pca_fit_transform",
+]
+
+
+def choose_sharded_engine(m: SparseMatrix, mesh: Mesh) -> str:
+    """Mesh analog of the single-chip 'auto' ladder: 'dense' when the
+    bf16 densified payload fits the AGGREGATE HBM budget, else 'tiled'
+    when the stacked tiled payload fits, else 'sparse' (gather path).
+    The Gram engine has its own entry point (``sharded_gram_pca``)."""
+
+    import jax
+
+    from ..linalg.operators import DensifiedOperator
+    from ..models.pca import _needs_lo
+
+    import jax.numpy as jnp
+
+    # dense (bf16 hi/lo split) and tiled (Mosaic has no 64-bit types) are
+    # f32-only engines — mirror the single-chip ladder's dtype gate
+    if jax.default_backend() != "tpu" or m.dtype != jnp.float32:
+        return "sparse"
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    budget = DensifiedOperator.hbm_budget_bytes() * ndev
+    if DensifiedOperator.fits(
+        m.shape, budget_bytes=budget, needs_lo=False
+    ) and DensifiedOperator.fits(
+        m.shape, budget_bytes=budget, needs_lo=_needs_lo(m)
+    ):
+        return "dense"
+    if ShardedTiled.payload_bytes(m, ndev) <= budget:
+        return "tiled"
+    return "sparse"
 
 
 class ShardedPCAResult(NamedTuple):
@@ -50,12 +90,15 @@ def sharded_pca_fit_transform(
     """Centered PCA of a row-sharded sparse matrix (both SVD methods).
 
     ``x`` may be a SparseMatrix (sharded here) or a prebuilt
-    :class:`ShardedSpMM`/:class:`ShardedDensified`. Both ``SVDMethod``s run
-    over the mesh: the randomized sketch and the Golub-Kahan recurrence are
-    sequences of mv/rmv products, so the row-sharded operator (local SpMM +
-    one ``psum`` per ``A^T@``) plugs into either engine unchanged; the
-    Lanczos path keeps the reference semantic of operating on the RAW
-    (uncentered) matrix.
+    :class:`ShardedSpMM`/:class:`ShardedDensified`/:class:`ShardedTiled`.
+    ``engine`` selects the per-slab compute: 'dense' (bf16 MXU matmuls),
+    'tiled' (Pallas densify-then-contract kernels), 'sparse' (XLA gather
+    path), or 'auto' (:func:`choose_sharded_engine`'s HBM-budget ladder).
+    Both ``SVDMethod``s run over the mesh: the randomized sketch and the
+    Golub-Kahan recurrence are sequences of mv/rmv products, so the
+    row-sharded operator (local SpMM + one ``psum`` per ``A^T@``) plugs
+    into either engine unchanged; the Lanczos path keeps the reference
+    semantic of operating on the RAW (uncentered) matrix.
 
     ``mask`` (optional boolean, length p) restricts features like
     ``MaskedSparsePCA``: the masked view is an int32 gather on the
@@ -67,13 +110,19 @@ def sharded_pca_fit_transform(
 
     if svd_method is None:
         svd_method = SVDMethod.random(10, 7, PowerIterationNormalizer.QR)
-    if isinstance(x, (ShardedSpMM, ShardedDensified)):
+    if isinstance(x, (ShardedSpMM, ShardedDensified, ShardedTiled)):
         op = x
     else:
         if not isinstance(x, SparseMatrix):
             x = SparseMatrix.from_scipy(x)
         mesh = mesh or make_mesh()
-        cls = ShardedDensified if engine == "dense" else ShardedSpMM
+        if engine == "auto":
+            engine = choose_sharded_engine(x, mesh)
+        cls = {
+            "dense": ShardedDensified,
+            "tiled": ShardedTiled,
+            "sparse": ShardedSpMM,
+        }[engine]
         # slab building + placement is per-(matrix, mesh) work — cache it
         cache = getattr(x, "_operator_cache", None)
         key = (

@@ -306,6 +306,8 @@ def csr_to_tiled_ell_split_numpy(
     col_tile: int = 256,
     rows_padded_to: int = 256,
     quantile: float = 0.99,
+    force_wt: int | None = None,
+    force_ov_w: int | None = None,
 ):
     """Two-level tiled ELL: quantile-width main level + sparse overflow.
 
@@ -320,6 +322,12 @@ def csr_to_tiled_ell_split_numpy(
     where the first four match ``csr_to_tiled_ell_numpy`` (transposed
     orientation) and the overflow arrays are ``[rows_padded, ov_w]``
     (``ov_w == 0`` when nothing overflows).
+
+    ``force_wt``/``force_ov_w`` pin the widths instead of deriving them
+    from THIS matrix's structure — the sharded engine converts each row
+    slab with the widths of the GLOBAL plan so per-device payload shapes
+    stay uniform. ``force_ov_w`` must be >= the slab's true overflow
+    width (it comes from a global max); a violation raises.
     """
 
     indptr = np.asarray(indptr, dtype=np.int64)
@@ -327,16 +335,17 @@ def csr_to_tiled_ell_split_numpy(
     rows_padded = max(round_up(n_rows, rows_padded_to), rows_padded_to)
     nnz = len(indices)
     if nnz == 0 or n_rows == 0:
-        wt = 8
+        wt = force_wt if force_wt is not None else 8
+        ow = force_ov_w or 0
         shape = (ntiles * wt, rows_padded)
         return (
             np.zeros(shape, data.dtype),
             np.zeros(shape, np.int32),
             wt,
             ntiles,
-            np.zeros((rows_padded, 0), data.dtype),
-            np.zeros((rows_padded, 0), np.int32),
-            0,
+            np.zeros((rows_padded, ow), data.dtype),
+            np.zeros((rows_padded, ow), np.int32),
+            ow,
         )
 
     if data.dtype == np.float32:
@@ -347,20 +356,31 @@ def csr_to_tiled_ell_split_numpy(
             indptr64 = np.ascontiguousarray(indptr, np.int64)
             idx32 = np.ascontiguousarray(indices, np.int32)
             dat = np.ascontiguousarray(data, np.float32)
-            hist = np.zeros(4096, np.int64)
-            lib.csr_tile_group_hist(
-                indptr64, idx32, n_rows, col_tile, hist, 4096
-            )
-            sizes_cum = np.cumsum(hist[1:])
-            total = sizes_cum[-1]
-            wt = int(
-                np.searchsorted(sizes_cum, quantile * total, side="left") + 1
-            )
-            wt = max(round_up(wt, 8), 8)
+            if force_wt is not None:
+                wt = force_wt
+            else:
+                hist = np.zeros(4096, np.int64)
+                lib.csr_tile_group_hist(
+                    indptr64, idx32, n_rows, col_tile, hist, 4096
+                )
+                sizes_cum = np.cumsum(hist[1:])
+                total = sizes_cum[-1]
+                wt = int(
+                    np.searchsorted(sizes_cum, quantile * total, side="left")
+                    + 1
+                )
+                wt = max(round_up(wt, 8), 8)
             ov_w = int(
                 lib.csr_overflow_width(indptr64, idx32, n_rows, col_tile, wt)
             )
             ov_w = round_up(ov_w, 8) if ov_w else 0
+            if force_ov_w is not None:
+                if ov_w > force_ov_w:
+                    raise ValueError(
+                        f"forced overflow width {force_ov_w} < true slab "
+                        f"overflow width {ov_w}"
+                    )
+                ov_w = force_ov_w
             tdata_t = np.zeros((ntiles * wt, rows_padded), np.float32)
             tlocal_t = np.zeros((ntiles * wt, rows_padded), np.int32)
             ov_data = np.zeros((rows_padded, max(ov_w, 1)), np.float32)
@@ -390,7 +410,10 @@ def csr_to_tiled_ell_split_numpy(
     last = np.ones(nnz, dtype=bool)
     last[:-1] = key[1:] != key[:-1]
     sizes = rank[last] + 1
-    wt = int(round_up(max(int(np.quantile(sizes, quantile)), 1), 8))
+    if force_wt is not None:
+        wt = force_wt
+    else:
+        wt = int(round_up(max(int(np.quantile(sizes, quantile)), 1), 8))
 
     main = rank < wt
     tdata_t = np.zeros((ntiles * wt, rows_padded), data.dtype)
@@ -402,9 +425,9 @@ def csr_to_tiled_ell_split_numpy(
     over = ~main
     n_over = int(over.sum())
     if n_over == 0:
-        ov_data = np.zeros((rows_padded, 0), data.dtype)
-        ov_ids = np.zeros((rows_padded, 0), np.int32)
-        ov_w = 0
+        ov_w = force_ov_w or 0
+        ov_data = np.zeros((rows_padded, ov_w), data.dtype)
+        ov_ids = np.zeros((rows_padded, ov_w), np.int32)
     else:
         o_rows = row_of[over]
         # rank within the row's overflow set
@@ -415,6 +438,13 @@ def csr_to_tiled_ell_split_numpy(
         )
         o_rank = np.arange(n_over) - o_start
         ov_w = int(round_up(int(o_rank.max()) + 1, 8))
+        if force_ov_w is not None:
+            if ov_w > force_ov_w:
+                raise ValueError(
+                    f"forced overflow width {force_ov_w} < true slab "
+                    f"overflow width {ov_w}"
+                )
+            ov_w = force_ov_w
         ov_data = np.zeros((rows_padded, ov_w), data.dtype)
         ov_ids = np.zeros((rows_padded, ov_w), np.int32)
         ov_data[o_rows, o_rank] = data[over]

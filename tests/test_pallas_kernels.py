@@ -175,3 +175,28 @@ def test_tiled_split_widths_matches_build():
     )
     assert (wt, nt, ovw) == (wtb, ntb, ovwb)
     assert n_over == int((ovd != 0).sum())
+
+
+def test_tiled_kernels_reject_f64_when_compiled():
+    """Mosaic has no 64-bit types; the wrappers must raise a clear
+    ValueError at the API edge instead of failing deep in lowering
+    (interpret mode — the CPU test path — still accepts f64)."""
+
+    from single_algebra_tpu.ops.pallas.spmm_kernel import (
+        tiled_ell_densify_t,
+        tiled_ell_rmv_t,
+    )
+
+    td = np.zeros((8, 128), np.float64)
+    tl = np.zeros((8, 128), np.int32)
+    B = np.zeros((8, 128), np.float64)
+    with pytest.raises(ValueError, match="64-bit"):
+        tiled_ell_spmm_t(td, tl, B, wt=8, ntiles=1, col_tile=128,
+                         block_rows=128, interpret=False)
+    with pytest.raises(ValueError, match="64-bit"):
+        tiled_ell_rmv_t(td, tl, B, wt=8, ntiles=1, col_tile=128,
+                        block_rows=128, interpret=False)
+    with pytest.raises(ValueError, match="64-bit"):
+        tiled_ell_densify_t(td, tl, wt=8, ntiles=1, col_tile=128,
+                            block_rows=128, out_dtype=np.float64,
+                            interpret=False)

@@ -197,6 +197,105 @@ def test_sharded_centered_operator(problem):
     )
 
 
+def test_sharded_tiled_products(problem):
+    """ShardedTiled (Pallas tiled kernels per slab) == scipy on both
+    product directions, including the heavy-row overflow side arrays."""
+
+    from single_algebra_tpu.parallel import ShardedTiled
+
+    X, m = problem
+    op = ShardedTiled.from_matrix(m, make_mesh(8))
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((97, 6))
+    C = rng.standard_normal((403, 6))
+    np.testing.assert_allclose(np.asarray(op.mv(B)), X @ B, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.rmv(C)), X.T @ C, rtol=1e-10)
+    s, sq, cnt = op.col_stats()
+    dense = X.toarray()
+    np.testing.assert_allclose(np.asarray(s), dense.sum(0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sq), (dense**2).sum(0), rtol=1e-10)
+    np.testing.assert_array_equal(np.asarray(cnt), (dense != 0).sum(0))
+
+
+def test_sharded_tiled_overflow_rows():
+    """A few ultra-dense rows must land in the overflow side arrays (global
+    width plan) and still produce exact products on every device."""
+
+    from single_algebra_tpu.parallel import ShardedTiled
+
+    rng = np.random.default_rng(3)
+    X = sp.random(300, 500, density=0.02, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random).tolil()
+    X[7, :] = rng.random(500)  # dense rows force per-tile overflow
+    X[205, ::2] = rng.random(250)
+    X = X.tocsr()
+    m = SparseMatrix.from_scipy(X, dtype=np.float64)
+    op = ShardedTiled.from_matrix(m, make_mesh(8))
+    assert op.meta[4] > 0, "expected mv-side overflow entries"
+    assert op.meta[5] > 0, "expected rmv-side overflow entries"
+    B = rng.standard_normal((500, 5))
+    C = rng.standard_normal((300, 5))
+    np.testing.assert_allclose(np.asarray(op.mv(B)), X @ B, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.rmv(C)), X.T @ C, rtol=1e-10)
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_tiled_mesh_invariance(problem, ndev):
+    """Same SVD result at every mesh size (and vs the single-device
+    gather operator)."""
+
+    from single_algebra_tpu.parallel import ShardedTiled
+
+    X, m = problem
+    op1 = SparseOperator.from_matrix(m)
+    res1 = randomized_svd(op1, 5, 10, 4, PIN.QR, seed=3)
+    opn = ShardedTiled.from_matrix(m, make_mesh(ndev))
+    resn = randomized_svd(opn, 5, 10, 4, PIN.QR, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(resn.s), np.asarray(res1.s), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(resn.u)), np.abs(np.asarray(res1.u)), atol=1e-7
+    )
+
+
+def test_sharded_tiled_pca_matches_sklearn():
+    from sklearn.decomposition import PCA as SkPCA
+    from tests.conftest import cluster_counts
+
+    X = cluster_counts(500, 120, n_clusters=10, seed=2)
+    res = sharded_pca_fit_transform(
+        X, n_components=6, mesh=make_mesh(8),
+        svd_method=SVDMethod.random(10, 7, PIN.QR), seed=42, engine="tiled",
+    )
+    sk = SkPCA(n_components=6, svd_solver="full").fit(X.toarray())
+    rel = (
+        np.abs(np.asarray(res.explained_variance) - sk.explained_variance_)
+        / sk.explained_variance_
+    )
+    assert rel[:5].max() < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(res.transformed)[:, :5],
+        sk.transform(X.toarray())[:, :5],
+        rtol=1e-3, atol=1e-5 * np.abs(np.asarray(res.transformed)).max(),
+    )
+
+
+@pytest.mark.parametrize("n_rows", [5, 20, 100])
+def test_sharded_tiled_small_row_counts(n_rows):
+    from single_algebra_tpu.parallel import ShardedTiled
+
+    rng = np.random.default_rng(7)
+    X = sp.random(n_rows, 33, density=0.4, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random)
+    m = SparseMatrix.from_scipy(X, dtype=np.float64)
+    op = ShardedTiled.from_matrix(m, make_mesh(8))
+    B = rng.standard_normal((33, 4))
+    C = rng.standard_normal((n_rows, 4))
+    np.testing.assert_allclose(np.asarray(op.mv(B)), X @ B, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.rmv(C)), X.T @ C, rtol=1e-10)
+
+
 def test_sharded_densified_products():
     from single_algebra_tpu.parallel import ShardedDensified
     from tests.conftest import cluster_counts
@@ -237,3 +336,17 @@ def test_sharded_densified_pca():
     )
     # bf16-exact count data: parity like the single-device dense engine
     assert rel[:5].max() < 1e-5
+
+
+def test_choose_sharded_engine_dtype_gate(problem, monkeypatch):
+    """dense/tiled are f32-only (bf16 split; Mosaic has no 64-bit types):
+    the auto ladder must route f64 matrices to the gather path even on a
+    TPU backend."""
+
+    from single_algebra_tpu.parallel import choose_sharded_engine
+
+    X, m = problem  # f64 fixture
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert choose_sharded_engine(m, make_mesh(8)) == "sparse"
+    m32 = SparseMatrix.from_scipy(X.astype(np.float32))
+    assert choose_sharded_engine(m32, make_mesh(8)) != "sparse"
