@@ -68,3 +68,82 @@ def test_tsne_deterministic():
     y1 = np.asarray(tsne.run(x, cfg))
     y2 = np.asarray(tsne.run(x, cfg))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_knn_grad_matches_dense_reference():
+    """The blocked sparse-attraction gradient equals a direct dense numpy
+    evaluation of the same formula (attraction over stored P entries,
+    EXACT repulsion over all pairs) — including at a block size that does
+    not divide n."""
+
+    from single_algebra_tpu.models.tsne import _knn_grad, _symmetrize_knn
+
+    rng = np.random.default_rng(0)
+    n, k, dim = 57, 9, 2
+    # a fake conditional-P and neighbor structure
+    idx = np.stack([
+        rng.choice(np.delete(np.arange(n), i), size=k, replace=False)
+        for i in range(n)
+    ]).astype(np.int32)
+    p_cond = rng.random((n, k))
+    p_cond /= p_cond.sum(1, keepdims=True)
+    src, dst, val = _symmetrize_knn(p_cond, idx, n)
+
+    y = rng.standard_normal((n, dim)).astype(np.float64)
+    g = np.asarray(_knn_grad(
+        np.asarray(y), np.asarray(src), np.asarray(dst), np.asarray(val),
+        np.float64(3.0), block=16,
+    ))
+
+    # dense reference
+    P = np.zeros((n, n))
+    for i in range(n):
+        P[i, idx[i]] = p_cond[i]
+    P = (P + P.T) / (2 * n)
+    d2 = ((y[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    num = 1.0 / (1.0 + d2)
+    np.fill_diagonal(num, 0.0)
+    Z = num.sum()
+    ref = np.zeros((n, dim))
+    for i in range(n):
+        ref[i] = 4 * (
+            (3.0 * P[i] * num[i])[:, None] * (y[i] - y)
+            - ((num[i] ** 2 / Z)[:, None] * (y[i] - y))
+        ).sum(0)
+    np.testing.assert_allclose(g, ref, rtol=1e-8, atol=1e-12)
+
+
+def test_tsne_knn_mode_separates_clusters():
+    x, labels = make_clusters(n_per=60, n_clusters=3)
+    cfg = tsne.TSNEConfig(
+        output_dim=2, perplexity=15.0, epochs=400, mode="knn",
+    )
+    y = np.asarray(tsne.run(x, cfg))
+    assert y.shape == (x.shape[0], 2)
+    assert np.isfinite(y).all()
+    intra, inter = [], []
+    for i in range(0, len(y), 7):
+        for j in range(i + 1, len(y), 11):
+            d = np.linalg.norm(y[i] - y[j])
+            (intra if labels[i] == labels[j] else inter).append(d)
+    assert np.median(intra) < 0.5 * np.median(inter)
+
+
+def test_tsne_mode_auto_and_validation():
+    x, _ = make_clusters(n_per=40, n_clusters=2)
+    # auto at small n is the exact path: identical output
+    y_auto = np.asarray(tsne.run(x, tsne.TSNEConfig(
+        perplexity=10.0, epochs=30, mode="auto")))
+    y_exact = np.asarray(tsne.run(x, tsne.TSNEConfig(
+        perplexity=10.0, epochs=30, mode="exact")))
+    np.testing.assert_array_equal(y_auto, y_exact)
+    # auto above the threshold routes to knn (tiny threshold to avoid a
+    # large-n run in the suite)
+    y_knn = np.asarray(tsne.run(x, tsne.TSNEConfig(
+        perplexity=10.0, epochs=30, mode="auto", exact_max_n=16)))
+    assert y_knn.shape == y_exact.shape and np.isfinite(y_knn).all()
+    with pytest.raises(ValueError, match="mode"):
+        tsne.run(x, tsne.TSNEConfig(perplexity=10.0, mode="bogus"))
+    with pytest.raises(ValueError, match="knn_k"):
+        tsne.run(x, tsne.TSNEConfig(
+            perplexity=20.0, mode="knn", knn_k=10))
