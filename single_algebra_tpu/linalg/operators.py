@@ -138,6 +138,17 @@ class MaskedOperator:
         base = getattr(self.base, "rmv_precise", self.base.rmv)
         return jnp.take(base(C), self.mask_idx, axis=0)
 
+    def mv_fast(self, B):
+        full = jnp.zeros(
+            (self.base.shape[1], B.shape[1]), dtype=B.dtype
+        ).at[self.mask_idx].set(B)
+        base = getattr(self.base, "mv_fast", self.base.mv)
+        return base(full)
+
+    def rmv_fast(self, C):
+        base = getattr(self.base, "rmv_fast", self.base.rmv)
+        return jnp.take(base(C), self.mask_idx, axis=0)
+
     def tree_flatten(self):
         return (self.base, self.mask_idx), ()
 
@@ -177,6 +188,16 @@ class CenteredOperator:
 
     def rmv_precise(self, C):
         base = getattr(self.base, "rmv_precise", self.base.rmv)
+        col_tot = jnp.sum(C, axis=0)
+        return base(C) - self.mu[:, None] * col_tot[None, :]
+
+    def mv_fast(self, B):
+        base = getattr(self.base, "mv_fast", self.base.mv)
+        corr = jnp.dot(self.mu, B, precision=MATMUL_PRECISION)
+        return base(B) - corr[None, :]
+
+    def rmv_fast(self, C):
+        base = getattr(self.base, "rmv_fast", self.base.rmv)
         col_tot = jnp.sum(C, axis=0)
         return base(C) - self.mu[:, None] * col_tot[None, :]
 
@@ -396,9 +417,23 @@ class TiledSparseOperator:
     overflow entries live in narrow plain-ELL side arrays (one per product
     direction; the rmv one indexes rows by column). Construction is
     host-side (C++ native converter when available).
+
+    Precision scheme (f32 matrices — mirrors :class:`DensifiedOperator`):
+    the payload is stored as bf16 ``hi`` (+ bf16 ``lo`` residual unless the
+    values are bf16-exact, e.g. raw counts), so the MXU contraction runs in
+    native bf16 instead of XLA's 6-pass f32 HIGHEST decomposition.
+    ``mv``/``rmv`` are COMPENSATED products (payload hi+lo against the
+    hi/lo-split operand, stacked on the k axis — f32-class accuracy in at
+    most 2 kernel calls); ``mv_fast``/``rmv_fast`` contract hi only (one
+    MXU pass — what randomized power iterations ride; subspace error enters
+    explained variance at second order). The tiny overflow side arrays stay
+    f32 and are added exactly either way. f64 matrices (CPU/interpret only;
+    Mosaic has no 64-bit types) keep a plain f64 payload with exact
+    products.
     """
 
-    tdata: jnp.ndarray  # [nt * wt, Rp]   row-major transposed tiled layout
+    tdata: jnp.ndarray  # [nt * wt, Rp]  bf16 hi (f32 path) or f64 values
+    tdata_lo: jnp.ndarray | None  # bf16 residual, None when exact/f64
     tlocal: jnp.ndarray
     ov_data: jnp.ndarray  # [Rp, ovw]   overflow rows->global col ids (mv)
     ov_ids: jnp.ndarray
@@ -429,6 +464,7 @@ class TiledSparseOperator:
             col_tile=ct,
             rows_padded_to=br,
         )
+        td, td_lo = cls._split_payload(td)
 
         # transposed overflow (column-major plain ELL over just the ~1%
         # overflow entries) so rmv needs no scatter; padding slots in the
@@ -448,6 +484,7 @@ class TiledSparseOperator:
 
         return cls(
             jnp.asarray(td),
+            None if td_lo is None else jnp.asarray(td_lo),
             jnp.asarray(tl),
             jnp.asarray(ovd),
             jnp.asarray(ovi),
@@ -456,6 +493,21 @@ class TiledSparseOperator:
             (n, p),
             (wt, nt, ct, br, ovw, ovtw),
         )
+
+    @staticmethod
+    def _split_payload(td):
+        """f32 payload -> (bf16 hi, bf16 lo | None); other dtypes pass
+        through unsplit (f64 runs exact in interpret mode)."""
+
+        if td.dtype != np.float32:
+            return td, None
+        import ml_dtypes
+
+        hi = td.astype(ml_dtypes.bfloat16)
+        lo = td - hi.astype(np.float32)
+        if not np.any(lo):
+            return hi, None
+        return hi, lo.astype(ml_dtypes.bfloat16)
 
     # -- capacity planning (the 'auto' engine selector's input) ---------
 
@@ -495,56 +547,148 @@ class TiledSparseOperator:
         Mt = jnp.zeros((kp, width), M.dtype)
         return jax.lax.dynamic_update_slice(Mt, M.T.astype(Mt.dtype), (0, 0)), kp
 
-    def mv(self, B):
+    @property
+    def _bf16(self) -> bool:
+        return self.tdata.dtype == jnp.bfloat16
+
+    def _mv_kernel(self, payload, Bt):
         from ..ops.pallas.spmm_kernel import tiled_ell_spmm_t
+
+        wt, nt, ct, br, _, _ = self.meta
+        return tiled_ell_spmm_t(
+            payload, self.tlocal, Bt, wt=wt, ntiles=nt,
+            col_tile=ct, block_rows=br,
+            out_dtype=jnp.float32 if self._bf16 else None,
+            interpret=jax.default_backend() != "tpu",  # CPU tests
+        )
+
+    def _rmv_kernel(self, payload, Ct):
+        from ..ops.pallas.spmm_kernel import tiled_ell_rmv_t
+
+        wt, nt, ct, br, _, _ = self.meta
+        return tiled_ell_rmv_t(
+            payload, self.tlocal, Ct, wt=wt, ntiles=nt,
+            col_tile=ct, block_rows=br,
+            out_dtype=jnp.float32 if self._bf16 else None,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    def _stack_split(self, M, width, transpose):
+        """hi/lo-split ``M`` [r, k] into one [2*kp, width] bf16 operand —
+        the two halves ride the SAME kernel call stacked on the k axis
+        (kernel cost is linear in kp, so this is exactly the two-pass
+        compensated contraction with none of the densify work repeated)."""
+
+        k = M.shape[1]
+        kp = max(-(-k // 8) * 8, 8)
+        m_hi, m_lo = DensifiedOperator._split(M)
+        Mt = jnp.zeros((2 * kp, width), jnp.bfloat16)
+        src = (m_hi.T, m_lo.T) if transpose else (m_hi, m_lo)
+        Mt = jax.lax.dynamic_update_slice(Mt, src[0], (0, 0))
+        Mt = jax.lax.dynamic_update_slice(Mt, src[1], (kp, 0))
+        return Mt, kp
+
+    def mv(self, B):
+        """A @ B at f32-class accuracy (compensated bf16 on f32 payloads)."""
 
         wt, nt, ct, br, ovw, _ = self.meta
         n = self.shape[0]
         k = B.shape[1]
-        Bt, _ = self._pad_cols(B, nt * ct)
-        interpret = jax.default_backend() != "tpu"  # CPU tests
-        out = tiled_ell_spmm_t(
-            self.tdata, self.tlocal, Bt, wt=wt, ntiles=nt, col_tile=ct,
-            block_rows=br, interpret=interpret,
-        )
-        result = out[:k, :n].T
+        if not self._bf16:
+            Bt, _ = self._pad_cols(B, nt * ct)
+            result = self._mv_kernel(self.tdata, Bt)[:k, :n].T
+        else:
+            Bt, kp = self._stack_split(B, nt * ct, transpose=True)
+            out = self._mv_kernel(self.tdata, Bt)
+            acc = out[:k] + out[kp : kp + k]
+            if self.tdata_lo is not None:
+                out_lo = self._mv_kernel(self.tdata_lo, Bt)
+                acc = acc + out_lo[:k] + out_lo[kp : kp + k]
+            result = acc[:, :n].T
         if ovw > 0:  # static: baked into the jitted graph at trace time
             result = result + ell_spmm(self.ov_data, self.ov_ids, B)[:n]
         return result.astype(B.dtype)
 
+    def mv_fast(self, B):
+        """A @ B with the hi payload only — one bf16 MXU pass (what the
+        randomized power iterations ride; cf. ``DensifiedOperator.mv``)."""
+
+        if not self._bf16:
+            return self.mv(B)
+        wt, nt, ct, br, ovw, _ = self.meta
+        n = self.shape[0]
+        k = B.shape[1]
+        kp = max(-(-k // 8) * 8, 8)
+        Bt = jnp.zeros((kp, nt * ct), jnp.bfloat16)
+        Bt = jax.lax.dynamic_update_slice(
+            Bt, B.T.astype(jnp.bfloat16), (0, 0)
+        )
+        result = self._mv_kernel(self.tdata, Bt)[:k, :n].T
+        if ovw > 0:
+            result = result + ell_spmm(self.ov_data, self.ov_ids, B)[:n]
+        return result.astype(B.dtype)
+
     def rmv(self, C):
-        from ..ops.pallas.spmm_kernel import tiled_ell_rmv_t
+        """A^T @ C at f32-class accuracy."""
 
         wt, nt, ct, br, _, ovtw = self.meta
         n, p = self.shape
         k = C.shape[1]
-        Ct, _ = self._pad_cols(C, self.tdata.shape[1])
-        interpret = jax.default_backend() != "tpu"
-        out = tiled_ell_rmv_t(
-            self.tdata, self.tlocal, Ct, wt=wt, ntiles=nt, col_tile=ct,
-            block_rows=br, interpret=interpret,
+        R = self.tdata.shape[1]
+        if not self._bf16:
+            Ct, _ = self._pad_cols(C, R)
+            result = self._rmv_kernel(self.tdata, Ct)[:p, :k]
+        else:
+            Cp = jnp.zeros((R, k), C.dtype)
+            Cp = jax.lax.dynamic_update_slice(Cp, C, (0, 0))
+            Ct, kp = self._stack_split(Cp, R, transpose=True)
+            out = self._rmv_kernel(self.tdata, Ct)
+            acc = out[:, :k] + out[:, kp : kp + k]
+            if self.tdata_lo is not None:
+                out_lo = self._rmv_kernel(self.tdata_lo, Ct)
+                acc = acc + out_lo[:, :k] + out_lo[:, kp : kp + k]
+            result = acc[:p]
+        if ovtw > 0:
+            result = result + ell_spmm(self.ovt_data, self.ovt_ids, C)[:p]
+        return result.astype(C.dtype)
+
+    def rmv_fast(self, C):
+        """A^T @ C with the hi payload only — one bf16 MXU pass."""
+
+        if not self._bf16:
+            return self.rmv(C)
+        wt, nt, ct, br, _, ovtw = self.meta
+        p = self.shape[1]
+        k = C.shape[1]
+        R = self.tdata.shape[1]
+        kp = max(-(-k // 8) * 8, 8)
+        Ct = jnp.zeros((kp, R), jnp.bfloat16)
+        Ct = jax.lax.dynamic_update_slice(
+            Ct, C.T.astype(jnp.bfloat16), (0, 0)
         )
-        result = out[:p, :k]
+        result = self._rmv_kernel(self.tdata, Ct)[:p, :k]
         if ovtw > 0:
             result = result + ell_spmm(self.ovt_data, self.ovt_ids, C)[:p]
         return result.astype(C.dtype)
 
     def tree_flatten(self):
-        return (
-            (
-                self.tdata,
-                self.tlocal,
-                self.ov_data,
-                self.ov_ids,
-                self.ovt_data,
-                self.ovt_ids,
-            ),
-            (self.shape, self.meta),
-        )
+        children = [
+            self.tdata,
+            self.tlocal,
+            self.ov_data,
+            self.ov_ids,
+            self.ovt_data,
+            self.ovt_ids,
+        ]
+        if self.tdata_lo is not None:
+            children.append(self.tdata_lo)
+        return tuple(children), (self.shape, self.meta, self.tdata_lo is not None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        shape, meta, has_lo = aux
+        lo = children[6] if has_lo else None
+        return cls(children[0], lo, *children[1:6], shape, meta)
 
 
 def _coo_to_csr_arrays(rows, cols, vals, n, p):

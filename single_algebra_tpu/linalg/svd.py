@@ -121,16 +121,23 @@ def randomized_svd(
     key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
     omega = jax.random.normal(key, (p, l), dtype=dtype)
 
-    Y = op.mv(omega)  # [n, l]
+    # power iterations ride the operator's FAST products when it offers
+    # them (hi-only bf16 on the densified/tiled engines) — subspace
+    # perturbation enters the spectrum only at second order; the final
+    # projection below uses the precise form
+    mv_fast = getattr(op, "mv_fast", op.mv)
+    rmv_fast = getattr(op, "rmv_fast", op.rmv)
+
+    Y = mv_fast(omega)  # [n, l]
 
     # normalized power iterations (subspace iteration on A A^T), rolled into
     # a fori_loop so the body — two SpMM passes + two normalizations — is
     # compiled once regardless of q
     def power_body(_, Yc):
         Yc = _orthonormalize(Yc, normalizer)
-        Z = op.rmv(Yc)  # [p, l]
+        Z = rmv_fast(Yc)  # [p, l]
         Z = _orthonormalize(Z, normalizer)
-        return op.mv(Z)
+        return mv_fast(Z)
 
     if n_power_iterations > 0:
         Y = jax.lax.fori_loop(0, n_power_iterations, power_body, Y)

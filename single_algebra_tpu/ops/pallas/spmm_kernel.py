@@ -68,6 +68,41 @@ def _check_mosaic_dtype(dtype, interpret: bool) -> None:
         )
 
 
+def _onehot_densify(vals, lids, ct: int, wt: int):
+    """[wt, BR] values+local ids -> one-hot densified [ct, BR] tile.
+
+    The select always runs in (at least) 32-bit space: the i1 mask of an
+    int32 compare carries the (8, 128) vreg layout, which Mosaic cannot
+    relayout onto 16-bit value lanes ("Invalid relayout ... replicated in
+    destination") — and v5e supports neither 16-bit iota nor 16-bit
+    compares to build a (16, 128) mask directly. So bf16 payloads are
+    upcast for the wt select-adds and the finished tile is cast back down
+    once; the bf16 win stays where it matters (the MXU contraction runs
+    native-bf16 instead of XLA's 6-pass f32 HIGHEST decomposition, and
+    payload HBM traffic halves)."""
+
+    br = vals.shape[1]
+    out_dt = vals.dtype
+    if out_dt.itemsize == 2:
+        vals = vals.astype(jnp.float32)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ct, br), 0)
+    dense = jnp.zeros((ct, br), vals.dtype)
+    for w in range(wt):
+        lid_w = lids[w, :][None, :]  # [1, BR]
+        v_w = vals[w, :][None, :]
+        dense = dense + jnp.where(col_iota == lid_w, v_w, 0)
+    return dense.astype(out_dt)
+
+
+def _tile_dot_precision(dense_dtype):
+    # HIGHEST forces the 6-pass decomposition on f32 inputs (wanted: that
+    # path is the operator's exact mode) but is an invalid operand spec
+    # for native-bf16 MXU contraction ("Bad lhs type")
+    if jnp.dtype(dense_dtype).itemsize == 2:
+        return None
+    return jax.lax.Precision.HIGHEST
+
+
 def _spmm_kernel(td_ref, tl_ref, bt_ref, o_ref, *, wt: int, ct: int):
     t = pl.program_id(1)
 
@@ -75,28 +110,21 @@ def _spmm_kernel(td_ref, tl_ref, bt_ref, o_ref, *, wt: int, ct: int):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    vals = td_ref[...]  # [wt, BR]
-    lids = tl_ref[...]  # [wt, BR] int32 in [0, ct)
-    br = vals.shape[1]
-
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ct, br), 0)
-    dense = jnp.zeros((ct, br), vals.dtype)
-    for w in range(wt):
-        lid_w = lids[w, :][None, :]  # [1, BR]
-        v_w = vals[w, :][None, :]
-        dense = dense + jnp.where(col_iota == lid_w, v_w, 0)
+    dense = _onehot_densify(td_ref[...], tl_ref[...], ct, wt)
 
     o_ref[...] += jnp.dot(
         bt_ref[...],
         dense,
         preferred_element_type=o_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_tile_dot_precision(dense.dtype),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wt", "ntiles", "col_tile", "block_rows", "interpret"),
+    static_argnames=(
+        "wt", "ntiles", "col_tile", "block_rows", "out_dtype", "interpret",
+    ),
 )
 def tiled_ell_spmm_t(
     tdata_t: jnp.ndarray,  # [ntiles * wt, R]  values, transposed layout
@@ -107,15 +135,26 @@ def tiled_ell_spmm_t(
     ntiles: int,
     col_tile: int = DEFAULT_COL_TILE,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    out_dtype=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``out[k, r] = sum_nnz v * B[col, k]`` -> [kp, R] (transposed).
 
     ``Bt`` must be pre-padded to [kp (mult of 128), ntiles * col_tile].
     R must be a multiple of ``block_rows`` (a multiple of 128).
+    ``out_dtype`` sets the accumulator/output dtype (default: the payload
+    dtype) — bf16 payloads MUST accumulate in f32.
+
+    The one-hot loop always runs the full static ``wt`` passes: a
+    runtime-predicated variant driven by scalar-prefetched per-block true
+    widths was built and MEASURED SLOWER (1.20 s vs 0.79 s warm at
+    150k x 49k d=0.004) — at block_rows=1024 the per-block max width sits
+    near the p99 ``wt`` anyway, and the predication forces the accumulator
+    through a VMEM scratch round-trip per pass.
     """
 
     _check_mosaic_dtype(tdata_t.dtype, interpret)
+    out_dtype = out_dtype or tdata_t.dtype
     R = tdata_t.shape[1]
     kp = Bt.shape[0]
     assert R % block_rows == 0, (R, block_rows)
@@ -142,7 +181,7 @@ def tiled_ell_spmm_t(
         out_specs=pl.BlockSpec(
             (kp, block_rows), lambda i, t: (_ZERO, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((kp, R), tdata_t.dtype),
+        out_shape=jax.ShapeDtypeStruct((kp, R), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * R * ntiles * col_tile * kp,
@@ -154,15 +193,7 @@ def tiled_ell_spmm_t(
 
 
 def _densify_kernel(td_ref, tl_ref, o_ref, *, wt: int, ct: int):
-    vals = td_ref[...]  # [wt, BR]
-    lids = tl_ref[...]
-    br = vals.shape[1]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ct, br), 0)
-    dense = jnp.zeros((ct, br), vals.dtype)
-    for w in range(wt):
-        dense = dense + jnp.where(
-            col_iota == lids[w, :][None, :], vals[w, :][None, :], 0
-        )
+    dense = _onehot_densify(td_ref[...], tl_ref[...], ct, wt)
     o_ref[...] = dense.astype(o_ref.dtype)
 
 
@@ -226,16 +257,7 @@ def _rmv_kernel(td_ref, tl_ref, ct_ref, o_ref, *, wt: int, ct: int):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    vals = td_ref[...]  # [wt, BR]
-    lids = tl_ref[...]  # [wt, BR] int32 in [0, ct)
-    br = vals.shape[1]
-
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ct, br), 0)
-    dense = jnp.zeros((ct, br), vals.dtype)
-    for w in range(wt):
-        lid_w = lids[w, :][None, :]
-        v_w = vals[w, :][None, :]
-        dense = dense + jnp.where(col_iota == lid_w, v_w, 0)
+    dense = _onehot_densify(td_ref[...], tl_ref[...], ct, wt)
 
     # [ct, BR] x [kp, BR] -> [ct, kp], contracting the row axis
     o_ref[...] += jax.lax.dot_general(
@@ -243,13 +265,15 @@ def _rmv_kernel(td_ref, tl_ref, ct_ref, o_ref, *, wt: int, ct: int):
         ct_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=o_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_tile_dot_precision(dense.dtype),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wt", "ntiles", "col_tile", "block_rows", "interpret"),
+    static_argnames=(
+        "wt", "ntiles", "col_tile", "block_rows", "out_dtype", "interpret",
+    ),
 )
 def tiled_ell_rmv_t(
     tdata_t: jnp.ndarray,  # [ntiles * wt, R]  values, transposed layout
@@ -260,6 +284,7 @@ def tiled_ell_rmv_t(
     ntiles: int,
     col_tile: int = DEFAULT_COL_TILE,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    out_dtype=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``out[c, k] = sum_nnz v(r, c) * C[r, k]`` -> [ntiles * ct, kp].
@@ -273,6 +298,7 @@ def tiled_ell_rmv_t(
     """
 
     _check_mosaic_dtype(tdata_t.dtype, interpret)
+    out_dtype = out_dtype or Ct.dtype
     R = tdata_t.shape[1]
     kp = Ct.shape[0]
     assert R % block_rows == 0, (R, block_rows)
@@ -299,7 +325,7 @@ def tiled_ell_rmv_t(
         out_specs=pl.BlockSpec(
             (col_tile, kp), lambda t, i: (t, _ZERO), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((ntiles * col_tile, kp), Ct.dtype),
+        out_shape=jax.ShapeDtypeStruct((ntiles * col_tile, kp), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * R * ntiles * col_tile * kp,

@@ -613,3 +613,4 @@ def fill_class_payload(
     out_td[:] = td
     out_tl[:] = tl
     return out_td, out_tl
+
