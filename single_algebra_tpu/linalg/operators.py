@@ -464,7 +464,7 @@ class TiledSparseOperator:
             col_tile=ct,
             rows_padded_to=br,
         )
-        td, td_lo = cls._split_payload(td)
+        td, td_lo = cls._split_payload(td, wt)
 
         # transposed overflow (column-major plain ELL over just the ~1%
         # overflow entries) so rmv needs no scatter; padding slots in the
@@ -494,12 +494,22 @@ class TiledSparseOperator:
             (wt, nt, ct, br, ovw, ovtw),
         )
 
-    @staticmethod
-    def _split_payload(td):
-        """f32 payload -> (bf16 hi, bf16 lo | None); other dtypes pass
-        through unsplit (f64 runs exact in interpret mode)."""
+    # bf16 pays only while the MXU contraction dominates the one-hot
+    # densify: measured on v5e, wt=8 (150k x 49k d=0.004) the split wins
+    # 1.5x end-to-end, but at wt=56 (100k x 2,000 d=0.085) the bf16
+    # payload's relayout/convert overhead in the wt select-add passes
+    # LOSES 26% per product against the f32 HIGHEST path. The densify
+    # cost grows linearly in wt while the dot does not, so gate on wt.
+    BF16_WT_MAX = 16
 
-        if td.dtype != np.float32:
+    @classmethod
+    def _split_payload(cls, td, wt):
+        """f32 payload -> (bf16 hi, bf16 lo | None) when the tile width is
+        small enough for bf16 to pay (see ``BF16_WT_MAX``); other dtypes /
+        wide payloads pass through unsplit (f64 runs exact in interpret
+        mode)."""
+
+        if td.dtype != np.float32 or wt > cls.BF16_WT_MAX:
             return td, None
         import ml_dtypes
 

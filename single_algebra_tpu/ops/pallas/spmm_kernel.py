@@ -103,7 +103,9 @@ def _tile_dot_precision(dense_dtype):
     return jax.lax.Precision.HIGHEST
 
 
-def _spmm_kernel(td_ref, tl_ref, bt_ref, o_ref, *, wt: int, ct: int):
+def _spmm_kernel(
+    td_ref, tl_ref, bt_ref, o_ref, *, wt: int, ct: int, upcast: bool = False
+):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -111,9 +113,13 @@ def _spmm_kernel(td_ref, tl_ref, bt_ref, o_ref, *, wt: int, ct: int):
         o_ref[...] = jnp.zeros_like(o_ref)
 
     dense = _onehot_densify(td_ref[...], tl_ref[...], ct, wt)
+    bt = bt_ref[...]
+    if upcast:  # interpret mode: XLA:CPU has no bf16 x bf16 -> f32 dot
+        dense = dense.astype(jnp.float32)
+        bt = bt.astype(jnp.float32)
 
     o_ref[...] += jnp.dot(
-        bt_ref[...],
+        bt,
         dense,
         preferred_element_type=o_ref.dtype,
         precision=_tile_dot_precision(dense.dtype),
@@ -165,7 +171,10 @@ def tiled_ell_spmm_t(
 
     grid = (R // block_rows, ntiles)
     out = pl.pallas_call(
-        functools.partial(_spmm_kernel, wt=wt, ct=col_tile),
+        functools.partial(
+            _spmm_kernel, wt=wt, ct=col_tile,
+            upcast=interpret and jnp.dtype(tdata_t.dtype).itemsize == 2,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -250,7 +259,9 @@ def tiled_ell_densify_t(
     )(tdata_t, tlocal_t)
 
 
-def _rmv_kernel(td_ref, tl_ref, ct_ref, o_ref, *, wt: int, ct: int):
+def _rmv_kernel(
+    td_ref, tl_ref, ct_ref, o_ref, *, wt: int, ct: int, upcast: bool = False
+):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -258,11 +269,15 @@ def _rmv_kernel(td_ref, tl_ref, ct_ref, o_ref, *, wt: int, ct: int):
         o_ref[...] = jnp.zeros_like(o_ref)
 
     dense = _onehot_densify(td_ref[...], tl_ref[...], ct, wt)
+    c_op = ct_ref[...]
+    if upcast:  # interpret mode: XLA:CPU has no bf16 x bf16 -> f32 dot
+        dense = dense.astype(jnp.float32)
+        c_op = c_op.astype(jnp.float32)
 
     # [ct, BR] x [kp, BR] -> [ct, kp], contracting the row axis
     o_ref[...] += jax.lax.dot_general(
         dense,
-        ct_ref[...],
+        c_op,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=o_ref.dtype,
         precision=_tile_dot_precision(dense.dtype),
@@ -309,7 +324,10 @@ def tiled_ell_rmv_t(
 
     grid = (ntiles, R // block_rows)
     out = pl.pallas_call(
-        functools.partial(_rmv_kernel, wt=wt, ct=col_tile),
+        functools.partial(
+            _rmv_kernel, wt=wt, ct=col_tile,
+            upcast=interpret and jnp.dtype(tdata_t.dtype).itemsize == 2,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

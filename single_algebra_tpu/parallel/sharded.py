@@ -243,9 +243,17 @@ class ShardedTiled:
     every slab is converted with the GLOBAL width plan (quantile main
     width + global max overflow width) — see ``force_wt``/``force_ov_w``
     in ``convert.csr_to_tiled_ell_split_numpy``.
+
+    Precision scheme mirrors :class:`~..linalg.operators.TiledSparseOperator`:
+    f32 payloads are stored bf16 hi (+ bf16 lo residual unless bf16-exact);
+    ``mv``/``rmv`` are compensated products (payload hi+lo against the
+    hi/lo-split operand stacked on the k axis), ``mv_fast``/``rmv_fast``
+    contract hi-only in one native-bf16 MXU pass per slab (the randomized
+    power-iteration path). Overflow side arrays stay f32 and add exactly.
     """
 
-    tdata: jnp.ndarray  # [ndev, nt * wt, Rsp]  values, P(axis, None, None)
+    tdata: jnp.ndarray  # [ndev, nt * wt, Rsp]  bf16 hi (f32) / f64 values
+    tdata_lo: jnp.ndarray | None  # bf16 residual, None when exact/f64
     tlocal: jnp.ndarray  # [ndev, nt * wt, Rsp]  int32 local col ids
     ov_data: jnp.ndarray  # [ndev, Rsp, ovw]   overflow, global col ids (mv)
     ov_ids: jnp.ndarray
@@ -351,9 +359,12 @@ class ShardedTiled:
         cnt = np.bincount(indices, minlength=p)[:p]
         dt = np.dtype(data.dtype)
 
+        tdata, tdata_lo = TiledSparseOperator._split_payload(tdata, wt)
+
         sh3 = NamedSharding(mesh, P(axis_name, None, None))
         return cls(
             jax.device_put(tdata, sh3),
+            None if tdata_lo is None else jax.device_put(tdata_lo, sh3),
             jax.device_put(tlocal, sh3),
             jax.device_put(ov_data, sh3),
             jax.device_put(ov_ids, sh3),
@@ -386,14 +397,22 @@ class ShardedTiled:
     def _kp(self, k: int) -> int:
         return max(-(-k // 8) * 8, 8)
 
-    def mv(self, B: jnp.ndarray) -> jnp.ndarray:
-        """A @ B -> [n, k] row-sharded; no collectives.
+    @property
+    def _bf16(self) -> bool:
+        return self.tdata.dtype == jnp.bfloat16
 
-        Each device's payload covers natural rows [d*rs, (d+1)*rs) padded
-        to Rsp; the local body drops the padding so the stitched output is
-        contiguous in natural row order.
-        """
+    def _payloads(self):
+        """(payload, spec) pairs the shard_map bodies iterate — hi, then
+        lo when the residual exists."""
 
+        return (
+            [self.tdata]
+            if self.tdata_lo is None
+            else [self.tdata, self.tdata_lo]
+        )
+
+    def _mv_impl(self, B: jnp.ndarray, fast: bool) -> jnp.ndarray:
+        from ..linalg.operators import DensifiedOperator
         from ..ops.pallas.spmm_kernel import tiled_ell_spmm_t
 
         wt, nt, ct, br, ovw, _ = self.meta
@@ -401,38 +420,77 @@ class ShardedTiled:
         rs = self.rows_natural
         k = B.shape[1]
         kp = self._kp(k)
+        bf16 = self._bf16
         dt = self.tdata.dtype
-        Bt = jnp.zeros((kp, nt * ct), dt)
-        Bt = jax.lax.dynamic_update_slice(Bt, B.T.astype(dt), (0, 0))
+        if not bf16:
+            Bt = jnp.zeros((kp, nt * ct), dt)
+            Bt = jax.lax.dynamic_update_slice(Bt, B.T.astype(dt), (0, 0))
+        elif fast:
+            Bt = jnp.zeros((kp, nt * ct), jnp.bfloat16)
+            Bt = jax.lax.dynamic_update_slice(
+                Bt, B.T.astype(jnp.bfloat16), (0, 0)
+            )
+        else:
+            # hi/lo operand halves stacked on the k axis: the compensated
+            # product rides the SAME kernel call (cost linear in kp)
+            b_hi, b_lo = DensifiedOperator._split(B)
+            Bt = jnp.zeros((2 * kp, nt * ct), jnp.bfloat16)
+            Bt = jax.lax.dynamic_update_slice(Bt, b_hi.T, (0, 0))
+            Bt = jax.lax.dynamic_update_slice(Bt, b_lo.T, (kp, 0))
+        payloads = [self.tdata] if (fast or not bf16) else self._payloads()
         interpret = jax.default_backend() != "tpu"
 
-        def local(td, tl, ovd, ovi, Btf, Bf):
-            out = tiled_ell_spmm_t(
-                td[0], tl[0], Btf, wt=wt, ntiles=nt, col_tile=ct,
-                block_rows=br, interpret=interpret,
-            )
-            res = out[:k, :].T  # [Rsp, k]
+        def local(tl, ovd, ovi, Btf, Bf, *tds):
+            acc = None
+            for td in tds:
+                out = tiled_ell_spmm_t(
+                    td[0], tl[0], Btf,
+                    wt=wt, ntiles=nt, col_tile=ct, block_rows=br,
+                    out_dtype=jnp.float32 if bf16 else None,
+                    interpret=interpret,
+                )
+                part = out[:k] if (fast or not bf16) else (
+                    out[:k] + out[kp : kp + k]
+                )
+                acc = part if acc is None else acc + part
+            res = acc.T  # [Rsp, k]
             if ovw > 0:  # static: baked in at trace time
                 res = res + ell_spmm(ovd[0], ovi[0], Bf)
             return res[:rs]
 
+        sh = P(ax, None, None)
         out = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(
-                P(ax, None, None), P(ax, None, None),
-                P(ax, None, None), P(ax, None, None), P(), P(),
-            ),
+            in_specs=(sh, sh, sh, P(), P()) + (sh,) * len(payloads),
             out_specs=P(ax, None),
             check_vma=False,  # pallas_call outputs carry no vma metadata
-        )(self.tdata, self.tlocal, self.ov_data, self.ov_ids, Bt, B.astype(dt))
-        # payload dtype, not B's: the f32 probe in randomized_svd infers
-        # the operator's native precision from this result
+        )(
+            self.tlocal, self.ov_data, self.ov_ids, Bt,
+            B.astype(jnp.float32 if bf16 else dt), *payloads,
+        )
+        # operator-native dtype, not B's: the f32 probe in randomized_svd
+        # infers the operator's precision from this result
         return out[: self.shape[0]]
 
-    def rmv(self, C: jnp.ndarray) -> jnp.ndarray:
-        """A^T @ C -> [p, k] replicated; one psum over the mesh axis."""
+    def mv(self, B: jnp.ndarray) -> jnp.ndarray:
+        """A @ B -> [n, k] row-sharded; no collectives; f32-class accuracy
+        (compensated bf16 on f32 payloads).
 
+        Each device's payload covers natural rows [d*rs, (d+1)*rs) padded
+        to Rsp; the local body drops the padding so the stitched output is
+        contiguous in natural row order.
+        """
+
+        return self._mv_impl(B, fast=False)
+
+    def mv_fast(self, B: jnp.ndarray) -> jnp.ndarray:
+        """A @ B with the hi payload only — one bf16 MXU pass per slab."""
+
+        return self._mv_impl(B, fast=self._bf16)
+
+    def _rmv_impl(self, C: jnp.ndarray, fast: bool) -> jnp.ndarray:
+        from ..linalg.operators import DensifiedOperator
         from ..ops.pallas.spmm_kernel import tiled_ell_rmv_t
 
         wt, nt, ct, br, _, ovtw = self.meta
@@ -442,34 +500,61 @@ class ShardedTiled:
         p = self.shape[1]
         k = C.shape[1]
         kp = self._kp(k)
+        bf16 = self._bf16
         dt = self.tdata.dtype
-        Cp = jnp.zeros((self.ndev * rs, kp), dt)
-        Cp = jax.lax.dynamic_update_slice(Cp, C.astype(dt), (0, 0))
+        cdt = jnp.float32 if bf16 else dt
+        Cp = jnp.zeros((self.ndev * rs, kp), cdt)
+        Cp = jax.lax.dynamic_update_slice(Cp, C.astype(cdt), (0, 0))
+        payloads = [self.tdata] if (fast or not bf16) else self._payloads()
+        split = bf16 and not fast
         interpret = jax.default_backend() != "tpu"
 
-        def local(td, tl, ovtd, ovti, Cl):
+        def local(tl, ovtd, ovti, Cl, *tds):
             # natural rows -> the slab's padded row coordinates
             Clp = jnp.pad(Cl, ((0, rsp - rs), (0, 0)))
-            out = tiled_ell_rmv_t(
-                td[0], tl[0], Clp.T, wt=wt, ntiles=nt, col_tile=ct,
-                block_rows=br, interpret=interpret,
-            )
-            res = out[:p, :k]
+            if not bf16:
+                Ct = Clp.T
+            elif fast:
+                Ct = Clp.T.astype(jnp.bfloat16)
+            else:
+                c_hi, c_lo = DensifiedOperator._split(Clp)
+                Ct = jnp.concatenate([c_hi.T, c_lo.T], axis=0)
+            acc = None
+            for td in tds:
+                out = tiled_ell_rmv_t(
+                    td[0], tl[0], Ct,
+                    wt=wt, ntiles=nt, col_tile=ct, block_rows=br,
+                    out_dtype=jnp.float32 if bf16 else None,
+                    interpret=interpret,
+                )
+                part = out[:p, :k] if not split else (
+                    out[:p, :k] + out[:p, kp : kp + k]
+                )
+                acc = part if acc is None else acc + part
             if ovtw > 0:
-                res = res + ell_spmm(ovtd[0], ovti[0], Clp[:, :k])[:p]
-            return jax.lax.psum(res, ax)
+                acc = acc + ell_spmm(ovtd[0], ovti[0], Clp[:, :k])[:p]
+            return jax.lax.psum(acc, ax)
 
+        sh = P(ax, None, None)
         out = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(
-                P(ax, None, None), P(ax, None, None),
-                P(ax, None, None), P(ax, None, None), P(ax, None),
-            ),
+            in_specs=(sh, sh, sh, P(ax, None)) + (sh,) * len(payloads),
             out_specs=P(),
             check_vma=False,
-        )(self.tdata, self.tlocal, self.ovt_data, self.ovt_ids, Cp)
+        )(self.tlocal, self.ovt_data, self.ovt_ids, Cp, *payloads)
         return out
+
+    def rmv(self, C: jnp.ndarray) -> jnp.ndarray:
+        """A^T @ C -> [p, k] replicated; one psum over the mesh axis;
+        f32-class accuracy (compensated bf16 on f32 payloads)."""
+
+        return self._rmv_impl(C, fast=False)
+
+    def rmv_fast(self, C: jnp.ndarray) -> jnp.ndarray:
+        """A^T @ C with the hi payload only — one bf16 MXU pass per slab."""
+
+        return self._rmv_impl(C, fast=self._bf16)
 
     def col_stats(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """(sum, sum_sq, nnz_count) per column — exact host moments
@@ -508,20 +593,27 @@ class ShardedTiled:
         return main + over
 
     def tree_flatten(self):
-        children = (
+        children = [
             self.tdata, self.tlocal,
             self.ov_data, self.ov_ids,
             self.ovt_data, self.ovt_ids,
-        )
+        ]
+        if self.tdata_lo is not None:
+            children.append(self.tdata_lo)
         aux = (
             self.shape, self.rows_per_shard, self.meta,
-            self.mesh, self.axis_name,
+            self.mesh, self.axis_name, self.tdata_lo is not None,
         )
-        return children, aux
+        return tuple(children), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        shape, rsp, meta, mesh, axis_name, has_lo = aux
+        lo = children[6] if has_lo else None
+        return cls(
+            children[0], lo, *children[1:6], shape, rsp, meta, mesh,
+            axis_name,
+        )
 
 
 @jax.tree_util.register_pytree_node_class
