@@ -200,3 +200,50 @@ def test_tiled_kernels_reject_f64_when_compiled():
         tiled_ell_densify_t(td, tl, wt=8, ntiles=1, col_tile=128,
                             block_rows=128, out_dtype=np.float64,
                             interpret=False)
+
+
+def test_tiled_payload_split_gated_on_width():
+    """f32 payloads split to bf16 hi/lo only at wt <= BF16_WT_MAX (the
+    measured crossover where the MXU-pass saving beats the bf16 densify
+    overhead); wide payloads and f64 stay unsplit."""
+
+    from single_algebra_tpu.linalg.operators import TiledSparseOperator as T
+
+    rng = np.random.default_rng(0)
+    td = rng.random((8 * 4, 128)).astype(np.float32)
+    hi, lo = T._split_payload(td, wt=8)
+    assert hi.dtype.itemsize == 2 and lo is not None
+    hi_w, lo_w = T._split_payload(td, wt=T.BF16_WT_MAX + 8)
+    assert hi_w.dtype == np.float32 and lo_w is None
+    # bf16-exact values drop lo entirely
+    hi_e, lo_e = T._split_payload(np.round(td * 8) / 8, wt=8)
+    assert hi_e.dtype.itemsize == 2 and lo_e is None
+    # f64 passes through untouched
+    hi64, lo64 = T._split_payload(td.astype(np.float64), wt=8)
+    assert hi64.dtype == np.float64 and lo64 is None
+
+
+def test_tiled_fast_vs_precise_accuracy_classes():
+    """On a split (bf16) payload: mv/rmv stay f32-faithful (compensated),
+    mv_fast/rmv_fast carry bf16-class error — the contract the randomized
+    power iterations rely on."""
+
+    from single_algebra_tpu import SparseMatrix
+    from single_algebra_tpu.linalg.operators import TiledSparseOperator
+
+    rng = np.random.default_rng(1)
+    X = sp.random(600, 400, density=0.02, format="csr", dtype=np.float64,
+                  random_state=rng, data_rvs=rng.random).astype(np.float32)
+    m = SparseMatrix.from_scipy(X)
+    op = TiledSparseOperator.from_matrix(m)
+    assert op.tdata.dtype.itemsize == 2 and op.tdata_lo is not None
+    B = rng.standard_normal((400, 5)).astype(np.float32)
+    C = rng.standard_normal((600, 5)).astype(np.float32)
+    ref_mv, ref_rv = X @ B, X.T @ C
+    prec_mv = np.abs(np.asarray(op.mv(B)) - ref_mv).max() / np.abs(ref_mv).max()
+    prec_rv = np.abs(np.asarray(op.rmv(C)) - ref_rv).max() / np.abs(ref_rv).max()
+    fast_mv = np.abs(np.asarray(op.mv_fast(B)) - ref_mv).max() / np.abs(ref_mv).max()
+    fast_rv = np.abs(np.asarray(op.rmv_fast(C)) - ref_rv).max() / np.abs(ref_rv).max()
+    assert prec_mv < 1e-5 and prec_rv < 1e-5, (prec_mv, prec_rv)
+    assert fast_mv < 3e-2 and fast_rv < 3e-2  # bf16-class
+    assert fast_mv > prec_mv and fast_rv > prec_rv
