@@ -55,7 +55,10 @@ def main():
     ap.add_argument("--cells", type=int, default=20_000)
     ap.add_argument("--genes", type=int, default=8_000)
     ap.add_argument("--hvg", type=int, default=2_000)
-    ap.add_argument("--tsne-cells", type=int, default=5_000)
+    ap.add_argument(
+        "--sim-cells", type=int, default=5_000,
+        help="cells in the dense pairwise-similarity block",
+    )
     args = ap.parse_args()
 
     t00 = time.perf_counter()
@@ -104,15 +107,17 @@ def main():
     )
 
     # --- neighbor similarities over the embedding (similarity module) ---
-    sub = E[: args.tsne_cells]
-    S = np.asarray(CosineSimilarity().pairwise(sub))
+    S = np.asarray(CosineSimilarity().pairwise(E[: args.sim_cells]))
     stamp(f"cosine similarity {S.shape}, mean={S.mean():.3f}")
 
-    # --- t-SNE for visualization ----------------------------------------
+    # --- t-SNE for visualization (ALL cells: mode='auto' picks the
+    # exact n x n path below ~16k and the knn mode — sparse attraction +
+    # blocked exact repulsion — above it) --------------------------------
+    sub = E
     Y = np.asarray(
         tsne.run(sub, tsne.TSNEConfig(perplexity=30.0, epochs=500))
     )
-    sub_labels = labels[: args.tsne_cells]
+    sub_labels = labels
     # cluster separation in the embedding
     intra, inter = [], []
     for i in range(0, len(Y), 23):

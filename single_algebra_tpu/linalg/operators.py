@@ -523,9 +523,10 @@ class TiledSparseOperator:
 
     @classmethod
     def payload_bytes(cls, m) -> int:
-        """Exact device-payload size of the tiled layout for ``m`` (one
-        O(nnz) host pass over the structure; values assumed f32)."""
+        """Exact device-payload size of the tiled layout for ``m`` (two
+        O(nnz) host passes over the structure; values assumed f32)."""
 
+        from ..sparse import convert as _cv
         from ..sparse.convert import tiled_split_widths
 
         src = m._layout_for("row")
@@ -536,7 +537,15 @@ class TiledSparseOperator:
         )
         rp = max(-(-n // cls.BLOCK_ROWS), 1) * cls.BLOCK_ROWS
         main = ntiles * wt * rp * 8  # f32 values + int32 ids
-        over = rp * ovw * 8 + (p + 8) * max(ovw, 8) * 8
+        over = rp * ovw * 8
+        if ovw:
+            # the rmv-side transposed overflow has its OWN width (max
+            # per-column overflow count) — ovw (per-row) can be far off
+            # in either direction
+            ovtw = _cv.tiled_overflow_col_width(
+                src._h_indptr, src._h_indices, n, p, cls.COL_TILE, wt
+            )
+            over += _cv.pad_rows(p) * _cv.round_up(max(ovtw, 1), 8) * 8
         return main + over
 
     @classmethod
@@ -583,11 +592,13 @@ class TiledSparseOperator:
             interpret=jax.default_backend() != "tpu",
         )
 
-    def _stack_split(self, M, width, transpose):
+    @staticmethod
+    def _stack_split(M, width, transpose=True):
         """hi/lo-split ``M`` [r, k] into one [2*kp, width] bf16 operand —
         the two halves ride the SAME kernel call stacked on the k axis
         (kernel cost is linear in kp, so this is exactly the two-pass
-        compensated contraction with none of the densify work repeated)."""
+        compensated contraction with none of the densify work repeated).
+        Shared by the single-chip operator and :class:`ShardedTiled`."""
 
         k = M.shape[1]
         kp = max(-(-k // 8) * 8, 8)

@@ -245,7 +245,10 @@ def _symmetrize_knn(p_cond, idx, n):
     S.sum_duplicates()
     e = int(S.nnz)
     ep = max(-(-e // 4096) * 4096, 4096)
-    src = _np.zeros(ep, _np.int32)
+    # pad src with n-1 (NOT 0): the attraction segment_sum declares
+    # indices_are_sorted=True, and trailing zeros after CSR row order
+    # would break the monotonicity contract (val=0 keeps padding inert)
+    src = _np.full(ep, n - 1, _np.int32)
     dst = _np.zeros(ep, _np.int32)
     val = _np.zeros(ep, _np.float64)
     lens = _np.diff(S.indptr)

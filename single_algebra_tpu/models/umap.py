@@ -143,7 +143,7 @@ def _smooth_knn(dists: jnp.ndarray, *, n_iter: int = 64):
     static_argnames=("n_epochs", "neg_rate", "n"),
     donate_argnums=(0,),
 )
-def _optimize_layout(
+def _layout_chunk(
     Y,  # [n, dim] initial embedding
     heads,  # [m] int32, SORTED ascending (CSR row order)
     tails,  # [m] int32
@@ -151,6 +151,8 @@ def _optimize_layout(
     tperm,  # [m] int32: argsort(tails) — host-precomputed once
     tails_sorted,  # [m] int32: tails[tperm]
     key,
+    e0,  # dynamic: first epoch of this dispatch (absolute index)
+    e1,  # dynamic: one past the last
     *,
     n: int,
     n_epochs: int,
@@ -159,13 +161,19 @@ def _optimize_layout(
     b: float,
     lr: float,
 ):
-    """Negative-sampling SGD layout, one fused fori_loop over epochs.
+    """Negative-sampling SGD layout for epochs [e0, e1) — ONE dispatch.
 
     Per-edge gradients are reduced into per-point updates with TWO sorted
     ``segment_sum``s per epoch (heads are CSR-sorted; tails through a
     fixed precomputed permutation) — sorted segment reductions lower to
     contiguous accumulation on TPU, where millions of row-scatters into a
     narrow [n, 2] array are both slow and fault-prone.
+
+    The epoch bounds are DYNAMIC (traced): one compiled program serves
+    every chunk, and the host loop in :func:`_optimize_layout` bounds
+    single-execution device time — at n ~ 10^5 a full-epoch-count single
+    execution outlives remote-execution watchdogs (measured: it killed
+    the TPU worker), exactly as in the t-SNE knn mode.
     """
 
     m = heads.shape[0]
@@ -214,8 +222,27 @@ def _optimize_layout(
         )
         return Y + alpha * upd, key
 
-    Y, _ = jax.lax.fori_loop(0, n_epochs, epoch, (Y, key))
-    return Y
+    return jax.lax.fori_loop(e0, e1, epoch, (Y, key))
+
+
+# epochs per device dispatch in the chunked layout driver
+_LAYOUT_CHUNK = 50
+
+
+def _optimize_layout(
+    Y, heads, tails, weights, tperm, tails_sorted, key, *,
+    n, n_epochs, neg_rate, a, b, lr,
+):
+    """Chunk-dispatched driver over :func:`_layout_chunk`."""
+
+    state = (Y, key)
+    for c0 in range(0, n_epochs, _LAYOUT_CHUNK):
+        state = _layout_chunk(
+            state[0], heads, tails, weights, tperm, tails_sorted, state[1],
+            jnp.int32(c0), jnp.int32(min(c0 + _LAYOUT_CHUNK, n_epochs)),
+            n=n, n_epochs=n_epochs, neg_rate=neg_rate, a=a, b=b, lr=lr,
+        )
+    return state[0]
 
 
 class UMAPConfig:

@@ -160,7 +160,13 @@ def tiled_ell_spmm_t(
     """
 
     _check_mosaic_dtype(tdata_t.dtype, interpret)
-    out_dtype = out_dtype or tdata_t.dtype
+    if out_dtype is None:
+        # 16-bit payloads must NOT accumulate in their own dtype
+        out_dtype = (
+            jnp.float32
+            if jnp.dtype(tdata_t.dtype).itemsize == 2
+            else tdata_t.dtype
+        )
     R = tdata_t.shape[1]
     kp = Bt.shape[0]
     assert R % block_rows == 0, (R, block_rows)
@@ -313,7 +319,12 @@ def tiled_ell_rmv_t(
     """
 
     _check_mosaic_dtype(tdata_t.dtype, interpret)
-    out_dtype = out_dtype or Ct.dtype
+    if out_dtype is None:
+        out_dtype = (
+            jnp.float32
+            if jnp.dtype(tdata_t.dtype).itemsize == 2
+            else Ct.dtype
+        )
     R = tdata_t.shape[1]
     kp = Ct.shape[0]
     assert R % block_rows == 0, (R, block_rows)

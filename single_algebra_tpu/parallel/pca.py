@@ -55,9 +55,9 @@ def choose_sharded_engine(m: SparseMatrix, mesh: Mesh) -> str:
         return "sparse"
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     budget = DensifiedOperator.hbm_budget_bytes() * ndev
+    # needs_lo=True doubles the byte requirement, so this single check
+    # subsumes the hi-only one
     if DensifiedOperator.fits(
-        m.shape, budget_bytes=budget, needs_lo=False
-    ) and DensifiedOperator.fits(
         m.shape, budget_bytes=budget, needs_lo=_needs_lo(m)
     ):
         return "dense"

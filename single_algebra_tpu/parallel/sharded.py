@@ -412,7 +412,6 @@ class ShardedTiled:
         )
 
     def _mv_impl(self, B: jnp.ndarray, fast: bool) -> jnp.ndarray:
-        from ..linalg.operators import DensifiedOperator
         from ..ops.pallas.spmm_kernel import tiled_ell_spmm_t
 
         wt, nt, ct, br, ovw, _ = self.meta
@@ -433,10 +432,9 @@ class ShardedTiled:
         else:
             # hi/lo operand halves stacked on the k axis: the compensated
             # product rides the SAME kernel call (cost linear in kp)
-            b_hi, b_lo = DensifiedOperator._split(B)
-            Bt = jnp.zeros((2 * kp, nt * ct), jnp.bfloat16)
-            Bt = jax.lax.dynamic_update_slice(Bt, b_hi.T, (0, 0))
-            Bt = jax.lax.dynamic_update_slice(Bt, b_lo.T, (kp, 0))
+            from ..linalg.operators import TiledSparseOperator
+
+            Bt, _ = TiledSparseOperator._stack_split(B, nt * ct)
         payloads = [self.tdata] if (fast or not bf16) else self._payloads()
         interpret = jax.default_backend() != "tpu"
 
@@ -490,7 +488,7 @@ class ShardedTiled:
         return self._mv_impl(B, fast=self._bf16)
 
     def _rmv_impl(self, C: jnp.ndarray, fast: bool) -> jnp.ndarray:
-        from ..linalg.operators import DensifiedOperator
+        from ..linalg.operators import TiledSparseOperator
         from ..ops.pallas.spmm_kernel import tiled_ell_rmv_t
 
         wt, nt, ct, br, _, ovtw = self.meta
@@ -517,8 +515,7 @@ class ShardedTiled:
             elif fast:
                 Ct = Clp.T.astype(jnp.bfloat16)
             else:
-                c_hi, c_lo = DensifiedOperator._split(Clp)
-                Ct = jnp.concatenate([c_hi.T, c_lo.T], axis=0)
+                Ct, _ = TiledSparseOperator._stack_split(Clp, rsp)
             acc = None
             for td in tds:
                 out = tiled_ell_rmv_t(
@@ -589,7 +586,14 @@ class ShardedTiled:
         )
         pp = _cv.pad_rows(p)
         main = ndev * nt * wt * rsp * 8
-        over = ndev * (rsp * ovw * 8 + pp * max(ovw, 0) * 8)
+        over = ndev * rsp * ovw * 8
+        if ovw:
+            # rmv-side width: whole-matrix per-column overflow max (upper
+            # bound on the per-slab ovtw every device pads to)
+            ovtw = _cv.tiled_overflow_col_width(
+                src._h_indptr, src._h_indices, n, p, ct, wt
+            )
+            over += ndev * pp * _cv.round_up(max(ovtw, 1), 8) * 8
         return main + over
 
     def tree_flatten(self):

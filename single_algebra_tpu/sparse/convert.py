@@ -614,3 +614,40 @@ def fill_class_payload(
     out_tl[:] = tl
     return out_td, out_tl
 
+
+
+def tiled_overflow_col_width(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    col_tile: int,
+    wt: int,
+) -> int:
+    """Max per-COLUMN count of overflow entries (rank >= ``wt`` within
+    their (row, tile) group) — the rmv-side transposed-overflow ELL width.
+    Structure-only, one O(nnz) pass; capacity planning for the tiled
+    engines (the mv-side ``ov_w`` is a per-ROW quantity and says nothing
+    about the transposed array's width). For the sharded engine this is
+    the whole-matrix value, an upper bound on the per-slab max.
+    """
+
+    nnz = len(indices)
+    if nnz == 0 or n_rows == 0 or wt <= 0:
+        return 0
+    indptr = np.asarray(indptr, np.int64)
+    row_nnz = np.diff(indptr)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), row_nnz)
+    ntiles = max(-(-n_cols // col_tile), 1)
+    tile_of = np.asarray(indices, np.int64) // col_tile
+    key = row_of * ntiles + tile_of
+    first = np.ones(nnz, dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(nnz), 0))
+    over = (np.arange(nnz) - group_start) >= wt
+    if not over.any():
+        return 0
+    cnt = np.bincount(
+        np.asarray(indices, np.int64)[over], minlength=n_cols
+    )
+    return int(cnt.max())

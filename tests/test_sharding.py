@@ -6,6 +6,7 @@ the reference entirely lacks (SURVEY.md §4).
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -350,3 +351,28 @@ def test_choose_sharded_engine_dtype_gate(problem, monkeypatch):
     assert choose_sharded_engine(m, make_mesh(8)) == "sparse"
     m32 = SparseMatrix.from_scipy(X.astype(np.float32))
     assert choose_sharded_engine(m32, make_mesh(8)) != "sparse"
+
+
+def test_sharded_tiled_bf16_payload_products():
+    """f32 matrices take the bf16 hi/lo payload in the sharded engine too
+    (wt-gated): precise products stay f32-class, fast products bf16-class,
+    across the 8-device mesh (interpret kernels upcast on CPU)."""
+
+    from single_algebra_tpu.parallel import ShardedTiled
+
+    rng = np.random.default_rng(5)
+    # sparse enough that the quantile tile width lands under the bf16 gate
+    X32 = sp.random(403, 600, density=0.02, format="csr", dtype=np.float64,
+                    random_state=rng, data_rvs=rng.random).astype(np.float32)
+    m = SparseMatrix.from_scipy(X32)
+    op = ShardedTiled.from_matrix(m, make_mesh(8))
+    assert op.tdata.dtype == jnp.bfloat16, op.meta
+    B = rng.standard_normal((600, 6)).astype(np.float32)
+    C = rng.standard_normal((403, 6)).astype(np.float32)
+    ref_mv, ref_rv = X32 @ B, X32.T @ C
+    prec = np.abs(np.asarray(op.mv(B)) - ref_mv).max() / np.abs(ref_mv).max()
+    fast = np.abs(np.asarray(op.mv_fast(B)) - ref_mv).max() / np.abs(ref_mv).max()
+    prec_r = np.abs(np.asarray(op.rmv(C)) - ref_rv).max() / np.abs(ref_rv).max()
+    fast_r = np.abs(np.asarray(op.rmv_fast(C)) - ref_rv).max() / np.abs(ref_rv).max()
+    assert prec < 1e-5 and prec_r < 1e-5, (prec, prec_r)
+    assert fast < 3e-2 and fast_r < 3e-2

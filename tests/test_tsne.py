@@ -147,3 +147,35 @@ def test_tsne_mode_auto_and_validation():
     with pytest.raises(ValueError, match="knn_k"):
         tsne.run(x, tsne.TSNEConfig(
             perplexity=20.0, mode="knn", knn_k=10))
+
+
+def test_symmetrize_knn_padding_keeps_src_sorted():
+    """The attraction segment_sum declares indices_are_sorted=True, so the
+    edge-list padding must not break monotonicity (pad src with n-1, not
+    0 — a trailing 0 after CSR row order violates the contract and XLA's
+    sorted-scatter behavior becomes implementation-defined)."""
+
+    from single_algebra_tpu.models.tsne import _symmetrize_knn
+
+    rng = np.random.default_rng(0)
+    n, k = 40, 5
+    idx = np.stack([
+        rng.choice(np.delete(np.arange(n), i), size=k, replace=False)
+        for i in range(n)
+    ]).astype(np.int32)
+    p = rng.random((n, k)); p /= p.sum(1, keepdims=True)
+    src, dst, val = _symmetrize_knn(p, idx, n)
+    assert len(src) % 4096 == 0 and len(src) > n * k  # padded
+    assert (np.diff(src) >= 0).all(), "src must stay sorted through padding"
+    assert val[(src == n - 1) & (dst == 0)].sum() >= 0  # padding inert
+
+
+def test_tsne_knn_mode_f64():
+    """run_f64 + mode='knn' keeps the f64 dtype through the edge-list
+    attraction and the blocked repulsion (needs x64 — the conftest mesh
+    enables it)."""
+
+    x, _ = make_clusters(n_per=50, n_clusters=2)
+    cfg = tsne.TSNEConfig(perplexity=10.0, epochs=40, mode="knn")
+    y = np.asarray(tsne.run_f64(x.astype(np.float64), cfg))
+    assert y.dtype == np.float64 and np.isfinite(y).all()
