@@ -4,7 +4,7 @@ The workflow the reference library serves inside SingleRust (crate docs,
 reference src/lib.rs:28-33), composed from this framework's pieces:
 
   counts -> QC stats -> normalize(1e4) -> log1p -> HVG selection ->
-  PCA(50) -> neighbor similarities -> t-SNE
+  PCA(50) -> neighbor similarities -> KMeans clustering -> t-SNE/UMAP
 
 Run: python examples/scrna_pipeline.py [--cells 50000 --genes 10000]
 """
@@ -85,11 +85,16 @@ def main():
     norm = m.normalize(umis_per_cell, 1e4, Direction.ROW).log1p_normalize()
     stamp("normalized + log1p")
 
-    # --- HVG selection by per-gene variance (MatrixVariance) ------------
-    gene_var = np.asarray(norm.var_col())
-    hvg_mask = np.zeros(args.genes, bool)
-    hvg_mask[np.argsort(-gene_var)[: args.hvg]] = True
-    stamp(f"selected {args.hvg} highly variable genes")
+    # --- HVG selection (Seurat-flavor dispersion ranking) ----------------
+    from single_algebra_tpu import highly_variable_genes
+
+    hvg = highly_variable_genes(norm, n_top_genes=args.hvg)
+    hvg_mask = hvg.mask
+    stamp(
+        f"selected {hvg.n_selected} highly variable genes "
+        f"(median norm dispersion of kept: "
+        f"{np.median(hvg.dispersions_norm[hvg_mask]):.2f})"
+    )
 
     # --- PCA on the HVG subset (MaskedSparsePCA, randomized SVD) --------
     pca = (
@@ -109,6 +114,22 @@ def main():
     # --- neighbor similarities over the embedding (similarity module) ---
     S = np.asarray(CosineSimilarity().pairwise(E[: args.sim_cells]))
     stamp(f"cosine similarity {S.shape}, mean={S.mean():.3f}")
+
+    # --- KMeans clustering on the embedding (models.kmeans) -------------
+    from single_algebra_tpu.models import KMeans
+
+    km = KMeans(n_clusters=12, n_init=3, random_seed=0).fit(E)
+    pred = np.asarray(km.labels_)
+    # purity against the planted cell types
+    purity = sum(
+        np.bincount(labels[pred == c]).max()
+        for c in range(12)
+        if (pred == c).any()
+    ) / len(labels)
+    stamp(
+        f"KMeans: 12 clusters, purity vs planted types {purity:.3f}, "
+        f"inertia {km.inertia_:.4g} in {km.n_iter_} iters"
+    )
 
     # --- t-SNE for visualization (ALL cells: mode='auto' picks the
     # exact n x n path below ~16k and the knn mode — sparse attraction +

@@ -1,0 +1,252 @@
+"""Highly-variable-gene (HVG) selection over sparse expression matrices.
+
+The reference's ``MaskedSparsePCA`` takes a boolean feature mask
+(``/root/reference/src/dimred/pca/sparse_masked/mod.rs:55-66``) but the
+reference provides no way to *produce* one — its ecosystem computes HVG
+masks externally. This module closes that gap with the two standard
+single-cell recipes (Seurat- and CellRanger-flavor dispersion ranking),
+built entirely on this library's fused column-stat kernels, so the O(nnz)
+work runs on the TPU and only the p-length gene-score vectors reach the
+host.
+
+Seurat flavor (expects log1p-normalized input, like ``scanpy``'s
+``highly_variable_genes(flavor='seurat')``):
+
+1. undo the log on device (``expm1`` on stored values; implicit zeros are
+   fixed points),
+2. per-gene mean and Bessel variance over ALL cells (fused ELL
+   reductions, ``ops/stats.py``),
+3. dispersion = var / mean, then log-transform (disp -> ln disp,
+   mean -> ln1p mean),
+4. bin genes into ``n_bins`` equal-width bins of log-mean; z-score the
+   log-dispersions within each bin (single-gene bins score 0),
+5. keep the ``n_top_genes`` by normalized dispersion, or apply the
+   (min_mean, max_mean, min_disp, max_disp) cutoff box.
+
+CellRanger flavor expects raw-ish input: quantile bins over the mean and
+a robust (median / MAD) z-score within each bin.
+
+Batch-aware mode (``batches=``): normalized dispersions are computed per
+row-batch with one grouped-stat SpMM per moment (no matrix copies), genes
+are ranked by how many batches select them (ties by median normalized
+dispersion) — the same combination rule scanpy uses for ``batch_key``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["HVGResult", "highly_variable_genes"]
+
+
+@dataclasses.dataclass
+class HVGResult:
+    """Per-gene selection scores and the boolean mask.
+
+    ``mask`` plugs directly into ``MaskedSparsePCABuilder.mask``.
+    """
+
+    mask: np.ndarray  # bool [p]
+    means: np.ndarray  # f32/f64 [p] (pre-log mean of the expm1'd data)
+    dispersions: np.ndarray  # f32/f64 [p]
+    dispersions_norm: np.ndarray  # f32/f64 [p]
+    n_batches_selected: Optional[np.ndarray] = None  # int [p] (batch mode)
+
+    @property
+    def n_selected(self) -> int:
+        return int(self.mask.sum())
+
+    def __repr__(self):
+        return (
+            f"HVGResult(n_selected={self.n_selected} of {self.mask.size})"
+        )
+
+
+def _col_moments(x, assume_logged: bool):
+    """Device-side per-gene (mean, Bessel var over all rows)."""
+
+    xe = x._with_data(jnp.expm1(x.ell_data)) if assume_logged else x
+    n = xe.nrows
+    mean = xe.sum_col() / n
+    var = xe.var_col()
+    return np.asarray(mean), np.asarray(var)
+
+
+def _batch_col_moments(x, batches: Sequence, assume_logged: bool):
+    """Per-batch per-gene (mean, Bessel var incl. zeros) via the grouped
+    SpMM stats (one device pass per moment for ALL batches)."""
+
+    xe = x._with_data(jnp.expm1(x.ell_data)) if assume_logged else x
+    labels, codes = xe._batch_codes(batches, xe.nrows, "row")
+    sums = np.asarray(xe._batch_spmm("col", codes, "sum"))
+    sumsq = np.asarray(xe._batch_spmm("col", codes, "sumsq"))
+    sizes = np.bincount(codes, minlength=len(labels)).astype(sums.dtype)
+    out = []
+    for i, b in enumerate(labels):
+        nb = max(float(sizes[i]), 1.0)
+        mean = sums[:, i] / nb
+        var = (sumsq[:, i] / nb - mean * mean) * (nb / max(nb - 1.0, 1.0))
+        out.append((b, mean, np.maximum(var, 0.0)))
+    return out
+
+
+def _normalized_dispersion(
+    mean: np.ndarray, var: np.ndarray, flavor: str, n_bins: int
+):
+    """(dispersion, dispersion_norm) for one batch of column moments.
+
+    p-length host arithmetic — negligible next to the device reductions.
+    """
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        disp = np.where(mean > 0, var / np.where(mean > 0, mean, 1.0), 0.0)
+
+    if flavor == "seurat":
+        score = np.where(disp > 0, np.log(np.where(disp > 0, disp, 1.0)), np.nan)
+        key = np.log1p(mean)
+        # equal-width bins over the finite key range
+        lo, hi = float(key.min()), float(key.max())
+        width = (hi - lo) or 1.0
+        bin_id = np.clip(
+            ((key - lo) / width * n_bins).astype(np.int64), 0, n_bins - 1
+        )
+        norm = np.zeros_like(score)
+        for b in range(n_bins):
+            sel = bin_id == b
+            vals = score[sel]
+            ok = np.isfinite(vals)
+            if ok.sum() > 1:
+                m, s = vals[ok].mean(), vals[ok].std(ddof=1)
+                norm[sel] = np.where(
+                    np.isfinite(vals), (vals - m) / (s if s > 0 else 1.0), 0.0
+                )
+            # single-gene / empty bins keep score 0 (no within-bin scale)
+        return disp, norm
+
+    if flavor == "cell_ranger":
+        # quantile bins over the mean; robust median/MAD z-score
+        score = disp.astype(np.float64)
+        edges = np.quantile(mean, np.linspace(0, 1, n_bins + 1))
+        edges = np.unique(edges)
+        bin_id = np.clip(
+            np.searchsorted(edges, mean, side="right") - 1, 0, len(edges) - 2
+        )
+        norm = np.zeros_like(score)
+        for b in range(len(edges) - 1):
+            sel = bin_id == b
+            vals = score[sel]
+            if vals.size > 1:
+                med = np.median(vals)
+                mad = np.median(np.abs(vals - med))
+                norm[sel] = (vals - med) / (mad if mad > 0 else 1.0)
+        return disp, norm
+
+    raise ValueError(
+        f"Unknown flavor {flavor!r}; expected 'seurat' or 'cell_ranger'"
+    )
+
+
+def highly_variable_genes(
+    x,
+    *,
+    n_top_genes: Optional[int] = None,
+    flavor: str = "seurat",
+    n_bins: int = 20,
+    min_mean: float = 0.0125,
+    max_mean: float = 3.0,
+    min_disp: float = 0.5,
+    max_disp: float = float("inf"),
+    assume_logged: Optional[bool] = None,
+    batches: Optional[Sequence] = None,
+) -> HVGResult:
+    """Select highly variable genes of a cells x genes ``SparseMatrix``.
+
+    ``n_top_genes`` set -> rank-based selection (top normalized
+    dispersions); unset -> the cutoff box (min/max mean on the pre-log
+    scale, min/max normalized dispersion), matching the classic Seurat
+    defaults. ``assume_logged`` defaults to True for 'seurat' (expm1 is
+    applied on device before the moments) and False for 'cell_ranger'.
+
+    ``batches`` (length n_cells) computes dispersions independently per
+    batch and combines by selection count — genes variable in *every*
+    batch beat batch-specific artifacts.
+    """
+
+    if x.ncols < 1:
+        raise ValueError("Matrix has no feature columns")
+    if n_bins < 1:
+        raise ValueError(f"n_bins={n_bins} must be >= 1")
+    if assume_logged is None:
+        assume_logged = flavor == "seurat"
+
+    if batches is None:
+        mean, var = _col_moments(x, assume_logged)
+        disp, norm = _normalized_dispersion(mean, var, flavor, n_bins)
+        n_sel_batches = None
+    else:
+        per_batch = _batch_col_moments(x, batches, assume_logged)
+        norms = []
+        disps = []
+        for _, mean_b, var_b in per_batch:
+            d_b, n_b = _normalized_dispersion(mean_b, var_b, flavor, n_bins)
+            disps.append(d_b)
+            norms.append(n_b)
+        # combined per-gene stats: overall moments for reporting/cutoffs,
+        # median of the per-batch normalized dispersions as the score
+        mean, var = _col_moments(x, assume_logged)
+        disp = np.median(np.stack(disps), axis=0)
+        norm = np.median(np.stack(norms), axis=0)
+
+    if n_top_genes is not None:
+        if not 1 <= n_top_genes <= x.ncols:
+            raise ValueError(
+                f"n_top_genes={n_top_genes} out of range [1, {x.ncols}]"
+            )
+        if batches is None:
+            order = np.argsort(-norm, kind="stable")
+            mask = np.zeros(x.ncols, dtype=bool)
+            mask[order[:n_top_genes]] = True
+        else:
+            # scanpy's batch rule: per-batch top-n votes first, median
+            # normalized dispersion breaks ties
+            votes = np.zeros(x.ncols, dtype=np.int64)
+            for n_b in norms:
+                order_b = np.argsort(-n_b, kind="stable")[:n_top_genes]
+                votes[order_b] += 1
+            rank = np.lexsort((-norm, -votes))
+            mask = np.zeros(x.ncols, dtype=bool)
+            mask[rank[:n_top_genes]] = True
+            n_sel_batches = votes
+    else:
+        mask = (
+            (mean > min_mean)
+            & (mean < max_mean)
+            & (norm > min_disp)
+            & (norm < max_disp)
+        )
+        if batches is not None:
+            votes = np.zeros(x.ncols, dtype=np.int64)
+            for (_, mean_b, _), n_b in zip(per_batch, norms):
+                votes += (
+                    (mean_b > min_mean)
+                    & (mean_b < max_mean)
+                    & (n_b > min_disp)
+                    & (n_b < max_disp)
+                ).astype(np.int64)
+            mask = votes == len(per_batch)
+            n_sel_batches = votes
+
+    if batches is not None and n_sel_batches is None:
+        n_sel_batches = np.zeros(x.ncols, dtype=np.int64)
+
+    return HVGResult(
+        mask=np.asarray(mask, dtype=bool),
+        means=mean,
+        dispersions=disp,
+        dispersions_norm=norm,
+        n_batches_selected=n_sel_batches,
+    )
