@@ -106,12 +106,17 @@ def _pairwise_d2(x2: jnp.ndarray, X, C: jnp.ndarray) -> jnp.ndarray:
     return x2[:, None] + c2[None, :] - 2.0 * xc
 
 
-def _plusplus_init(key, X, x2: jnp.ndarray, k: int) -> jnp.ndarray:
-    """k-means++ D^2 sampling (Arthur & Vassilvitskii 2007), on device."""
+def _plusplus_init(key, X, x2: jnp.ndarray, w: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-means++ D^2 sampling (Arthur & Vassilvitskii 2007), on device.
 
-    n, d = _n_of(X), _d_of(X)
+    ``w`` is a {0,1} row-validity mask: zero-weight rows (mesh padding)
+    can never be sampled as seeds.
+    """
+
+    NEG = jnp.float32(-1e30)  # -inf-like logit for padded rows
     k0, key = jax.random.split(key)
-    first = jax.random.randint(k0, (), 0, n)
+    first = jax.random.categorical(k0, jnp.where(w > 0, 0.0, NEG))
+    d = _d_of(X)
     C = jnp.zeros((k, d), jnp.float32)
     C = C.at[0].set(_gather_rows(X, first[None], 1)[0])
     c0 = C[0]
@@ -122,7 +127,7 @@ def _plusplus_init(key, X, x2: jnp.ndarray, k: int) -> jnp.ndarray:
     def body(i, state):
         C, min_d2 = state
         ki = jax.random.fold_in(key, i)
-        logits = jnp.log(jnp.maximum(min_d2, 1e-30))
+        logits = jnp.where(w > 0, jnp.log(jnp.maximum(min_d2, 1e-30)), NEG)
         idx = jax.random.categorical(ki, logits)
         c = _gather_rows(X, idx[None], 1)[0]
         C = C.at[i].set(c)
@@ -136,27 +141,31 @@ def _plusplus_init(key, X, x2: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_iter"))
-def _fit_one(X, x2, tol2, key, *, k: int, max_iter: int):
+def _fit_one(X, x2, tol2, key, w, *, k: int, max_iter: int):
     """One full KMeans run: ++init then Lloyd to convergence.
 
-    Returns (centers [k, d], labels [n], inertia scalar, n_iter).
+    ``w`` is a {0,1} f32 row-validity mask (all-ones when unpadded; mesh
+    mode pads rows to a device-divisible count and zero-weights the pad).
+    Returns (centers [k, d], labels [n], inertia scalar, n_iter); labels
+    of padded rows are meaningless and sliced off by the caller.
     """
 
-    n = _n_of(X)
-    C0 = _plusplus_init(key, X, x2, k)
+    C0 = _plusplus_init(key, X, x2, w, k)
 
     def lloyd(state):
         C, _, it = state
         d2 = _pairwise_d2(x2, X, C)
         labels = jnp.argmin(d2, axis=1)
-        H = (labels[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+        H = (labels[:, None] == jnp.arange(k)[None, :]) * w[:, None]
         counts = jnp.sum(H, axis=0)
         sums = _xtdot(X, H).T  # [k, d]
         new_C = sums / jnp.maximum(counts, 1.0)[:, None]
 
         def reseed(new_C):
             # farthest points from their centers take over empty clusters
-            point_d2 = jnp.take_along_axis(d2, labels[:, None], axis=1)[:, 0]
+            point_d2 = (
+                jnp.take_along_axis(d2, labels[:, None], axis=1)[:, 0] * w
+            )
             far = jax.lax.top_k(point_d2, k)[1]
             far_rows = _gather_rows(X, far, k)
             return jnp.where((counts == 0)[:, None], far_rows, new_C)
@@ -178,6 +187,7 @@ def _fit_one(X, x2, tol2, key, *, k: int, max_iter: int):
     labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
     inertia = jnp.sum(
         jnp.maximum(jnp.take_along_axis(d2, labels[:, None], axis=1), 0.0)
+        * w[:, None]
     )
     return C, labels, inertia, n_iter
 
@@ -219,6 +229,7 @@ class KMeans:
         n_init: int = 1,
         random_seed: int = 42,
         verbose: bool = False,
+        mesh=None,
     ):
         if n_clusters < 1:
             raise ValueError(f"n_clusters={n_clusters} must be >= 1")
@@ -230,6 +241,11 @@ class KMeans:
         self.n_init = n_init
         self.random_seed = random_seed
         self.verbose = verbose
+        # optional jax.sharding.Mesh (1-d): rows shard across devices and
+        # the same jitted Lloyd program runs under SPMD — centroid update
+        # costs one psum over the row axis, centers stay replicated.
+        # Dense inputs only (sparse matrices shard via parallel.sharded).
+        self.mesh = mesh
         self.cluster_centers_: Optional[jnp.ndarray] = None
         self.labels_: Optional[jnp.ndarray] = None
         self.inertia_: Optional[float] = None
@@ -246,6 +262,25 @@ class KMeans:
             mv = jnp.mean(jnp.var(X, axis=0))
         return (self.tol * mv).astype(jnp.float32)
 
+    def _shard_rows(self, X, x2, w):
+        """Pad rows to a mesh-divisible count (zero rows, zero weight) and
+        place X/x2/w with row shardings; centers/scalars stay replicated."""
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = self.mesh.axis_names[0]
+        ndev = self.mesh.devices.size
+        n = X.shape[0]
+        pad = (-n) % ndev
+        if pad:
+            X = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+            x2 = jnp.concatenate([x2, jnp.zeros((pad,), x2.dtype)])
+            w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+        X = jax.device_put(X, NamedSharding(self.mesh, P(ax, None)))
+        x2 = jax.device_put(x2, NamedSharding(self.mesh, P(ax)))
+        w = jax.device_put(w, NamedSharding(self.mesh, P(ax)))
+        return X, x2, w
+
     def fit(self, X) -> "KMeans":
         X = _prep(X)
         n = _n_of(X)
@@ -253,13 +288,22 @@ class KMeans:
             raise ValueError(
                 f"n_clusters={self.n_clusters} exceeds n_samples={n}"
             )
+        if self.mesh is not None and _is_sparse(X):
+            raise ValueError(
+                "mesh mode supports dense inputs; shard sparse matrices "
+                "via the parallel.sharded engines and cluster embeddings"
+            )
         x2 = _row_sq_norms(X).astype(jnp.float32)
         tol2 = self._tol2(X)
+        w = jnp.ones((n,), jnp.float32)
+        if self.mesh is not None:
+            X, x2, w = self._shard_rows(X, x2, w)
         best = None
         for trial in range(self.n_init):
             key = jax.random.PRNGKey(self.random_seed + trial)
             C, labels, inertia, n_iter = _fit_one(
-                X, x2, tol2, key, k=self.n_clusters, max_iter=self.max_iter
+                X, x2, tol2, key, w,
+                k=self.n_clusters, max_iter=self.max_iter,
             )
             inertia = float(inertia)
             if self.verbose:
@@ -268,7 +312,7 @@ class KMeans:
                     f"iters={int(n_iter)}"
                 )
             if best is None or inertia < best[2]:
-                best = (C, labels, inertia, int(n_iter))
+                best = (C, labels[:n], inertia, int(n_iter))
         self.cluster_centers_, self.labels_, self.inertia_, self.n_iter_ = best
         return self
 
@@ -342,6 +386,7 @@ class KMeansBuilder:
     _n_init: int = 1
     _random_seed: int = 42
     _verbose: bool = False
+    _mesh: object = None
 
     def n_clusters(self, k: int) -> "KMeansBuilder":
         self._n_clusters = k
@@ -367,6 +412,10 @@ class KMeansBuilder:
         self._verbose = v
         return self
 
+    def mesh(self, m) -> "KMeansBuilder":
+        self._mesh = m
+        return self
+
     def build(self) -> KMeans:
         return KMeans(
             self._n_clusters,
@@ -375,4 +424,5 @@ class KMeansBuilder:
             n_init=self._n_init,
             random_seed=self._random_seed,
             verbose=self._verbose,
+            mesh=self._mesh,
         )

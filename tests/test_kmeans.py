@@ -145,3 +145,68 @@ def test_n_init_picks_best():
     one = KMeans(6, n_init=1, random_seed=3).fit(X)
     many = KMeans(6, n_init=5, random_seed=3).fit(X)
     assert many.inertia_ <= one.inertia_ + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# mesh mode (virtual 8-device CPU mesh)
+
+import jax  # noqa: E402
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+@needs_mesh
+def test_mesh_matches_single_device():
+    from single_algebra_tpu.parallel import make_mesh
+
+    # n NOT divisible by 8: exercises the zero-weight row padding
+    X, true, _ = blobs(n=603, d=12, k=5, seed=17)
+    km1 = KMeans(5, random_seed=4).fit(X)
+    km8 = KMeans(5, random_seed=4, mesh=make_mesh(8)).fit(X)
+    assert km8.labels_.shape == (603,)
+    # same seed -> same ++init draws; trajectories agree up to psum
+    # reassociation of the centroid update
+    assert np.array_equal(np.asarray(km1.labels_), np.asarray(km8.labels_))
+    np.testing.assert_allclose(
+        np.asarray(km1.cluster_centers_),
+        np.asarray(km8.cluster_centers_),
+        atol=1e-4,
+    )
+    assert km8.inertia_ == pytest.approx(km1.inertia_, rel=1e-4)
+    assert purity(km8.labels_, true) > 0.99
+
+
+@needs_mesh
+def test_mesh_invariance_1_vs_8():
+    from single_algebra_tpu.parallel import make_mesh
+
+    X, _, _ = blobs(n=256, d=8, k=4, seed=19)
+    a = KMeans(4, random_seed=2, mesh=make_mesh(1)).fit(X)
+    b = KMeans(4, random_seed=2, mesh=make_mesh(8)).fit(X)
+    assert np.array_equal(np.asarray(a.labels_), np.asarray(b.labels_))
+    np.testing.assert_allclose(
+        np.asarray(a.cluster_centers_),
+        np.asarray(b.cluster_centers_),
+        atol=1e-4,
+    )
+
+
+@needs_mesh
+def test_mesh_rejects_sparse():
+    from single_algebra_tpu.parallel import make_mesh
+
+    X, _, _ = blobs(n=100, d=6, k=3, seed=21)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X.astype(np.float64)))
+    with pytest.raises(ValueError, match="mesh mode supports dense"):
+        KMeans(3, mesh=make_mesh(8)).fit(m)
+
+
+@needs_mesh
+def test_mesh_builder():
+    from single_algebra_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    km = KMeansBuilder().n_clusters(3).mesh(mesh).build()
+    assert km.mesh is mesh
