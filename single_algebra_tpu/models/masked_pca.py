@@ -225,6 +225,27 @@ class MaskedSparsePCA:
         self._fitted_transform = None
         return T
 
+    def inverse_transform(self, T) -> jnp.ndarray:
+        """Back-project scores to FULL feature width [n, p].
+
+        Masked columns get ``T @ components_`` (+ their mean when
+        centered); unmasked columns — which the model never sees — get
+        their column mean (the best constant reconstruction), or zero
+        when uncentered.
+        """
+
+        self._check_fitted()
+        T = jnp.asarray(T)
+        idx = jnp.asarray(np.where(self.mask)[0], jnp.int32)
+        Rm = T @ self.components_  # [n, p_masked]
+        p = self.mask.shape[0]
+        base = (
+            jnp.broadcast_to(self.mean_, (T.shape[0], p))
+            if self.center
+            else jnp.zeros((T.shape[0], p), Rm.dtype)
+        )
+        return base.at[:, idx].add(Rm.astype(base.dtype))
+
     def feature_importances(self) -> jnp.ndarray:
         self._check_fitted()
         return self.components_**2

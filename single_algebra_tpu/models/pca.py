@@ -440,6 +440,18 @@ class SparsePCA:
         self._fitted_transform = None
         return T
 
+    def inverse_transform(self, T) -> jnp.ndarray:
+        """Back-project scores to feature space: ``T @ components_``
+        (+ ``mean_`` when centered) — sklearn ``PCA.inverse_transform``
+        semantics (lossy for k < rank)."""
+
+        self._check_fitted()
+        T = jnp.asarray(T)
+        R = T @ self.components_
+        if self.center:
+            R = R + self.mean_
+        return R
+
     # -- analysis ------------------------------------------------------
 
     def feature_importances(self) -> jnp.ndarray:

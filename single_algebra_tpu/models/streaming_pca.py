@@ -484,6 +484,17 @@ class StreamingSparsePCA:
 
     # -- inference ---------------------------------------------------------
 
+    def inverse_transform(self, T) -> np.ndarray:
+        """Back-project scores: ``T @ components_`` (+ ``mean_`` when
+        centered) — sklearn semantics, matching :class:`SparsePCA`."""
+
+        if self.components_ is None:
+            raise RuntimeError("Must be fitted before transform!")
+        R = jnp.asarray(T, jnp.float32) @ self.components_
+        if self.center:
+            R = R + self.mean_
+        return np.asarray(R)
+
     def transform(self, chunk) -> np.ndarray:
         """Project one CSR row chunk -> host scores [chunk_rows, k]."""
 

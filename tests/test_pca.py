@@ -337,3 +337,67 @@ def test_save_load_without_npz_suffix(tmp_path, data):
     np.testing.assert_allclose(
         np.asarray(back.components_), np.asarray(pca.components_)
     )
+
+
+def test_inverse_transform_roundtrip(data):
+    """inverse_transform matches sklearn's reconstruction and converges
+    to the data as k grows."""
+
+    from sklearn.decomposition import PCA as SkPCA
+
+    pca = SparsePCABuilder().n_components(20).svd_method(RAND).build()
+    T = np.asarray(pca.fit_transform(data))
+    R = np.asarray(pca.inverse_transform(T))
+    assert R.shape == data.shape
+    dense = data.toarray()
+    sk = SkPCA(n_components=20, svd_solver="full").fit(dense)
+    R_sk = sk.inverse_transform(sk.transform(dense))
+    # the rank-20 PCA reconstruction is the optimal one; ours must match
+    # sklearn's error (element-wise comparison is ill-posed: tail
+    # components beyond the cluster gap live in a noise bulk where the
+    # subspace is not unique)
+    err = np.linalg.norm(R - dense)
+    err_sk = np.linalg.norm(R_sk - dense)
+    assert err <= 1.02 * err_sk
+    # reconstruction error shrinks with k
+    pca5 = SparsePCABuilder().n_components(5).svd_method(RAND).build()
+    R5 = np.asarray(pca5.inverse_transform(np.asarray(pca5.fit_transform(data))))
+    assert err < np.linalg.norm(R5 - dense)
+
+
+def test_inverse_transform_uncentered(data):
+    pca = (
+        SparsePCABuilder().n_components(8).svd_method(RAND)
+        .center(False).build()
+    )
+    T = np.asarray(pca.fit_transform(data))
+    R = np.asarray(pca.inverse_transform(T))
+    # uncentered: R = T @ V exactly
+    np.testing.assert_allclose(
+        R, T @ np.asarray(pca.components_), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_masked_inverse_transform(data):
+    mask = np.zeros(data.shape[1], bool)
+    mask[::3] = True
+    pca = MaskedSparsePCABuilder().mask(mask).n_components(10).svd_method(
+        RAND
+    ).build()
+    T = np.asarray(pca.fit_transform(data))
+    R = np.asarray(pca.inverse_transform(T))
+    assert R.shape == data.shape
+    dense = data.toarray()
+    mu = dense.mean(axis=0)
+    # unmasked columns reconstruct as their mean
+    np.testing.assert_allclose(R[:, ~mask], np.broadcast_to(
+        mu[~mask], (data.shape[0], (~mask).sum())), rtol=1e-4, atol=1e-4)
+    # masked columns: sklearn PCA on the sliced matrix gives the same
+    # reconstruction
+    from sklearn.decomposition import PCA as SkPCA
+
+    sk = SkPCA(n_components=10, svd_solver="full").fit(dense[:, mask])
+    R_sk = sk.inverse_transform(sk.transform(dense[:, mask]))
+    np.testing.assert_allclose(
+        R[:, mask], R_sk, atol=5e-3 * np.abs(dense).max()
+    )

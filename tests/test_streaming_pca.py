@@ -214,3 +214,27 @@ def test_streaming_refit_other_k():
     )
     pca.refit(3)
     assert np.asarray(pca.explained_variance_).shape == (3,)
+
+
+def test_streaming_inverse_transform_matches_one_shot():
+    X = _matrix(n=500, p=80)
+    k = 6
+    spca = StreamingSparsePCA(n_components=k, n_features=80, random_seed=2)
+    for r0 in range(0, 500, 128):
+        spca.partial_fit(X[r0:r0 + 128])
+    spca.finalize()
+    T = spca.transform(X)
+    R = spca.inverse_transform(T)
+    assert R.shape == X.shape
+    # identity: T @ components_ + mean_
+    expected = T @ np.asarray(spca.components_) + np.asarray(spca.mean_)
+    np.testing.assert_allclose(R, expected, rtol=1e-5, atol=1e-5)
+    # reconstruction is near the optimal rank-k one
+    dense = X.toarray()
+    from sklearn.decomposition import PCA as SkPCA
+
+    sk = SkPCA(n_components=k, svd_solver="full").fit(dense)
+    err_sk = np.linalg.norm(
+        sk.inverse_transform(sk.transform(dense)) - dense
+    )
+    assert np.linalg.norm(R - dense) <= 1.02 * err_sk
