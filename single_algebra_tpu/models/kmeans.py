@@ -198,6 +198,29 @@ def _assign(X, x2, C, *, k: int):
     return jnp.argmin(d2, axis=1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _minibatch_step(X, x2, C, counts, *, k: int):
+    """One MiniBatchKMeans update (Sculley 2010 / sklearn semantics):
+    assign the batch, then move each center toward its batch mean with a
+    per-center learning rate 1/total_count. All-MXU: assignment is the
+    d2 cross-term matmul, the batch sums are one X^T H product."""
+
+    d2 = _pairwise_d2(x2, X, C)
+    labels = jnp.argmin(d2, axis=1)
+    H = (labels[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+    batch_counts = jnp.sum(H, axis=0)
+    batch_sums = _xtdot(X, H).T  # [k, d]
+    new_counts = counts + batch_counts
+    # C += (sums - batch_count * C) / total_count  (no-op for empty centers)
+    C = C + (batch_sums - batch_counts[:, None] * C) / jnp.maximum(
+        new_counts, 1.0
+    )[:, None]
+    inertia = jnp.sum(
+        jnp.maximum(jnp.take_along_axis(d2, labels[:, None], axis=1), 0.0)
+    )
+    return C, new_counts, labels.astype(jnp.int32), inertia
+
+
 def _prep(X):
     """Canonicalize input: dense arrays to f32 jnp; a SparseMatrix to its
     (row-major, col-major) layout pair (host-side, cached per matrix)."""
@@ -250,6 +273,7 @@ class KMeans:
         self.labels_: Optional[jnp.ndarray] = None
         self.inertia_: Optional[float] = None
         self.n_iter_: Optional[int] = None
+        self._counts: Optional[jnp.ndarray] = None  # minibatch state
 
     # ------------------------------------------------------------------
 
@@ -316,6 +340,52 @@ class KMeans:
         self.cluster_centers_, self.labels_, self.inertia_, self.n_iter_ = best
         return self
 
+    def partial_fit(self, X) -> "KMeans":
+        """Minibatch update from one row batch (out-of-core KMeans).
+
+        The first call k-means++-seeds the centers from the batch (which
+        must hold >= n_clusters rows); each call then moves centers
+        toward the batch means with per-center 1/count learning rates
+        (sklearn ``MiniBatchKMeans.partial_fit`` semantics). Batches may
+        be dense arrays or ``SparseMatrix`` row slabs. ``labels_`` /
+        ``inertia_`` reflect the LAST batch seen; use :meth:`predict`
+        for final assignments.
+        """
+
+        if self.mesh is not None:
+            raise ValueError(
+                "partial_fit is single-device; mesh mode applies to fit()"
+            )
+        X = _prep(X)
+        x2 = _row_sq_norms(X).astype(jnp.float32)
+        if self.cluster_centers_ is None:
+            n = _n_of(X)
+            if self.n_clusters > n:
+                raise ValueError(
+                    f"first batch has {n} rows < n_clusters="
+                    f"{self.n_clusters}"
+                )
+            key = jax.random.PRNGKey(self.random_seed)
+            w = jnp.ones((n,), jnp.float32)
+            self.cluster_centers_ = _plusplus_init(
+                key, X, x2, w, self.n_clusters
+            )
+            self._counts = jnp.zeros((self.n_clusters,), jnp.float32)
+            self.n_iter_ = 0
+        elif _d_of(X) != self.cluster_centers_.shape[1]:
+            raise ValueError(
+                f"X has {_d_of(X)} features; fitted centers have "
+                f"{self.cluster_centers_.shape[1]}"
+            )
+        C, counts, labels, inertia = _minibatch_step(
+            X, x2, self.cluster_centers_, self._counts, k=self.n_clusters
+        )
+        self.cluster_centers_, self._counts = C, counts
+        self.labels_ = labels
+        self.inertia_ = float(inertia)
+        self.n_iter_ = int(self.n_iter_) + 1
+        return self
+
     def predict(self, X) -> jnp.ndarray:
         self._check_fitted()
         X = _prep(X)
@@ -356,12 +426,18 @@ class KMeans:
 
     def save(self, path: str) -> None:
         self._check_fitted()
+        counts = (
+            np.asarray(self._counts)
+            if self._counts is not None
+            else np.zeros((self.n_clusters,), np.float32)
+        )
         np.savez(
             path,
             cluster_centers=np.asarray(self.cluster_centers_),
             inertia=np.float64(self.inertia_),
             n_iter=np.int64(self.n_iter_),
             n_clusters=np.int64(self.n_clusters),
+            counts=counts,  # minibatch state: partial_fit resumes after load
         )
 
     @classmethod
@@ -373,6 +449,8 @@ class KMeans:
             m.cluster_centers_ = jnp.asarray(z["cluster_centers"])
             m.inertia_ = float(z["inertia"])
             m.n_iter_ = int(z["n_iter"])
+            if "counts" in z:
+                m._counts = jnp.asarray(z["counts"])
         return m
 
 

@@ -210,3 +210,77 @@ def test_mesh_builder():
     mesh = make_mesh(8)
     km = KMeansBuilder().n_clusters(3).mesh(mesh).build()
     assert km.mesh is mesh
+
+
+# ---------------------------------------------------------------------------
+# minibatch partial_fit (out-of-core)
+
+
+def test_partial_fit_converges_to_planted_clusters():
+    X, true, _ = blobs(n=2400, d=10, k=5, seed=23)
+    km = KMeans(5, random_seed=1)
+    rng = np.random.default_rng(0)
+    for _ in range(3):  # 3 shuffled epochs of 300-row batches
+        order = rng.permutation(len(X))
+        for b0 in range(0, len(X), 300):
+            km.partial_fit(X[order[b0:b0 + 300]])
+    pred = np.asarray(km.predict(X))
+    assert purity(pred, true) > 0.95
+    assert km.n_iter_ == 24  # one per batch
+
+
+def test_partial_fit_first_batch_is_batch_means():
+    X, _, _ = blobs(n=200, d=6, k=4, seed=25)
+    km = KMeans(4, random_seed=2).partial_fit(X)
+    # after one batch, each nonempty center is exactly its batch mean
+    pred = np.asarray(km.labels_)
+    C = np.asarray(km.cluster_centers_)
+    for c in range(4):
+        if (pred == c).any():
+            np.testing.assert_allclose(
+                C[c], X[pred == c].mean(axis=0), rtol=1e-4, atol=1e-4
+            )
+
+
+def test_partial_fit_sparse_matches_dense():
+    X, _, _ = blobs(n=400, d=8, k=3, seed=27)
+    X[np.abs(X) < 0.5] = 0.0
+    km_d = KMeans(3, random_seed=5)
+    km_s = KMeans(3, random_seed=5)
+    for b0 in range(0, 400, 100):
+        batch = X[b0:b0 + 100]
+        km_d.partial_fit(batch)
+        km_s.partial_fit(
+            SparseMatrix.from_scipy(sp.csr_matrix(batch.astype(np.float64)))
+        )
+    assert np.array_equal(np.asarray(km_d.labels_), np.asarray(km_s.labels_))
+    np.testing.assert_allclose(
+        np.asarray(km_d.cluster_centers_),
+        np.asarray(km_s.cluster_centers_),
+        atol=1e-4,
+    )
+
+
+def test_partial_fit_validation():
+    km = KMeans(10)
+    with pytest.raises(ValueError, match="first batch"):
+        km.partial_fit(np.zeros((5, 3), np.float32))
+    km2 = KMeans(2).partial_fit(np.zeros((8, 3), np.float32))
+    with pytest.raises(ValueError, match="features"):
+        km2.partial_fit(np.zeros((8, 5), np.float32))
+
+
+def test_partial_fit_resumes_after_save_load(tmp_path):
+    X, _, _ = blobs(n=300, d=6, k=3, seed=29)
+    km = KMeans(3, random_seed=8)
+    km.partial_fit(X[:150])
+    path = str(tmp_path / "mb")
+    km.save(path)
+    km2 = KMeans.load(path)
+    km.partial_fit(X[150:])
+    km2.partial_fit(X[150:])
+    np.testing.assert_allclose(
+        np.asarray(km.cluster_centers_),
+        np.asarray(km2.cluster_centers_),
+        atol=1e-6,
+    )
