@@ -126,8 +126,12 @@ def main():
         for c in range(12)
         if (pred == c).any()
     ) / len(labels)
+    from single_algebra_tpu.metrics import adjusted_rand_index, silhouette_score
+
     stamp(
         f"KMeans: 12 clusters, purity vs planted types {purity:.3f}, "
+        f"ARI {adjusted_rand_index(labels, pred):.3f}, silhouette "
+        f"{silhouette_score(E[:5000], pred[:5000]):.3f}, "
         f"inertia {km.inertia_:.4g} in {km.n_iter_} iters"
     )
 

@@ -15,5 +15,6 @@ from .types import (  # noqa: F401
 )
 from .sparse import SparseMatrix, csr_matrix, csc_matrix, random_sparse  # noqa: F401
 from .feature_selection import HVGResult, highly_variable_genes  # noqa: F401
+from . import metrics  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,101 @@
+"""Clustering-metric tests: sklearn golden parity for silhouette / ARI /
+NMI, blocked == unblocked, degenerate guards."""
+
+import numpy as np
+import pytest
+
+from single_algebra_tpu.metrics import (
+    adjusted_rand_index,
+    normalized_mutual_info,
+    silhouette_samples,
+    silhouette_score,
+)
+
+
+def blobs(n=500, d=8, k=4, spread=0.8, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, d)) * 3.0
+    labels = rng.integers(0, k, n)
+    X = centers[labels] + rng.standard_normal((n, d)) * spread
+    return X.astype(np.float32), labels
+
+
+def test_silhouette_matches_sklearn():
+    from sklearn.metrics import silhouette_score as sk_score
+
+    X, lab = blobs()
+    ours = silhouette_score(X, lab)
+    theirs = sk_score(X, lab)
+    assert ours == pytest.approx(theirs, abs=2e-4)
+
+
+def test_silhouette_samples_match_sklearn():
+    from sklearn.metrics import silhouette_samples as sk_samples
+
+    X, lab = blobs(n=300, d=5, k=3, seed=2)
+    ours = np.asarray(silhouette_samples(X, lab))
+    theirs = sk_samples(X, lab)
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_silhouette_blocked_equals_unblocked():
+    X, lab = blobs(n=333, seed=3)  # n not divisible by block
+    a = np.asarray(silhouette_samples(X, lab, block=64))
+    b = np.asarray(silhouette_samples(X, lab, block=512))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_silhouette_noncontiguous_labels():
+    # labels {7, 42}: internal reindexing must handle arbitrary values
+    X, lab = blobs(n=100, k=2, seed=4)
+    relabeled = np.where(lab == 0, 7, 42)
+    assert silhouette_score(X, relabeled) == pytest.approx(
+        silhouette_score(X, lab), abs=1e-6
+    )
+
+
+def test_silhouette_separation_orders_quality():
+    X, lab = blobs(n=200, spread=0.2, seed=5)
+    rng = np.random.default_rng(0)
+    shuffled = rng.permutation(lab)
+    assert silhouette_score(X, lab) > 0.7
+    assert silhouette_score(X, lab) > silhouette_score(X, shuffled)
+
+
+def test_silhouette_guards():
+    X, _ = blobs(n=50)
+    with pytest.raises(ValueError, match="at least 2"):
+        silhouette_score(X, np.zeros(50, np.int32))
+    with pytest.raises(ValueError, match="n_samples > n_clusters"):
+        silhouette_score(X[:3], np.arange(3))
+
+
+def test_ari_matches_sklearn():
+    from sklearn.metrics import adjusted_rand_score
+
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 5, 400)
+    b = np.where(rng.random(400) < 0.8, a, rng.integers(0, 5, 400))
+    assert adjusted_rand_index(a, b) == pytest.approx(
+        adjusted_rand_score(a, b), abs=1e-12
+    )
+    assert adjusted_rand_index(a, a) == 1.0
+
+
+def test_nmi_matches_sklearn():
+    from sklearn.metrics import normalized_mutual_info_score
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 4, 300)
+    b = np.where(rng.random(300) < 0.7, a, rng.integers(0, 4, 300))
+    assert normalized_mutual_info(a, b) == pytest.approx(
+        normalized_mutual_info_score(a, b), abs=1e-10
+    )
+    assert normalized_mutual_info(a, a) == pytest.approx(1.0)
+
+
+def test_label_length_mismatch():
+    with pytest.raises(ValueError, match="same length"):
+        adjusted_rand_index(np.zeros(5), np.zeros(6))
+    with pytest.raises(ValueError, match="same length"):
+        normalized_mutual_info(np.zeros(5), np.zeros(6))
