@@ -14,7 +14,11 @@ from .types import (  # noqa: F401
     SVDMethod,
 )
 from .sparse import SparseMatrix, csr_matrix, csc_matrix, random_sparse  # noqa: F401
-from .feature_selection import HVGResult, highly_variable_genes  # noqa: F401
+from .feature_selection import (  # noqa: F401
+    HVGResult,
+    highly_variable_genes,
+    highly_variable_genes_from_moments,
+)
 from . import metrics  # noqa: F401
 
 __version__ = "0.1.0"

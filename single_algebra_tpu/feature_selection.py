@@ -40,7 +40,11 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HVGResult", "highly_variable_genes"]
+__all__ = [
+    "HVGResult",
+    "highly_variable_genes",
+    "highly_variable_genes_from_moments",
+]
 
 
 @dataclasses.dataclass
@@ -147,6 +151,59 @@ def _normalized_dispersion(
 
     raise ValueError(
         f"Unknown flavor {flavor!r}; expected 'seurat' or 'cell_ranger'"
+    )
+
+
+def highly_variable_genes_from_moments(
+    mean,
+    var,
+    *,
+    n_top_genes: Optional[int] = None,
+    flavor: str = "seurat",
+    n_bins: int = 20,
+    min_mean: float = 0.0125,
+    max_mean: float = 3.0,
+    min_disp: float = 0.5,
+    max_disp: float = float("inf"),
+) -> HVGResult:
+    """HVG selection from precomputed per-gene (mean, variance).
+
+    The out-of-core entry point: ``StreamingSparsePCA`` exposes streaming
+    column moments (``col_sums()`` / ``col_var()``) whose n is unbounded —
+    feed them here to select HVGs without a second data pass. The moments
+    must be on the PRE-LOG scale for 'seurat' cutoff semantics (apply
+    ``expm1`` upstream if the stream was log1p-normalized).
+    """
+
+    mean = np.asarray(mean, np.float64).ravel()
+    var = np.asarray(var, np.float64).ravel()
+    if mean.shape != var.shape:
+        raise ValueError("mean and var must have the same length")
+    if mean.size < 1:
+        raise ValueError("Matrix has no feature columns")
+    if n_bins < 1:
+        raise ValueError(f"n_bins={n_bins} must be >= 1")
+    disp, norm = _normalized_dispersion(mean, var, flavor, n_bins)
+    if n_top_genes is not None:
+        if not 1 <= n_top_genes <= mean.size:
+            raise ValueError(
+                f"n_top_genes={n_top_genes} out of range [1, {mean.size}]"
+            )
+        order = np.argsort(-norm, kind="stable")
+        mask = np.zeros(mean.size, dtype=bool)
+        mask[order[:n_top_genes]] = True
+    else:
+        mask = (
+            (mean > min_mean)
+            & (mean < max_mean)
+            & (norm > min_disp)
+            & (norm < max_disp)
+        )
+    return HVGResult(
+        mask=np.asarray(mask, dtype=bool),
+        means=mean,
+        dispersions=disp,
+        dispersions_norm=norm,
     )
 
 

@@ -350,6 +350,9 @@ class KMeans:
         be dense arrays or ``SparseMatrix`` row slabs. ``labels_`` /
         ``inertia_`` reflect the LAST batch seen; use :meth:`predict`
         for final assignments.
+
+        Each distinct batch SHAPE compiles once — stream uniform batch
+        sizes (pad the tail batch if needed) to avoid recompiles.
         """
 
         if self.mesh is not None:

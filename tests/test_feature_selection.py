@@ -116,3 +116,64 @@ def test_constant_matrix_degenerate():
     res = highly_variable_genes(m, n_top_genes=5, assume_logged=False)
     assert res.n_selected == 5
     assert np.isfinite(res.dispersions_norm).all()
+
+
+def test_hvg_from_moments_matches_direct():
+    """Moment-based selection == matrix-based selection (cell_ranger
+    flavor: raw moments, no log transform in the moment computation)."""
+
+    from single_algebra_tpu.feature_selection import (
+        highly_variable_genes_from_moments,
+    )
+
+    X, _planted = planted_hvg_counts(n=800, p=400, seed=3)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    direct = highly_variable_genes(
+        m, n_top_genes=50, flavor="cell_ranger", assume_logged=False
+    )
+    mean = X.mean(axis=0)
+    var = X.var(axis=0, ddof=1)
+    frommom = highly_variable_genes_from_moments(
+        mean, var, n_top_genes=50, flavor="cell_ranger"
+    )
+    assert np.array_equal(direct.mask, frommom.mask)
+    np.testing.assert_allclose(
+        direct.dispersions_norm, frommom.dispersions_norm, atol=1e-4
+    )
+
+
+def test_hvg_from_moments_streaming_pipeline():
+    """StreamingSparsePCA column moments feed HVG selection directly."""
+
+    from single_algebra_tpu.feature_selection import (
+        highly_variable_genes_from_moments,
+    )
+    from single_algebra_tpu.models import StreamingSparsePCA
+
+    Xd, planted = planted_hvg_counts(n=600, p=300, n_hvg=30, seed=5)
+    X = sp.csr_matrix(Xd)
+    spca = StreamingSparsePCA(n_components=5, n_features=300, random_seed=0)
+    for r0 in range(0, 600, 128):
+        spca.partial_fit(X[r0:r0 + 128])
+    res = highly_variable_genes_from_moments(
+        np.asarray(spca.col_sums()) / 600.0,
+        np.asarray(spca.col_var()),
+        n_top_genes=40,
+        flavor="cell_ranger",
+    )
+    assert res.n_selected == 40
+    # most of the planted high-variance genes are recovered
+    assert res.mask[planted].mean() > 0.7
+
+
+def test_hvg_from_moments_validation():
+    from single_algebra_tpu.feature_selection import (
+        highly_variable_genes_from_moments,
+    )
+
+    with pytest.raises(ValueError, match="same length"):
+        highly_variable_genes_from_moments(np.ones(5), np.ones(6))
+    with pytest.raises(ValueError, match="out of range"):
+        highly_variable_genes_from_moments(
+            np.ones(5), np.ones(5), n_top_genes=9
+        )
