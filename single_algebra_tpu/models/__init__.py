@@ -5,4 +5,5 @@ from .masked_pca import MaskedSparsePCA, MaskedSparsePCABuilder  # noqa: F401
 from .streaming_pca import StreamingSparsePCA  # noqa: F401
 from .umap import UMAP, UMAPConfig  # noqa: F401
 from .kmeans import KMeans, KMeansBuilder  # noqa: F401
+from .spectral import SpectralClustering, SpectralClusteringBuilder  # noqa: F401
 from . import tsne  # noqa: F401
