@@ -20,5 +20,6 @@ from .feature_selection import (  # noqa: F401
     highly_variable_genes_from_moments,
 )
 from . import metrics  # noqa: F401
+from . import io  # noqa: F401
 
 __version__ = "0.1.0"
