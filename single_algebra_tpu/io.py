@@ -28,7 +28,13 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-__all__ = ["AnnLite", "read_h5ad", "write_h5ad", "iter_h5ad_chunks"]
+__all__ = [
+    "AnnLite",
+    "read_h5ad",
+    "write_h5ad",
+    "iter_h5ad_chunks",
+    "read_10x_mtx",
+]
 
 
 @dataclasses.dataclass
@@ -243,6 +249,64 @@ def iter_h5ad_chunks(
                 ),
                 shape=(r1 - r0, p),
             )
+
+
+def _open_maybe_gz(path: str, candidates, mode: str = "rt"):
+    import gzip
+    import os
+
+    for name in candidates:
+        for suffix, opener in (("", open), (".gz", gzip.open)):
+            full = os.path.join(path, name + suffix)
+            if os.path.exists(full):
+                return opener(full, mode)
+    raise FileNotFoundError(
+        f"None of {candidates} (+.gz) found in {path!r}"
+    )
+
+
+def read_10x_mtx(path: str, *, dtype=np.float32, device: bool = True):
+    """Load a 10x Genomics mtx directory (CellRanger output).
+
+    Expects ``matrix.mtx[.gz]`` + ``barcodes.tsv[.gz]`` +
+    ``features.tsv[.gz]`` (or the legacy ``genes.tsv``) in ``path``.
+    10x stores genes x cells; the result is transposed to the cells x
+    genes orientation every API in this library uses.
+    """
+
+    import scipy.io as sio
+
+    with _open_maybe_gz(path, ["matrix.mtx"], mode="rb") as f:
+        M = sio.mmread(f)
+    with _open_maybe_gz(path, ["barcodes.tsv"]) as f:
+        barcodes = np.asarray([ln.strip().split("\t")[0] for ln in f])
+    with _open_maybe_gz(path, ["features.tsv", "genes.tsv"]) as f:
+        rows = [ln.rstrip("\n").split("\t") for ln in f]
+    gene_ids = np.asarray([r[0] for r in rows])
+    gene_names = np.asarray([r[1] if len(r) > 1 else r[0] for r in rows])
+    var = {"gene_ids": gene_ids}
+    if any(len(r) > 2 for r in rows):
+        var["feature_types"] = np.asarray(
+            [r[2] if len(r) > 2 else "" for r in rows]
+        )
+
+    X = M.T.tocsr().astype(dtype)  # genes x cells -> cells x genes
+    if X.shape != (len(barcodes), len(gene_names)):
+        raise ValueError(
+            f"matrix.mtx shape {M.shape} does not match "
+            f"{len(barcodes)} barcodes x {len(gene_names)} features"
+        )
+    from .sparse.matrix import SparseMatrix
+
+    return AnnLite(
+        X=SparseMatrix.from_scipy(X, device=device),
+        obs={},
+        var=var,
+        obs_names=barcodes,
+        var_names=gene_names,
+        obsm={},
+        shape=X.shape,
+    )
 
 
 def _write_strings(g, key, values: np.ndarray):
