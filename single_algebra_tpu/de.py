@@ -1,0 +1,367 @@
+"""Differential expression: ``rank_genes_groups`` over device kernels.
+
+The post-clustering step every scRNA pipeline runs (scanpy's
+``tl.rank_genes_groups``), built TPU-first on this library's primitives:
+
+* **t-test / t-test_overestim_var** — per-group means and variances
+  (zeros included) come from the grouped one-hot SpMM stats
+  (``SparseMatrix._batch_spmm``): one MXU pass per moment for ALL
+  groups, O(nnz * n_groups) total, no densify. The reference exposes
+  the same grouped-moment machinery as its ``*_batch`` trait ops
+  (``/root/reference/src/sparse/mod.rs:172-208``); this module is the
+  consumer those ops exist for.
+* **wilcoxon** — rank-sum z-scores with exact tie correction. Genes are
+  processed in column blocks: each block is scatter-densified to
+  ``[B, n]`` on device, sorted along cells (XLA sort), average ranks
+  computed by two vmapped ``searchsorted`` passes, and per-group rank
+  sums reduced with one one-hot matmul on the MXU. No [n, n] anything;
+  peak memory is a few ``[B, n]`` f32 buffers.
+
+Only p-length statistics reach the host; p-value transforms (Student-t /
+normal survival functions, Benjamini-Hochberg) are p-length host work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["rank_genes_groups", "DEResult"]
+
+
+@dataclasses.dataclass
+class DEResult:
+    """Per-group differential expression tables.
+
+    Every field maps group name -> array of length ``n_genes_ranked``,
+    sorted by decreasing score (scanpy's layout, minus the recarray).
+    """
+
+    names: Dict  # group -> gene names (or int indices)
+    scores: Dict  # group -> test statistic (t or z)
+    pvals: Dict
+    pvals_adj: Dict
+    logfoldchanges: Dict  # log2 fold change, scanpy semantics
+    method: str
+    reference: str
+
+    def group(self, name) -> Dict[str, np.ndarray]:
+        """One group's table as a dict of columns."""
+
+        return {
+            "names": self.names[name],
+            "scores": self.scores[name],
+            "pvals": self.pvals[name],
+            "pvals_adj": self.pvals_adj[name],
+            "logfoldchanges": self.logfoldchanges[name],
+        }
+
+
+# ----------------------------------------------------------------------
+# shared host helpers
+# ----------------------------------------------------------------------
+
+
+def _bh_adjust(pvals: np.ndarray) -> np.ndarray:
+    """Benjamini-Hochberg FDR over one group's p-vector."""
+
+    p = np.asarray(pvals, np.float64)
+    m = p.size
+    order = np.argsort(p)
+    ranked = p[order] * m / np.arange(1, m + 1)
+    ranked = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(m, np.float64)
+    out[order] = np.minimum(ranked, 1.0)
+    return out
+
+
+def _log2_fold_change(mean_g, mean_rest, expm1: bool) -> np.ndarray:
+    """scanpy's logfoldchanges: log2((expm1(m1)+1e-9)/(expm1(m2)+1e-9)).
+
+    ``expm1=False`` skips the de-logging for raw (non-log) input.
+    """
+
+    a, b = np.asarray(mean_g, np.float64), np.asarray(mean_rest, np.float64)
+    if expm1:
+        a, b = np.expm1(a), np.expm1(b)
+    return np.log2((a + 1e-9) / (b + 1e-9))
+
+
+def _full_moments(m, codes: np.ndarray, n_groups: int):
+    """Per-group per-gene (size, mean, Bessel var) with zeros included.
+
+    Three grouped SpMM passes (sum, sumsq, implicit count from sizes).
+    Returns f64 host arrays [p, G].
+    """
+
+    sums = np.asarray(m._batch_spmm("col", codes, "sum"), np.float64)
+    sumsq = np.asarray(m._batch_spmm("col", codes, "sumsq"), np.float64)
+    sizes = np.bincount(codes, minlength=n_groups).astype(np.float64)
+    safe = np.maximum(sizes, 1.0)[None, :]
+    mean = sums / safe
+    var = (sumsq - sums * mean) / np.maximum(sizes - 1.0, 1.0)[None, :]
+    return sizes, mean, np.maximum(var, 0.0)
+
+
+def _welch(m1, v1, n1, m2, v2, n2, overestim: bool):
+    """Welch t statistic + two-sided p (t distribution, WS dof)."""
+
+    from scipy import stats
+
+    # t-test_overestim_var charges the rest's variance at the GROUP's
+    # size — deliberately conservative for small groups (scanpy's
+    # method of the same name).
+    d1 = v1 / n1
+    d2 = v2 / (n1 if overestim else n2)
+    denom = np.sqrt(d1 + d2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(denom > 0, (m1 - m2) / np.where(denom > 0, denom, 1.0), 0.0)
+        dof_num = (d1 + d2) ** 2
+        dof_den = d1 * d1 / max(n1 - 1.0, 1.0) + d2 * d2 / max(n2 - 1.0, 1.0)
+        dof = np.where(dof_den > 0, dof_num / np.where(dof_den > 0, dof_den, 1.0), 1.0)
+    pv = 2.0 * stats.t.sf(np.abs(t), np.maximum(dof, 1.0))
+    return t, pv
+
+
+# ----------------------------------------------------------------------
+# wilcoxon device kernels
+# ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _densify_block(ell_data, ell_ids, row_nnz, n: int):
+    """Gene-major ELL block -> dense [B, n] (cells on lanes)."""
+
+    B, W = ell_data.shape
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    valid = w_iota < row_nnz[:, None]
+    vals = jnp.where(valid, ell_data, 0.0)
+    ids = jnp.where(valid, ell_ids, 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
+    return jnp.zeros((B, n), ell_data.dtype).at[r, ids].add(vals)
+
+
+@jax.jit
+def _rank_block(dense, member, onehot):
+    """Tie-averaged rank sums per (gene, group) for one gene block.
+
+    dense   [B, n]  — gene block, cells on lanes
+    member  [n]     — bool, cells participating in this ranking
+                      (all-True for reference='rest'; group|ref pair
+                      otherwise). Non-members rank as +inf.
+    onehot  [n, G]  — group indicators (zero rows for non-members)
+
+    Returns (ranksum [B, G], tie_term [B]) where tie_term = sum over
+    tie groups of t^3 - t among members.
+    """
+
+    big = jnp.asarray(jnp.inf, dense.dtype)
+    x = jnp.where(member[None, :], dense, big)
+    s = jnp.sort(x, axis=1)
+
+    def _ranks(srow, xrow):
+        left = jnp.searchsorted(srow, xrow, side="left")
+        right = jnp.searchsorted(srow, xrow, side="right")
+        return left, right
+
+    left, right = jax.vmap(_ranks)(s, x)
+    ranks = 0.5 * (left + right + 1).astype(dense.dtype)
+    # non-member slots get rank 0 so the matmul ignores them anyway
+    ranks = jnp.where(member[None, :], ranks, 0.0)
+    # each member element reports its tie-group size t; summing t^2 - 1
+    # over elements gives sum over groups of t^3 - t exactly once
+    t = (right - left).astype(dense.dtype)
+    tsq = jnp.where(member[None, :], t * t - 1.0, 0.0)
+    return ranks @ onehot, jnp.sum(tsq, axis=1)
+
+
+def _wilcoxon_scores(
+    m,
+    codes: np.ndarray,
+    group_ids: Sequence[int],
+    ref_id: Optional[int],
+    n_groups: int,
+    *,
+    tie_correct: bool,
+    block: int,
+):
+    """z-scores [p, len(group_ids)] for wilcoxon, blocked over genes."""
+
+    from scipy import stats
+
+    n, p = m.shape
+    mc = m._layout_for("col")  # gene-major ELL
+    dtype = np.dtype(mc.ell_data.dtype)
+    codes_d = jnp.asarray(codes)
+
+    if ref_id is None:  # vs rest: one ranking over ALL cells
+        members = [np.ones(n, bool)]
+        onehots = [np.eye(n_groups, dtype=dtype)[codes][:, list(group_ids)]]
+        cols = [list(range(len(group_ids)))]
+    else:  # vs a reference group: one ranking per (group, ref) pair
+        members, onehots, cols = [], [], []
+        for j, g in enumerate(group_ids):
+            mask = (codes == g) | (codes == ref_id)
+            oh = np.zeros((n, 1), dtype)
+            oh[codes == g, 0] = 1.0
+            members.append(mask)
+            onehots.append(oh)
+            cols.append([j])
+
+    z = np.zeros((p, len(group_ids)), np.float64)
+    for mask, oh, outcols in zip(members, onehots, cols):
+        mask_d = jnp.asarray(mask)
+        oh_d = jnp.asarray(oh)
+        n_sub = float(mask.sum())
+        n1 = np.asarray(
+            [float(((codes == group_ids[c]) & mask).sum()) for c in outcols]
+        )
+        n2 = n_sub - n1
+        rsums = np.zeros((p, len(outcols)), np.float64)
+        ties = np.zeros(p, np.float64)
+        for j0 in range(0, p, block):
+            j1 = min(j0 + block, p)
+            rs, tt = _rank_block(
+                _densify_block(
+                    mc.ell_data[j0:j1], mc.ell_ids[j0:j1], mc.row_nnz[j0:j1], n
+                ),
+                mask_d,
+                oh_d,
+            )
+            rsums[j0:j1] = np.asarray(rs, np.float64)
+            ties[j0:j1] = np.asarray(tt, np.float64)
+        expected = n1[None, :] * (n_sub + 1.0) / 2.0
+        base = n_sub + 1.0
+        if tie_correct and n_sub > 1:
+            base = base - ties[:, None] / (n_sub * (n_sub - 1.0))
+        sd = np.sqrt(np.maximum(n1 * n2 / 12.0 * base, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zz = np.where(sd > 0, (rsums - expected) / np.where(sd > 0, sd, 1.0), 0.0)
+        z[:, outcols] = zz
+    pv = 2.0 * stats.norm.sf(np.abs(z))
+    return z, pv
+
+
+# ----------------------------------------------------------------------
+# public API
+# ----------------------------------------------------------------------
+
+
+def rank_genes_groups(
+    m,
+    labels: Sequence,
+    *,
+    method: str = "t-test",
+    groups: str | Sequence = "all",
+    reference: str = "rest",
+    var_names: Optional[Sequence] = None,
+    n_genes: Optional[int] = None,
+    log1p_input: bool = True,
+    tie_correct: bool = True,
+    block: int = 512,
+) -> DEResult:
+    """Rank genes characterizing each group (scanpy's surface).
+
+    Parameters
+    ----------
+    m : SparseMatrix [cells, genes], typically log1p-normalized counts.
+    labels : group label per cell (length n).
+    method : 't-test' | 't-test_overestim_var' | 'wilcoxon'.
+    groups : 'all' or a subset of label values to test.
+    reference : 'rest' (default) or one label value to compare against.
+    var_names : gene names (defaults to integer indices).
+    n_genes : truncate each group's ranking (default: all genes).
+    log1p_input : data is log1p-scale — logfoldchanges de-log via expm1
+        (scanpy semantics). Set False for raw-scale input.
+    tie_correct : apply the exact tie correction to the wilcoxon
+        variance (scipy's default; scanpy defaults this OFF).
+    block : genes per device dispatch in the wilcoxon rank kernel.
+    """
+
+    if method not in ("t-test", "t-test_overestim_var", "wilcoxon"):
+        raise ValueError(f"Unknown method {method!r}")
+    n, p = m.shape
+    names, codes = m._batch_codes(list(labels), n, "row")
+    n_groups = len(names)
+    if reference != "rest" and reference not in names:
+        raise ValueError(f"reference {reference!r} is not a label value")
+    if groups == "all":
+        sel = [g for g in names if g != reference]
+    else:
+        missing = [g for g in groups if g not in names]
+        if missing:
+            raise ValueError(f"groups {missing!r} are not label values")
+        sel = [g for g in groups if g != reference]
+    if not sel:
+        raise ValueError("No groups left to test against the reference")
+    gid = {g: i for i, g in enumerate(names)}
+    group_ids = [gid[g] for g in sel]
+    ref_id = None if reference == "rest" else gid[reference]
+
+    sizes, mean, var = _full_moments(m, codes, n_groups)
+    tot_size = sizes.sum()
+    tot_sum = mean * sizes[None, :]
+
+    if var_names is None:
+        var_names = np.arange(p)
+    var_names = np.asarray(var_names)
+    if var_names.shape[0] != p:
+        raise ValueError(
+            f"var_names length ({var_names.shape[0]}) != n_genes ({p})"
+        )
+    k = p if n_genes is None else min(int(n_genes), p)
+
+    if method == "wilcoxon":
+        scores, pvals = _wilcoxon_scores(
+            m, codes, group_ids, ref_id, n_groups,
+            tie_correct=tie_correct, block=block,
+        )
+
+    out_names, out_scores, out_p, out_padj, out_lfc = {}, {}, {}, {}, {}
+    for j, g in enumerate(sel):
+        i = gid[g]
+        n1, m1, v1 = sizes[i], mean[:, i], var[:, i]
+        if ref_id is None:
+            n2 = tot_size - n1
+            s2 = tot_sum.sum(axis=1) - tot_sum[:, i]
+            m2 = s2 / max(n2, 1.0)
+            # pooled rest variance from total sumsq - group sumsq
+            ssq_tot = (var * np.maximum(sizes - 1.0, 1.0)[None, :]
+                       + tot_sum * mean).sum(axis=1)
+            ssq_g = v1 * max(n1 - 1.0, 1.0) + tot_sum[:, i] * m1
+            v2 = np.maximum(
+                (ssq_tot - ssq_g - s2 * m2) / max(n2 - 1.0, 1.0), 0.0
+            )
+        else:
+            n2, m2, v2 = sizes[ref_id], mean[:, ref_id], var[:, ref_id]
+
+        if method == "wilcoxon":
+            sc, pv = scores[:, j], pvals[:, j]
+        else:
+            sc, pv = _welch(
+                m1, v1, n1, m2, v2, n2,
+                overestim=(method == "t-test_overestim_var"),
+            )
+        padj = _bh_adjust(pv)
+        lfc = _log2_fold_change(m1, m2, expm1=log1p_input)
+        order = np.argsort(-sc, kind="stable")[:k]
+        out_names[g] = var_names[order]
+        out_scores[g] = np.asarray(sc, np.float64)[order]
+        out_p[g] = pv[order]
+        out_padj[g] = padj[order]
+        out_lfc[g] = lfc[order]
+
+    return DEResult(
+        names=out_names,
+        scores=out_scores,
+        pvals=out_p,
+        pvals_adj=out_padj,
+        logfoldchanges=out_lfc,
+        method=method,
+        reference=reference,
+    )
