@@ -22,5 +22,7 @@ from .feature_selection import (  # noqa: F401
 from . import metrics  # noqa: F401
 from . import io  # noqa: F401
 from .qc import calculate_qc_metrics  # noqa: F401
+from .de import rank_genes_groups  # noqa: F401
+from .cluster import leiden  # noqa: F401
 
 __version__ = "0.1.0"

@@ -138,6 +138,30 @@ def _smooth_knn(dists: jnp.ndarray, *, n_iter: int = 64):
     return rho, sigma
 
 
+def fuzzy_connectivities(X, k: int, *, block: int = 2048):
+    """Symmetric fuzzy-simplicial-set weights as scipy CSR [n, n].
+
+    The kNN distances, (rho, sigma) calibration, and directed membership
+    weights are computed on device (MXU distance tiles + VPU exp); the
+    fuzzy set union ``W + W^T - W o W^T`` is sparse host algebra over the
+    n*k edge list. This is scanpy's ``pp.neighbors`` connectivities — the
+    graph UMAP lays out and Leiden clusters.
+    """
+
+    import scipy.sparse as sp
+
+    X = jnp.asarray(X, jnp.float32)
+    n = X.shape[0]
+    dists, idx = _knn_graph(X, k=k, block=block)
+    rho, sigma = _smooth_knn(dists)
+    W = jnp.exp(-jnp.maximum(dists - rho[:, None], 0.0) / sigma[:, None])
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = np.asarray(idx, np.int64).ravel()
+    vals = np.asarray(W, np.float64).ravel()
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    return A + A.T - A.multiply(A.T)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_epochs", "neg_rate", "n"),
@@ -291,21 +315,7 @@ class UMAP:
         if k < 1:
             raise ValueError("need at least 2 samples")
 
-        dists, idx = _knn_graph(X, k=k, block=min(2048, max(8, n)))
-        rho, sigma = _smooth_knn(dists)
-        W = jnp.exp(
-            -jnp.maximum(dists - rho[:, None], 0.0) / sigma[:, None]
-        )  # [n, k] directed memberships
-
-        # fuzzy set union on host over the n*k edge list:
-        # W_sym = W + W^T - W o W^T
-        import scipy.sparse as sp
-
-        rows = np.repeat(np.arange(n, dtype=np.int64), k)
-        cols = np.asarray(idx, np.int64).ravel()
-        vals = np.asarray(W, np.float64).ravel()
-        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
-        S = A + A.T - A.multiply(A.T)
+        S = fuzzy_connectivities(X, k, block=min(2048, max(8, n)))
         S = S.tocoo()
         keep = S.data > 1e-8
         h_np = S.row[keep].astype(np.int32)  # COO from CSR: row-sorted

@@ -111,6 +111,78 @@ def get_lib():
         return _lib
 
 
+_LEIDEN_SRC = os.path.join(_HERE, "leiden.cpp")
+_LEIDEN_SO = os.path.join(_HERE, "_leiden.so")
+_leiden_lib = None
+_leiden_tried = False
+
+
+def get_leiden_lib():
+    """The loaded leiden ctypes library, or None when unavailable."""
+
+    global _leiden_lib, _leiden_tried
+    if _leiden_tried:
+        return _leiden_lib
+    with _lock:
+        if _leiden_tried:
+            return _leiden_lib
+        _leiden_tried = True
+        if os.environ.get("SINGLE_ALGEBRA_TPU_NO_NATIVE"):
+            return None
+        if not (
+            os.path.exists(_LEIDEN_SO)
+            and os.path.getmtime(_LEIDEN_SO) >= os.path.getmtime(_LEIDEN_SRC)
+        ):
+            cmd = [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", _LEIDEN_SRC, "-o", _LEIDEN_SO,
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LEIDEN_SO)
+        except OSError:
+            return None
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.leiden_cluster.argtypes = [
+            i64p, i32p, f32p, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_uint64, ctypes.c_int64, i32p,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.leiden_cluster.restype = ctypes.c_int64
+        _leiden_lib = lib
+        return _leiden_lib
+
+
+def leiden_native(indptr, indices, weights, n, resolution, seed, max_levels):
+    """Native Leiden; returns (labels int32 [n], n_communities, quality)
+    or None when the native library is unavailable."""
+
+    lib = get_leiden_lib()
+    if lib is None:
+        return None
+    labels = np.empty(n, np.int32)
+    q = ctypes.c_double(0.0)
+    k = lib.leiden_cluster(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        np.ascontiguousarray(weights, np.float32),
+        n,
+        float(resolution),
+        int(seed) & 0xFFFFFFFFFFFFFFFF,
+        int(max_levels),
+        labels,
+        ctypes.byref(q),
+    )
+    if k < 0:
+        return None
+    return labels, int(k), float(q.value)
+
+
 # ---------------------------------------------------------------------------
 # typed wrappers (numpy in/out); None return means "use the numpy fallback"
 # ---------------------------------------------------------------------------

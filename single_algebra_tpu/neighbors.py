@@ -17,9 +17,9 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from .models.umap import _knn_graph
+from .models.umap import _knn_graph, fuzzy_connectivities
 
-__all__ = ["knn"]
+__all__ = ["knn", "connectivities"]
 
 
 def knn(
@@ -40,3 +40,20 @@ def knn(
     if return_distances:
         return d, idx
     return idx
+
+
+def connectivities(X, n_neighbors: int = 15, *, block: int = 2048):
+    """Symmetric fuzzy kNN graph of an embedding, as scipy CSR [n, n].
+
+    scanpy's ``pp.neighbors`` connectivities (umap-learn fuzzy simplicial
+    set): kNN + smooth-kNN calibration on device, fuzzy union on host.
+    Feed the result to :func:`single_algebra_tpu.cluster.leiden` or reuse
+    it across UMAP runs.
+    """
+
+    X = jnp.asarray(X, jnp.float32)
+    n = X.shape[0]
+    k = min(n_neighbors, n - 1)
+    if k < 1:
+        raise ValueError("need at least 2 samples")
+    return fuzzy_connectivities(X, k, block=min(block, max(8, n)))
