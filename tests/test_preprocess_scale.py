@@ -1,0 +1,130 @@
+"""scale / regress_out vs numpy ground truth."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from single_algebra_tpu import SparseMatrix
+from single_algebra_tpu.preprocess import scale, regress_out
+
+
+def _mat(n=200, p=60, seed=0, zero_var_col=True):
+    rng = np.random.default_rng(seed)
+    X = sp.random(
+        n, p, density=0.3, format="csr", dtype=np.float32,
+        random_state=rng, data_rvs=rng.random,
+    ).toarray()
+    if zero_var_col:
+        X[:, 7] = 0.0  # zero-variance column
+        X[:, 11] = 3.0  # constant nonzero column (zero variance too)
+    return X
+
+
+def _ref_scale(X, zero_center=True, max_value=None):
+    mean = X.mean(0)
+    std = X.std(0, ddof=1)
+    std = np.where(std > 0, std, 1.0)
+    out = (X - mean) / std if zero_center else X / std
+    if max_value is not None:
+        out = np.minimum(out, max_value)
+    return out
+
+
+@pytest.mark.parametrize("fmt", ["csr", "csc"])
+def test_scale_sparse_zero_centered(fmt):
+    X = _mat()
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X).asformat(fmt))
+    out = np.asarray(scale(m))
+    np.testing.assert_allclose(out, _ref_scale(X), rtol=1e-4, atol=1e-5)
+    # unit variance where defined, zero-var columns untouched-but-centered
+    np.testing.assert_allclose(out.std(0, ddof=1)[np.arange(60) != 7][
+        np.arange(59) != 10], 1.0, rtol=1e-4)
+
+
+def test_scale_dense_input_and_clip():
+    X = _mat(seed=1)
+    out = np.asarray(scale(X, max_value=1.5))
+    ref = _ref_scale(X, max_value=1.5)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    assert out.max() <= 1.5 + 1e-6
+
+
+@pytest.mark.parametrize("fmt", ["csr", "csc"])
+def test_scale_no_center_preserves_sparsity(fmt):
+    X = _mat(seed=2)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X).asformat(fmt))
+    out = scale(m, zero_center=False, max_value=4.0)
+    assert isinstance(out, SparseMatrix)
+    assert out.nnz == m.nnz
+    np.testing.assert_allclose(
+        out.to_dense(), np.minimum(_ref_scale(X, zero_center=False), 4.0),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_scale_dense_no_center():
+    X = _mat(seed=3)
+    out = np.asarray(scale(X, zero_center=False))
+    np.testing.assert_allclose(
+        out, _ref_scale(X, zero_center=False), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_regress_out_matches_lstsq():
+    rng = np.random.default_rng(4)
+    X = _mat(seed=4, zero_var_col=False)
+    n = X.shape[0]
+    cov = np.stack([X.sum(1), rng.normal(0, 1, n)], axis=1).astype(np.float32)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    out = np.asarray(regress_out(m, cov))
+    C = np.concatenate([np.ones((n, 1)), cov], axis=1)
+    beta, *_ = np.linalg.lstsq(C, X, rcond=None)
+    ref = X - C @ beta
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+    # residuals orthogonal to covariates, zero mean
+    assert np.abs(C.T @ out).max() < 2e-2
+    assert np.abs(out.mean(0)).max() < 1e-4
+
+
+def test_regress_out_1d_covariate_and_dense_input():
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, (100, 20)).astype(np.float32)
+    cov = rng.normal(0, 1, 100).astype(np.float32)
+    out = np.asarray(regress_out(X, cov))
+    C = np.stack([np.ones(100), cov], axis=1)
+    beta, *_ = np.linalg.lstsq(C, X, rcond=None)
+    np.testing.assert_allclose(out, X - C @ beta, rtol=1e-3, atol=2e-4)
+
+
+def test_regress_out_validation():
+    X = _mat(seed=6)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    with pytest.raises(ValueError, match="covariates rows"):
+        regress_out(m, np.ones(X.shape[0] - 1))
+
+
+def test_scale_then_pca_pipeline():
+    """scale output feeds PCA directly (the scanpy HVG->scale->pca chain)."""
+
+    from single_algebra_tpu.models import SparsePCABuilder
+
+    X = _mat(seed=7, zero_var_col=False)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    Z = np.asarray(scale(m, max_value=10.0))
+    # dense PCA on the scaled matrix vs sklearn on the same input
+    from sklearn.decomposition import PCA
+
+    ref = PCA(n_components=5, svd_solver="full").fit(Z)
+    pca = (
+        SparsePCABuilder()
+        .n_components(5)
+        .center(True)
+        .verbose(False)
+        .build()
+    )
+    pca.fit(SparseMatrix.from_scipy(sp.csr_matrix(Z)))
+    np.testing.assert_allclose(
+        np.asarray(pca.explained_variance_),
+        ref.explained_variance_,
+        rtol=1e-3,
+    )
