@@ -3,8 +3,9 @@
 The workflow the reference library serves inside SingleRust (crate docs,
 reference src/lib.rs:28-33), composed from this framework's pieces:
 
-  counts -> QC stats -> normalize(1e4) -> log1p -> HVG selection ->
-  PCA(50) -> neighbor similarities -> KMeans clustering -> t-SNE/UMAP
+  counts -> QC metrics -> normalize(1e4) -> log1p -> HVG selection ->
+  PCA(50) -> neighbor graph -> Leiden + KMeans clustering ->
+  t-SNE/UMAP -> rank_genes_groups (marker genes)
 
 Run: python examples/scrna_pipeline.py [--cells 50000 --genes 10000]
 """
@@ -71,14 +72,18 @@ def main():
 
     m = SparseMatrix.from_scipy(X)
 
-    # --- QC statistics (reference: MatrixNonZero / MatrixSum traits) ----
-    genes_per_cell = np.asarray(m.nonzero_row())
-    umis_per_cell = np.asarray(m.sum_row())
-    cells_per_gene = np.asarray(m.nonzero_col())
+    # --- QC metrics (qc module over MatrixNonZero / MatrixSum traits) ---
+    from single_algebra_tpu import calculate_qc_metrics
+
+    mito_mask = np.zeros(args.genes, bool)
+    mito_mask[:: args.genes // 13] = True  # stand-in mito gene set
+    qc_obs, qc_var = calculate_qc_metrics(m, qc_vars={"mito": mito_mask})
+    umis_per_cell = qc_obs["total_counts"]
     stamp(
-        f"QC: median genes/cell={np.median(genes_per_cell):.0f}, "
+        f"QC: median genes/cell={np.median(qc_obs['n_genes_by_counts']):.0f}, "
         f"median UMIs/cell={np.median(umis_per_cell):.0f}, "
-        f"detected genes={(cells_per_gene > 0).sum()}"
+        f"median pct mito={np.median(qc_obs['pct_counts_mito']):.1f}%, "
+        f"detected genes={(qc_var['n_cells_by_counts'] > 0).sum()}"
     )
 
     # --- normalize to 1e4 UMIs/cell + log1p (reference Normalize/Log1P) --
@@ -115,6 +120,19 @@ def main():
     S = np.asarray(CosineSimilarity().pairwise(E[: args.sim_cells]))
     stamp(f"cosine similarity {S.shape}, mean={S.mean():.3f}")
 
+    # --- Leiden over the fuzzy kNN graph (cluster + neighbors modules) --
+    from single_algebra_tpu import leiden, neighbors
+
+    conn = neighbors.connectivities(E, n_neighbors=15)
+    lr = leiden(conn, resolution=0.5, seed=0)
+    from single_algebra_tpu.metrics import adjusted_rand_index
+
+    stamp(
+        f"Leiden: {lr.n_communities} communities (quality {lr.quality:.3f}, "
+        f"{lr.backend}), ARI vs planted types "
+        f"{adjusted_rand_index(labels, lr.labels):.3f}"
+    )
+
     # --- KMeans clustering on the embedding (models.kmeans) -------------
     from single_algebra_tpu.models import KMeans
 
@@ -126,7 +144,7 @@ def main():
         for c in range(12)
         if (pred == c).any()
     ) / len(labels)
-    from single_algebra_tpu.metrics import adjusted_rand_index, silhouette_score
+    from single_algebra_tpu.metrics import silhouette_score
 
     stamp(
         f"KMeans: 12 clusters, purity vs planted types {purity:.3f}, "
@@ -168,6 +186,20 @@ def main():
     stamp(
         f"UMAP: {U.shape}; cluster separation "
         f"(median intra/inter) = {np.median(intra_u)/np.median(inter_u):.3f}"
+    )
+
+    # --- marker genes per Leiden community (de module) -------------------
+    from single_algebra_tpu import rank_genes_groups
+
+    de = rank_genes_groups(
+        norm, [f"c{l}" for l in lr.labels], method="wilcoxon", n_genes=5
+    )
+    biggest = f"c{np.bincount(lr.labels).argmax()}"
+    top = de.group(biggest)
+    stamp(
+        f"markers of {biggest}: genes {list(top['names'])}, "
+        f"min padj {top['pvals_adj'].min():.2e}, "
+        f"max lfc {top['logfoldchanges'].max():.2f}"
     )
     stamp("pipeline complete")
 
