@@ -24,6 +24,7 @@ from . import io  # noqa: F401
 from .qc import calculate_qc_metrics  # noqa: F401
 from .de import rank_genes_groups  # noqa: F401
 from .cluster import leiden  # noqa: F401
-from .preprocess import scale, regress_out  # noqa: F401
+from .preprocess import scale, regress_out, combat  # noqa: F401
+from .scoring import score_genes, score_genes_cell_cycle  # noqa: F401
 
 __version__ = "0.1.0"

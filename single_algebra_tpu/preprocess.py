@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["scale", "regress_out"]
+__all__ = ["scale", "regress_out", "combat"]
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -145,3 +145,123 @@ def regress_out(X, covariates, *, add_intercept: bool = True):
     if add_intercept:
         cov = jnp.concatenate([jnp.ones((n, 1), cov.dtype), cov], axis=1)
     return _residual_graph(dense, cov)
+
+
+# ----------------------------------------------------------------------
+# ComBat batch correction
+# ----------------------------------------------------------------------
+
+
+def _combat_eb(zs, zss, n_b, max_iter: int = 100, tol: float = 1e-4):
+    """Parametric empirical-Bayes shrinkage for one batch (vectors over
+    genes). ``zs``/``zss`` are the batch's sum and sum-of-squares of the
+    standardized data; returns (gamma_star, delta_sq_star)."""
+
+    g_hat = zs / n_b
+    d_hat = np.maximum((zss - n_b * g_hat * g_hat) / (n_b - 1.0), 1e-12)
+    g_bar, t2 = g_hat.mean(), g_hat.var()
+    m, s2 = d_hat.mean(), max(d_hat.var(), 1e-12)
+    a_prior = (2.0 * s2 + m * m) / s2
+    b_prior = (m * s2 + m ** 3) / s2
+
+    g_star, d_star = g_hat.copy(), d_hat.copy()
+    for _ in range(max_iter):
+        g_new = (n_b * t2 * g_hat + d_star * g_bar) / (n_b * t2 + d_star)
+        sum2 = zss - 2.0 * g_new * zs + n_b * g_new * g_new
+        d_new = (b_prior + 0.5 * sum2) / (n_b / 2.0 + a_prior - 1.0)
+        change = max(
+            np.abs(g_new - g_star).max() / max(np.abs(g_star).max(), 1e-12),
+            np.abs(d_new - d_star).max() / d_star.max(),
+        )
+        g_star, d_star = g_new, d_new
+        if change < tol:
+            break
+    return g_star, np.maximum(d_star, 1e-12)
+
+
+@jax.jit
+def _affine_by_code(dense, A, C, codes):
+    """out[i, g] = dense[i, g] * A[codes[i], g] + C[codes[i], g]."""
+
+    return dense * jnp.take(A, codes, axis=0) + jnp.take(C, codes, axis=0)
+
+
+def combat(X, batch, *, eb: bool = True):
+    """ComBat batch correction (Johnson et al. 2007; scanpy
+    ``pp.combat`` without covariates).
+
+    Per-gene location/scale batch effects are estimated from the grouped
+    one-hot SpMM moments (zeros included — no dense pass), shrunk with
+    the parametric empirical-Bayes fixed point (``eb=False`` skips
+    shrinkage), and removed with ONE device affine transform
+    ``x * A[batch] + C[batch]``. Input should be log-normalized.
+    Returns a dense device array [n, p].
+    """
+
+    from .sparse.matrix import SparseMatrix
+
+    if isinstance(X, SparseMatrix):
+        n, p = X.shape
+        labels, codes = X._batch_codes(list(batch), n, "row")
+        sums = np.asarray(X._batch_spmm("col", codes, "sum"), np.float64)
+        sumsq = np.asarray(X._batch_spmm("col", codes, "sumsq"), np.float64)
+        mr = X._layout_for("row")
+        dense = _ell_densify(mr.ell_data, mr.ell_ids, mr.row_nnz, p)[:n]
+    else:
+        dense = jnp.asarray(X)
+        n, p = dense.shape
+        batch = list(batch)
+        if len(batch) != n:
+            raise ValueError(
+                f"batch vector length ({len(batch)}) != rows ({n})"
+            )
+        labels = list(dict.fromkeys(batch))
+        code_of = {b: i for i, b in enumerate(labels)}
+        codes = np.fromiter((code_of[b] for b in batch), np.int32, n)
+        onehot = np.eye(len(labels))[codes]
+        Xh = np.asarray(dense, np.float64)
+        sums = (Xh.T @ onehot).astype(np.float64)
+        sumsq = ((Xh * Xh).T @ onehot).astype(np.float64)
+
+    B = len(labels)
+    sizes = np.bincount(codes, minlength=B).astype(np.float64)
+    if B < 2:
+        return dense  # nothing to correct
+    if (sizes < 2).any():
+        small = [labels[i] for i in np.where(sizes < 2)[0]]
+        raise ValueError(f"batches need >= 2 cells, got singletons: {small}")
+
+    mu = sums / sizes[None, :]  # [p, B] batch means
+    alpha = mu @ (sizes / n)  # [p] grand (size-weighted) mean
+    # pooled within-batch variance
+    var = ((sumsq - sizes[None, :] * mu * mu).sum(axis=1)) / n
+    sigma = np.sqrt(np.maximum(var, 1e-12))
+
+    # standardized-data batch moments, derived from the raw moments
+    zs = (sums - sizes[None, :] * alpha[:, None]) / sigma[:, None]
+    zss = (
+        sumsq - 2.0 * alpha[:, None] * sums
+        + sizes[None, :] * (alpha ** 2)[:, None]
+    ) / (sigma ** 2)[:, None]
+
+    A = np.empty((B, p), np.float64)
+    C = np.empty((B, p), np.float64)
+    for b in range(B):
+        if eb:
+            g_star, d_star = _combat_eb(zs[:, b], zss[:, b], sizes[b])
+        else:
+            g_star = zs[:, b] / sizes[b]
+            d_star = np.maximum(
+                (zss[:, b] - sizes[b] * g_star * g_star) / (sizes[b] - 1.0),
+                1e-12,
+            )
+        d_std = np.sqrt(d_star)
+        A[b] = 1.0 / d_std
+        C[b] = alpha - (alpha + sigma * g_star) / d_std
+
+    return _affine_by_code(
+        dense,
+        jnp.asarray(A, dense.dtype),
+        jnp.asarray(C, dense.dtype),
+        jnp.asarray(codes),
+    )
