@@ -6,4 +6,5 @@ from .streaming_pca import StreamingSparsePCA  # noqa: F401
 from .umap import UMAP, UMAPConfig  # noqa: F401
 from .kmeans import KMeans, KMeansBuilder  # noqa: F401
 from .spectral import SpectralClustering, SpectralClusteringBuilder  # noqa: F401
+from .diffmap import diffmap, diffusion_pseudotime, DiffMapResult  # noqa: F401
 from . import tsne  # noqa: F401
