@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["leiden", "LeidenResult", "modularity"]
+__all__ = ["leiden", "LeidenResult", "modularity", "paga"]
 
 
 @dataclasses.dataclass
@@ -132,6 +132,58 @@ def leiden(
     return LeidenResult(
         labels, k, modularity(a, labels, resolution=resolution), "python"
     )
+
+
+def paga(adjacency, labels) -> np.ndarray:
+    """Partition-based graph abstraction (Wolf et al. 2019; scanpy
+    ``tl.paga`` v1.2 null model).
+
+    Aggregates the single-cell kNN graph over a partition (e.g. Leiden
+    labels) and scores each cluster pair by observed inter-cluster edge
+    count over the expectation under random edge placement:
+
+        conn[i, j] = min(e_ij / ((es_i * n_j + es_j * n_i) / (n - 1)), 1)
+
+    with ``e_ij`` the undirected inter-edge count, ``es_i`` cluster i's
+    total incident edge count, ``n_i`` its size. Returns a dense
+    symmetric [k, k] float64 array with zero diagonal — the abstracted
+    graph trajectory tools and coarse layouts consume.
+    """
+
+    import scipy.sparse as sp
+
+    a = _as_sym_csr(adjacency)
+    n = a.shape[0]
+    labels = np.asarray(labels)
+    if labels.shape != (n,):
+        raise ValueError(f"labels must have shape ({n},)")
+    _, codes = np.unique(labels, return_inverse=True)
+    k = int(codes.max()) + 1
+    if n < 2 or k < 2:
+        return np.zeros((k, k))
+
+    ones = a.copy()
+    ones.data = np.ones_like(ones.data)
+    onehot = sp.csr_matrix(
+        (np.ones(n), (np.arange(n), codes)), shape=(n, k)
+    )
+    M = np.asarray((onehot.T @ ones @ onehot).todense(), np.float64)
+    # symmetric A stores each undirected edge twice: M_ij (i != j) counts
+    # e_ij once per direction-slot; M_ii double-counts inner edges
+    e = M.copy()
+    np.fill_diagonal(e, 0.0)
+    inner = np.diag(M) / 2.0
+    es = inner + e.sum(axis=1)
+    ns = np.bincount(codes, minlength=k).astype(np.float64)
+
+    expected = (es[:, None] * ns[None, :] + es[None, :] * ns[:, None]) / (
+        n - 1.0
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        conn = np.where(expected > 0, e / np.where(expected > 0, expected, 1.0), 0.0)
+    conn = np.minimum(conn, 1.0)
+    np.fill_diagonal(conn, 0.0)
+    return conn
 
 
 # ----------------------------------------------------------------------

@@ -181,3 +181,69 @@ def test_connectivities_matches_manual_union():
             A[i, np.asarray(idx)[i, jj]] = W[i, jj]
     ref = A + A.T - A * A.T
     np.testing.assert_allclose(S, ref, rtol=1e-5, atol=1e-7)
+
+
+# ----------------------------------------------------------------------
+# PAGA
+# ----------------------------------------------------------------------
+
+
+def test_paga_chain_topology():
+    """Three blobs bridged in a chain: A-B and B-C strongly connected,
+    A-C not."""
+
+    rng = np.random.default_rng(0)
+    mu = np.array([[0.0, 0], [6.0, 0], [12.0, 0]])
+    X = np.concatenate(
+        [rng.normal(mu[c], 1.2, (70, 2)) for c in range(3)]
+    ).astype(np.float32)
+    truth = np.repeat(np.arange(3), 70)
+    from single_algebra_tpu.cluster import paga
+
+    S = neighbors.connectivities(X, n_neighbors=10)
+    conn = paga(S, truth)
+    assert conn.shape == (3, 3)
+    np.testing.assert_allclose(conn, conn.T)
+    assert (np.diag(conn) == 0).all()
+    assert conn[0, 1] > 5 * max(conn[0, 2], 1e-12)
+    assert conn[1, 2] > 5 * max(conn[0, 2], 1e-12)
+    assert conn.max() <= 1.0
+
+
+def test_paga_manual_small_graph():
+    """Hand-computed null model on a 5-node graph."""
+
+    from single_algebra_tpu.cluster import paga
+
+    # clusters {0,1} and {2,3,4}; undirected edges:
+    # 0-1 (inner), 2-3, 3-4 (inner), 1-2 (inter)
+    rows = [0, 1, 2, 3, 3, 4, 1, 2]
+    cols = [1, 0, 3, 2, 4, 3, 2, 1]
+    a = sp.coo_matrix(
+        (np.ones(8, np.float32), (rows, cols)), shape=(5, 5)
+    ).tocsr()
+    labels = np.array([0, 0, 1, 1, 1])
+    conn = paga(a, labels)
+    # e_01 = 1; es_0 = 1 inner + 1 inter = 2; es_1 = 2 inner + 1 = 3
+    # expected = (2*3 + 3*2)/(5-1) = 3 -> conn = 1/3
+    assert conn[0, 1] == pytest.approx(1.0 / 3.0)
+
+
+def test_paga_with_leiden_labels():
+    a, truth = _ring_of_cliques(n_cliques=6, size=6)
+    res = leiden(a, seed=0)
+    from single_algebra_tpu.cluster import paga
+
+    conn = paga(a, res.labels)
+    k = res.n_communities
+    assert conn.shape == (k, k)
+    # the ring topology: every clique touches exactly two neighbors
+    assert ((conn > 0).sum(axis=1) == 2).all()
+
+
+def test_paga_validation():
+    from single_algebra_tpu.cluster import paga
+
+    a, _ = _ring_of_cliques(n_cliques=4, size=4)
+    with pytest.raises(ValueError, match="labels must have shape"):
+        paga(a, np.zeros(3))
