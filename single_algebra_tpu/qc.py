@@ -13,7 +13,7 @@ from typing import Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["calculate_qc_metrics"]
+__all__ = ["calculate_qc_metrics", "filter_cells", "filter_genes"]
 
 
 def calculate_qc_metrics(
@@ -78,3 +78,63 @@ def calculate_qc_metrics(
             obs[f"log1p_total_counts_{name}"] = np.log1p(sub)
 
     return obs, var
+
+
+def filter_cells(
+    m,
+    *,
+    min_genes: Optional[int] = None,
+    max_genes: Optional[int] = None,
+    min_counts: Optional[float] = None,
+    max_counts: Optional[float] = None,
+):
+    """Remove cells failing QC thresholds (scanpy ``pp.filter_cells``,
+    all criteria combinable). Returns ``(filtered_matrix, keep_mask)``
+    so callers can subset their metadata with the same mask. Thresholds
+    come from the fused row reductions; the subset is one native
+    O(kept nnz) extraction (``SparseMatrix.select_rows``).
+    """
+
+    n, _ = m.shape
+    keep = np.ones(n, bool)
+    if min_genes is not None or max_genes is not None:
+        g = np.asarray(m.nonzero_row())
+        if min_genes is not None:
+            keep &= g >= min_genes
+        if max_genes is not None:
+            keep &= g <= max_genes
+    if min_counts is not None or max_counts is not None:
+        c = np.asarray(m.sum_row(), np.float64)
+        if min_counts is not None:
+            keep &= c >= min_counts
+        if max_counts is not None:
+            keep &= c <= max_counts
+    return m.select_rows(keep), keep
+
+
+def filter_genes(
+    m,
+    *,
+    min_cells: Optional[int] = None,
+    max_cells: Optional[int] = None,
+    min_counts: Optional[float] = None,
+    max_counts: Optional[float] = None,
+):
+    """Remove genes failing QC thresholds (scanpy ``pp.filter_genes``).
+    Returns ``(filtered_matrix, keep_mask)``."""
+
+    _, p = m.shape
+    keep = np.ones(p, bool)
+    if min_cells is not None or max_cells is not None:
+        g = np.asarray(m.nonzero_col())
+        if min_cells is not None:
+            keep &= g >= min_cells
+        if max_cells is not None:
+            keep &= g <= max_cells
+    if min_counts is not None or max_counts is not None:
+        c = np.asarray(m.sum_col(), np.float64)
+        if min_counts is not None:
+            keep &= c >= min_counts
+        if max_counts is not None:
+            keep &= c <= max_counts
+    return m.select_cols(keep), keep

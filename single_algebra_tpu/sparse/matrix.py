@@ -293,6 +293,66 @@ class SparseMatrix:
     def to_dense(self) -> np.ndarray:
         return self.to_scipy().toarray()
 
+    def _as_selection(self, sel, axis_len: int, what: str) -> np.ndarray:
+        sel = np.asarray(sel)
+        if sel.dtype == bool:
+            if sel.shape[0] != axis_len:
+                raise ValueError(
+                    f"Mask length ({sel.shape[0]}) does not match number "
+                    f"of {what} ({axis_len})"
+                )
+            return np.where(sel)[0].astype(np.int64)
+        sel = sel.astype(np.int64)
+        if sel.size and (sel.min() < 0 or sel.max() >= axis_len):
+            raise ValueError(f"{what} indices must be in [0, {axis_len})")
+        return sel
+
+    def select_rows(self, sel) -> "SparseMatrix":
+        """New matrix keeping the given rows (bool mask or index array,
+        in the given order). The post-QC filtering op: row extraction is
+        one native O(selected nnz) pass on the host CSR structure
+        (``extract_rows_csr``), then a fresh device ELL build.
+        """
+
+        rows = self._as_selection(sel, self.nrows, "rows")
+        import scipy.sparse as sp
+
+        from .convert import extract_rows_csr
+
+        base = self if self.format == "csr" else self.transpose()
+        base._require_host_structure()
+        indptr, indices, data = extract_rows_csr(
+            base._h_indptr, base._h_indices, base._csr_data_host(), rows
+        )
+        out = sp.csr_matrix(
+            (data, indices, indptr), shape=(len(rows), self.ncols)
+        )
+        if self.format == "csc":
+            out = out.tocsc()
+        return SparseMatrix.from_scipy(out)
+
+    def select_cols(self, sel) -> "SparseMatrix":
+        """New matrix keeping the given columns (bool mask or index
+        array, in the given order) — e.g. an HVG mask. Runs the row
+        extraction on the transposed (column-major) structure."""
+
+        cols = self._as_selection(sel, self.ncols, "columns")
+        import scipy.sparse as sp
+
+        from .convert import extract_rows_csr
+
+        base = self if self.format == "csc" else self.transpose()
+        base._require_host_structure()
+        indptr, indices, data = extract_rows_csr(
+            base._h_indptr, base._h_indices, base._csr_data_host(), cols
+        )
+        out = sp.csc_matrix(
+            (data, indices, indptr), shape=(self.nrows, len(cols))
+        )
+        if self.format == "csr":
+            out = out.tocsr()
+        return SparseMatrix.from_scipy(out)
+
     def transpose(self) -> "SparseMatrix":
         """Matrix with major/minor layouts swapped (cached; host O(nnz)).
 

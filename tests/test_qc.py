@@ -123,3 +123,83 @@ def test_read_10x_missing_file(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="matrix.mtx"):
         read_10x_mtx(str(tmp_path))
+
+
+# ----------------------------------------------------------------------
+# selection + filtering
+# ----------------------------------------------------------------------
+
+
+def _rand(n=120, p=50, seed=0, fmt="csr"):
+    rng = np.random.default_rng(seed)
+    X = sp.random(
+        n, p, density=0.15, format=fmt, dtype=np.float32,
+        random_state=rng, data_rvs=lambda s: rng.integers(1, 9, s).astype(np.float32),
+    )
+    return X
+
+
+@pytest.mark.parametrize("fmt", ["csr", "csc"])
+def test_select_rows_and_cols(fmt):
+    X = _rand(fmt=fmt)
+    m = SparseMatrix.from_scipy(X)
+    rows = np.array([5, 3, 40, 7])
+    cols = np.array([0, 49, 10])
+    np.testing.assert_array_equal(
+        m.select_rows(rows).to_dense(), X.toarray()[rows]
+    )
+    np.testing.assert_array_equal(
+        m.select_cols(cols).to_dense(), X.toarray()[:, cols]
+    )
+    mask = np.zeros(X.shape[0], bool)
+    mask[::3] = True
+    got = m.select_rows(mask)
+    np.testing.assert_array_equal(got.to_dense(), X.toarray()[mask])
+    assert got.format == fmt  # format preserved
+
+
+def test_select_validation():
+    X = _rand()
+    m = SparseMatrix.from_scipy(X)
+    with pytest.raises(ValueError, match="Mask length"):
+        m.select_rows(np.ones(3, bool))
+    with pytest.raises(ValueError, match="indices must be in"):
+        m.select_cols(np.array([1000]))
+
+
+def test_filter_cells_thresholds():
+    from single_algebra_tpu.qc import filter_cells
+
+    X = _rand(seed=1)
+    m = SparseMatrix.from_scipy(X)
+    Xd = X.toarray()
+    sub, keep = filter_cells(m, min_genes=5, max_counts=60.0)
+    ref = ((Xd > 0).sum(1) >= 5) & (Xd.sum(1) <= 60.0)
+    np.testing.assert_array_equal(keep, ref)
+    np.testing.assert_array_equal(sub.to_dense(), Xd[ref])
+    assert sub.shape == (ref.sum(), X.shape[1])
+
+
+def test_filter_genes_thresholds():
+    from single_algebra_tpu.qc import filter_genes
+
+    X = _rand(seed=2)
+    m = SparseMatrix.from_scipy(X)
+    Xd = X.toarray()
+    sub, keep = filter_genes(m, min_cells=3, min_counts=10.0)
+    ref = ((Xd > 0).sum(0) >= 3) & (Xd.sum(0) >= 10.0)
+    np.testing.assert_array_equal(keep, ref)
+    np.testing.assert_array_equal(sub.to_dense(), Xd[:, ref])
+
+
+def test_filter_then_stats_consistency():
+    """Stats of the filtered matrix match numpy on the subset."""
+
+    from single_algebra_tpu.qc import filter_cells
+
+    X = _rand(seed=3)
+    m = SparseMatrix.from_scipy(X)
+    sub, keep = filter_cells(m, min_counts=20.0)
+    np.testing.assert_allclose(
+        np.asarray(sub.sum_row()), X.toarray()[keep].sum(1), rtol=1e-6
+    )
