@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["leiden", "LeidenResult", "modularity", "paga"]
+__all__ = ["leiden", "LeidenResult", "modularity", "paga", "dendrogram"]
 
 
 @dataclasses.dataclass
@@ -184,6 +184,42 @@ def paga(adjacency, labels) -> np.ndarray:
     conn = np.minimum(conn, 1.0)
     np.fill_diagonal(conn, 0.0)
     return conn
+
+
+def dendrogram(
+    embedding,
+    labels,
+    *,
+    method: str = "complete",
+    metric: str = "correlation",
+):
+    """Hierarchical clustering of GROUPS (scanpy ``tl.dendrogram``):
+    group means in embedding (PCA) space, pairwise ``metric`` distance,
+    scipy ``linkage``. Returns a dict with the linkage matrix,
+    group names in input order, and the leaf order."""
+
+    from scipy.cluster import hierarchy
+    from scipy.spatial.distance import pdist
+
+    E = np.asarray(embedding, np.float64)
+    labels = np.asarray(labels)
+    if labels.shape[0] != E.shape[0]:
+        raise ValueError(
+            f"labels length ({labels.shape[0]}) != rows ({E.shape[0]})"
+        )
+    names, codes = np.unique(labels, return_inverse=True)
+    if len(names) < 2:
+        raise ValueError("need at least 2 groups")
+    onehot = np.eye(len(names))[codes]
+    means = (onehot.T @ E) / onehot.sum(axis=0)[:, None]
+    Z = hierarchy.linkage(pdist(means, metric=metric), method=method)
+    order = hierarchy.leaves_list(Z)
+    return {
+        "linkage": Z,
+        "groups": names,
+        "order": names[order],
+        "group_means": means,
+    }
 
 
 # ----------------------------------------------------------------------

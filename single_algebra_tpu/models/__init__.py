@@ -7,4 +7,5 @@ from .umap import UMAP, UMAPConfig  # noqa: F401
 from .kmeans import KMeans, KMeansBuilder  # noqa: F401
 from .spectral import SpectralClustering, SpectralClusteringBuilder  # noqa: F401
 from .diffmap import diffmap, diffusion_pseudotime, DiffMapResult  # noqa: F401
+from .harmony import harmony, HarmonyResult  # noqa: F401
 from . import tsne  # noqa: F401

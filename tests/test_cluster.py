@@ -247,3 +247,27 @@ def test_paga_validation():
     a, _ = _ring_of_cliques(n_cliques=4, size=4)
     with pytest.raises(ValueError, match="labels must have shape"):
         paga(a, np.zeros(3))
+
+
+def test_dendrogram_groups_nearby_clusters():
+    from single_algebra_tpu.cluster import dendrogram
+
+    rng = np.random.default_rng(0)
+    # four groups: a/b close together, c/d close together, pairs far apart
+    mu = {"a": [0, 0], "b": [1, 0], "c": [20, 0], "d": [21, 0]}
+    X, lab = [], []
+    for g, m in mu.items():
+        X.append(rng.normal(m, 0.2, (40, 2)))
+        lab += [g] * 40
+    X = np.concatenate(X)
+    d = dendrogram(X, lab, metric="euclidean")
+    assert set(d["groups"]) == set("abcd")
+    order = list(d["order"])
+    # a,b adjacent and c,d adjacent in the leaf order
+    assert abs(order.index("a") - order.index("b")) == 1
+    assert abs(order.index("c") - order.index("d")) == 1
+    assert d["linkage"].shape == (3, 4)
+    with pytest.raises(ValueError, match="labels length"):
+        dendrogram(X, lab[:-1])
+    with pytest.raises(ValueError, match="at least 2"):
+        dendrogram(X, ["z"] * X.shape[0])
