@@ -17,9 +17,43 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from functools import partial
+
+import jax
+
 from .models.umap import _knn_graph, fuzzy_connectivities
 
-__all__ = ["knn", "connectivities"]
+__all__ = ["knn", "connectivities", "cross_knn"]
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def _cross_knn(Q, R, *, k: int, block: int):
+    """kNN of each query row among REFERENCE rows (cross-set, blocked
+    [block, n_ref] MXU distance tiles)."""
+
+    import jax.numpy as jnp
+
+    nq = Q.shape[0]
+    r2 = jnp.sum(R * R, axis=1)
+    pad = (-nq) % block
+    Qp = jnp.pad(Q, ((0, pad), (0, 0)))
+
+    def body(carry, blk):
+        d2 = (
+            jnp.sum(blk * blk, axis=1)[:, None]
+            - 2.0 * (blk @ R.T)
+            + r2[None, :]
+        )
+        nd, ni = jax.lax.top_k(-d2, k)
+        return carry, (jnp.sqrt(jnp.maximum(-nd, 0.0)), ni)
+
+    _, (d, i) = jax.lax.scan(
+        body, None, Qp.reshape(-1, block, Q.shape[1])
+    )
+    return (
+        d.reshape(-1, k)[:nq],
+        i.reshape(-1, k)[:nq],
+    )
 
 
 def knn(
@@ -40,6 +74,23 @@ def knn(
     if return_distances:
         return d, idx
     return idx
+
+
+def cross_knn(X_query, X_ref, k: int, *, block: int = 2048):
+    """k nearest REFERENCE rows for every query row (cross-set exact
+    kNN; the primitive behind :func:`single_algebra_tpu.ingest.ingest`).
+    Returns ``(distances [nq, k], indices [nq, k])`` ascending."""
+
+    Xq = jnp.asarray(X_query, jnp.float32)
+    Xr = jnp.asarray(X_ref, jnp.float32)
+    if Xq.ndim != 2 or Xr.ndim != 2 or Xq.shape[1] != Xr.shape[1]:
+        raise ValueError(
+            f"query {Xq.shape} and reference {Xr.shape} must be 2-d with "
+            "equal feature counts"
+        )
+    if not (1 <= k <= Xr.shape[0]):
+        raise ValueError(f"k={k} must be in [1, n_ref={Xr.shape[0]}]")
+    return _cross_knn(Xq, Xr, k=k, block=min(block, max(8, Xq.shape[0])))
 
 
 def connectivities(X, n_neighbors: int = 15, *, block: int = 2048):

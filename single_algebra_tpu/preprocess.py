@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["scale", "regress_out", "combat"]
+__all__ = [
+    "scale",
+    "regress_out",
+    "combat",
+    "subsample",
+    "downsample_counts",
+]
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -265,3 +271,66 @@ def combat(X, batch, *, eb: bool = True):
         jnp.asarray(C, dense.dtype),
         jnp.asarray(codes),
     )
+
+
+# ----------------------------------------------------------------------
+# sampling utilities
+# ----------------------------------------------------------------------
+
+
+def subsample(m, *, fraction: Optional[float] = None,
+              n_obs: Optional[int] = None, seed: int = 0):
+    """Random cell subset (scanpy ``pp.subsample``): exactly one of
+    ``fraction`` / ``n_obs``. Returns ``(subset_matrix, row_indices)``
+    (indices sorted ascending) so metadata subsets stay aligned."""
+
+    n = m.shape[0]
+    if (fraction is None) == (n_obs is None):
+        raise ValueError("provide exactly one of fraction / n_obs")
+    if fraction is not None:
+        if not (0 < fraction <= 1):
+            raise ValueError(f"fraction={fraction} must be in (0, 1]")
+        n_obs = max(1, int(round(fraction * n)))
+    if not (1 <= n_obs <= n):
+        raise ValueError(f"n_obs={n_obs} must be in [1, {n}]")
+    rng = np.random.default_rng(seed)
+    idx = np.sort(rng.choice(n, size=n_obs, replace=False))
+    return m.select_rows(idx), idx
+
+
+def downsample_counts(m, counts_per_cell: float, *, seed: int = 0):
+    """Downsample raw counts so no cell exceeds ``counts_per_cell``
+    total (scanpy ``pp.downsample_counts``): EXACT sampling without
+    replacement per cell (multivariate hypergeometric over its stored
+    genes), cells already at or below the target untouched. Requires
+    integer count data; returns a new SparseMatrix."""
+
+    import scipy.sparse as sp
+
+    from .sparse.matrix import SparseMatrix
+
+    target = int(counts_per_cell)
+    if target < 1:
+        raise ValueError(f"counts_per_cell={counts_per_cell} must be >= 1")
+    X = m.to_scipy().tocsr() if isinstance(m, SparseMatrix) else sp.csr_matrix(m)
+    data = X.data
+    counts = np.rint(data).astype(np.int64)
+    if not np.allclose(data, counts, atol=1e-6) or (counts < 0).any():
+        raise ValueError(
+            "downsample_counts needs non-negative integer count data"
+        )
+    rng = np.random.default_rng(seed)
+    new_data = counts.copy()
+    indptr = X.indptr
+    for i in range(X.shape[0]):
+        lo, hi = indptr[i], indptr[i + 1]
+        row = counts[lo:hi]
+        total = int(row.sum())
+        if total > target:
+            new_data[lo:hi] = rng.multivariate_hypergeometric(row, target)
+    out = sp.csr_matrix(
+        (new_data.astype(X.data.dtype), X.indices.copy(), indptr.copy()),
+        shape=X.shape,
+    )
+    out.eliminate_zeros()
+    return SparseMatrix.from_scipy(out)

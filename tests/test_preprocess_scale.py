@@ -128,3 +128,47 @@ def test_scale_then_pca_pipeline():
         ref.explained_variance_,
         rtol=1e-3,
     )
+
+
+def test_subsample():
+    from single_algebra_tpu.preprocess import subsample
+
+    X = _mat(seed=8, zero_var_col=False)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    sub, idx = subsample(m, n_obs=50, seed=0)
+    assert sub.shape == (50, X.shape[1])
+    np.testing.assert_array_equal(sub.to_dense(), X[idx])
+    sub2, idx2 = subsample(m, fraction=0.25, seed=1)
+    assert sub2.shape[0] == 50
+    with pytest.raises(ValueError, match="exactly one"):
+        subsample(m)
+    with pytest.raises(ValueError, match="exactly one"):
+        subsample(m, fraction=0.5, n_obs=10)
+    with pytest.raises(ValueError, match="fraction"):
+        subsample(m, fraction=1.5)
+
+
+def test_downsample_counts():
+    from single_algebra_tpu.preprocess import downsample_counts
+
+    rng = np.random.default_rng(9)
+    X = sp.random(
+        100, 40, density=0.3, format="csr", dtype=np.float32,
+        random_state=rng,
+        data_rvs=lambda s: rng.integers(1, 20, s).astype(np.float32),
+    )
+    m = SparseMatrix.from_scipy(X)
+    target = 30
+    out = downsample_counts(m, target, seed=0)
+    sums = np.asarray(out.sum_row())
+    before = np.asarray(X.sum(axis=1)).ravel()
+    # every cell capped at the target, exactly
+    np.testing.assert_array_equal(
+        sums, np.minimum(before, target)
+    )
+    # downsampled entries never exceed the originals
+    assert (out.to_dense() <= X.toarray() + 1e-6).all()
+    # non-integer data rejected
+    bad = X.copy(); bad.data[0] = 1.5
+    with pytest.raises(ValueError, match="integer count"):
+        downsample_counts(SparseMatrix.from_scipy(bad), 10)
