@@ -263,7 +263,7 @@ def rank_genes_groups(
     n_genes: Optional[int] = None,
     log1p_input: bool = True,
     tie_correct: bool = True,
-    block: int = 512,
+    block: Optional[int] = None,
 ) -> DEResult:
     """Rank genes characterizing each group (scanpy's surface).
 
@@ -280,7 +280,9 @@ def rank_genes_groups(
         (scanpy semantics). Set False for raw-scale input.
     tie_correct : apply the exact tie correction to the wilcoxon
         variance (scipy's default; scanpy defaults this OFF).
-    block : genes per device dispatch in the wilcoxon rank kernel.
+    block : genes per device dispatch in the wilcoxon rank kernel;
+        ``None`` sizes it so the ~6 [block, n] f32 work buffers stay
+        within ~2 GB of device memory (min 16, max 512).
     """
 
     if method not in ("t-test", "t-test_overestim_var", "wilcoxon"):
@@ -317,6 +319,9 @@ def rank_genes_groups(
     k = p if n_genes is None else min(int(n_genes), p)
 
     if method == "wilcoxon":
+        if block is None:
+            budget = 2 * 1024**3
+            block = int(max(16, min(512, budget // (6 * 4 * max(n, 1)))))
         scores, pvals = _wilcoxon_scores(
             m, codes, group_ids, ref_id, n_groups,
             tie_correct=tie_correct, block=block,

@@ -172,3 +172,40 @@ def test_downsample_counts():
     bad = X.copy(); bad.data[0] = 1.5
     with pytest.raises(ValueError, match="integer count"):
         downsample_counts(SparseMatrix.from_scipy(bad), 10)
+
+
+def test_recipe_zheng17():
+    from single_algebra_tpu.recipes import recipe_zheng17
+
+    rng = np.random.default_rng(10)
+    n, p = 300, 500
+    counts = sp.random(
+        n, p, density=0.2, format="csr", dtype=np.float32,
+        random_state=rng,
+        data_rvs=lambda s: rng.integers(1, 30, s).astype(np.float32),
+    ).toarray()
+    counts[:, 13] = 0.0  # dead gene: must be dropped in step 1
+    m = SparseMatrix.from_scipy(sp.csr_matrix(counts))
+    Z, info = recipe_zheng17(m, n_top_genes=100)
+    Z = np.asarray(Z)
+    assert Z.shape == (n, 100)
+    assert info["gene_mask"].sum() == 100
+    assert not info["gene_mask"][13]
+    # scaled: unit variance, clipped
+    sd = Z.std(0, ddof=1)
+    np.testing.assert_allclose(sd[sd > 0], 1.0, rtol=1e-3)
+    assert Z.max() <= 10.0 + 1e-5
+    # reproduce by hand from the returned masks
+    kept = counts[:, info["counts_mask"]]
+    sums = kept.sum(1)
+    t1 = np.median(sums[sums > 0])
+    norm = kept * (t1 / np.where(sums > 0, sums, 1))[:, None]
+    hvg_cols = info["hvg"].mask
+    sub = norm[:, hvg_cols]
+    s2 = sub.sum(1)
+    t2 = np.median(s2[s2 > 0])
+    sub = sub * (t2 / np.where(s2 > 0, s2, 1))[:, None]
+    sub = np.log1p(sub)
+    mean, std = sub.mean(0), sub.std(0, ddof=1)
+    ref = np.minimum((sub - mean) / np.where(std > 0, std, 1), 10.0)
+    np.testing.assert_allclose(Z, ref, rtol=2e-3, atol=2e-3)
