@@ -248,6 +248,62 @@ def _wilcoxon_scores(
 
 
 # ----------------------------------------------------------------------
+# logreg scores (scanpy's third method)
+# ----------------------------------------------------------------------
+
+
+def _logreg_scores(
+    m, codes: np.ndarray, n_groups: int, *, lam: float, iters: int,
+    lr: float, seed: int,
+):
+    """Multinomial logistic regression coefficients [p, G].
+
+    Full-batch Nesterov gradient descent, one jitted lax.fori_loop:
+    forward = sparse SpMM (X @ W), gradient = transposed SpMM
+    (X^T (softmax - Y) / n) + ridge. scanpy's 'logreg' runs sklearn's
+    LBFGS on CPU; here both hot products ride the device SpMM kernels.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    n, p = m.shape
+    Y = jnp.asarray(np.eye(n_groups, dtype=np.float32)[codes])  # [n, G]
+    key = jax.random.PRNGKey(seed)
+    W0 = 0.01 * jax.random.normal(key, (p, n_groups), jnp.float32)
+    b0 = jnp.zeros((n_groups,), jnp.float32)
+
+    mr = m._layout_for("row")
+    mc = m._layout_for("col")
+
+    from .ops.spmm import ell_spmm
+
+    def forward(W, b):
+        return ell_spmm(mr.ell_data, mr.ell_ids, W)[:n] + b[None, :]
+
+    def grads(W, b):
+        logits = forward(W, b)
+        logits = logits - logits.max(axis=1, keepdims=True)
+        P = jnp.exp(logits)
+        P = P / P.sum(axis=1, keepdims=True)
+        D = (P - Y) / n  # [n, G]
+        gW = ell_spmm(mc.ell_data, mc.ell_ids, D)[:p] + lam * W
+        return gW, D.sum(axis=0)
+
+    def body(_, state):
+        W, b, vW, vb = state
+        gW, gb = grads(W + 0.9 * vW, b + 0.9 * vb)
+        vW = 0.9 * vW - lr * gW
+        vb = 0.9 * vb - lr * gb
+        return W + vW, b + vb, vW, vb
+
+    W, b, _, _ = jax.lax.fori_loop(
+        0, iters, body, (W0, b0, jnp.zeros_like(W0), jnp.zeros_like(b0))
+    )
+    return np.asarray(W, np.float64)
+
+
+# ----------------------------------------------------------------------
 # public API
 # ----------------------------------------------------------------------
 
@@ -271,7 +327,9 @@ def rank_genes_groups(
     ----------
     m : SparseMatrix [cells, genes], typically log1p-normalized counts.
     labels : group label per cell (length n).
-    method : 't-test' | 't-test_overestim_var' | 'wilcoxon'.
+    method : 't-test' | 't-test_overestim_var' | 'wilcoxon' | 'logreg'
+        ('logreg' = multinomial logistic-regression coefficients as
+        scores, scanpy semantics: no p-values — pvals fields are NaN).
     groups : 'all' or a subset of label values to test.
     reference : 'rest' (default) or one label value to compare against.
     var_names : gene names (defaults to integer indices).
@@ -285,7 +343,9 @@ def rank_genes_groups(
         within ~2 GB of device memory (min 16, max 512).
     """
 
-    if method not in ("t-test", "t-test_overestim_var", "wilcoxon"):
+    if method not in (
+        "t-test", "t-test_overestim_var", "wilcoxon", "logreg"
+    ):
         raise ValueError(f"Unknown method {method!r}")
     n, p = m.shape
     names, codes = m._batch_codes(list(labels), n, "row")
@@ -326,6 +386,26 @@ def rank_genes_groups(
             m, codes, group_ids, ref_id, n_groups,
             tie_correct=tie_correct, block=block,
         )
+    elif method == "logreg":
+        if ref_id is None:
+            W = _logreg_scores(
+                m, codes, n_groups, lam=1e-4, iters=300, lr=1.0, seed=0
+            )
+            scores = W[:, group_ids]
+        else:
+            sub_mask = np.isin(codes, group_ids + [ref_id])
+            msub = m.select_rows(sub_mask)
+            sub_groups = group_ids + [ref_id]
+            remap = {g: i for i, g in enumerate(sub_groups)}
+            sub_codes = np.asarray(
+                [remap[c] for c in codes[sub_mask]], np.int32
+            )
+            W = _logreg_scores(
+                msub, sub_codes, len(sub_groups),
+                lam=1e-4, iters=300, lr=1.0, seed=0,
+            )
+            scores = W[:, : len(group_ids)]
+        pvals = np.full_like(scores, np.nan)
 
     out_names, out_scores, out_p, out_padj, out_lfc = {}, {}, {}, {}, {}
     for j, g in enumerate(sel):
@@ -345,14 +425,14 @@ def rank_genes_groups(
         else:
             n2, m2, v2 = sizes[ref_id], mean[:, ref_id], var[:, ref_id]
 
-        if method == "wilcoxon":
+        if method in ("wilcoxon", "logreg"):
             sc, pv = scores[:, j], pvals[:, j]
         else:
             sc, pv = _welch(
                 m1, v1, n1, m2, v2, n2,
                 overestim=(method == "t-test_overestim_var"),
             )
-        padj = _bh_adjust(pv)
+        padj = pv if np.isnan(pv).all() else _bh_adjust(pv)
         lfc = _log2_fold_change(m1, m2, expm1=log1p_input)
         order = np.argsort(-sc, kind="stable")[:k]
         out_names[g] = var_names[order]

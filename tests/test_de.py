@@ -204,3 +204,55 @@ def test_csc_format_parity():
                 _cols(r1, g)["scores"], _cols(r2, g)["scores"],
                 rtol=1e-5, atol=1e-7,
             )
+
+
+def test_logreg_recovers_planted_markers():
+    rng = np.random.default_rng(20)
+    n, p = 300, 60
+    X = sp.random(n, p, density=0.3, format="csr", dtype=np.float32,
+                  random_state=rng, data_rvs=rng.random).toarray()
+    lab = rng.choice(["a", "b", "c"], n)
+    X[lab == "b", :4] += 2.0  # markers of b
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    res = rank_genes_groups(m, lab.tolist(), method="logreg",
+                            log1p_input=False)
+    top = set(res.names["b"][:4])
+    assert top == {0, 1, 2, 3}, top
+    assert np.isnan(res.pvals["b"]).all()
+    assert np.isnan(res.pvals_adj["b"]).all()
+    # logfoldchanges still real-valued
+    assert np.isfinite(res.logfoldchanges["b"]).all()
+
+
+def test_logreg_scores_correlate_with_sklearn():
+    from sklearn.linear_model import LogisticRegression
+
+    rng = np.random.default_rng(21)
+    n, p = 250, 40
+    X = sp.random(n, p, density=0.4, format="csr", dtype=np.float32,
+                  random_state=rng, data_rvs=rng.random).toarray()
+    lab = rng.choice(["a", "b"], n)
+    X[lab == "a", :6] += 1.0
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    res = rank_genes_groups(m, lab.tolist(), method="logreg",
+                            log1p_input=False)
+    skl = LogisticRegression(max_iter=2000).fit(X, lab)
+    # sklearn's binary coef_ is for the SECOND class; our column for 'a'
+    got = _cols(res, "a")["scores"]
+    ref = -skl.coef_[0]
+    corr = np.corrcoef(got, ref)[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_logreg_with_reference_group():
+    rng = np.random.default_rng(22)
+    n, p = 240, 30
+    X = sp.random(n, p, density=0.4, format="csr", dtype=np.float32,
+                  random_state=rng, data_rvs=rng.random).toarray()
+    lab = rng.choice(["a", "b", "c"], n)
+    X[lab == "a", :3] += 2.0
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    res = rank_genes_groups(m, lab.tolist(), method="logreg",
+                            reference="c", log1p_input=False)
+    assert set(res.names) == {"a", "b"}
+    assert set(res.names["a"][:3]) == {0, 1, 2}
