@@ -19,12 +19,101 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "normalize_total",
     "scale",
     "regress_out",
     "combat",
     "subsample",
     "downsample_counts",
+    "aggregate",
 ]
+
+
+def normalize_total(
+    m,
+    *,
+    target_sum: Optional[float] = None,
+    exclude_highly_expressed: bool = False,
+    max_fraction: float = 0.05,
+):
+    """Total-count normalize rows (scanpy ``pp.normalize_total``).
+
+    ``target_sum=None`` uses the median of per-cell counts (scanpy
+    default). ``exclude_highly_expressed`` recomputes each cell's size
+    factor WITHOUT genes that take more than ``max_fraction`` of any
+    cell's counts (scanpy semantics) — the genes themselves stay in the
+    matrix. Returns ``(normalized_matrix, size_factors)``.
+    """
+
+    from .types import Direction
+
+    sums = np.asarray(m.sum_row(), np.float64)
+    if exclude_highly_expressed:
+        # gene is "highly expressed" if its share exceeds max_fraction
+        # of ANY cell's counts: max over cells of x_ig / sum_i
+        shares = m.normalize(
+            jnp.asarray(np.where(sums > 0, sums, 1.0), m.dtype),
+            1.0,
+            Direction.ROW,
+        )
+        _, col_max = shares.min_max_col()
+        keep = np.asarray(col_max) <= max_fraction
+        sums = np.asarray(m.sum_row_masked(keep), np.float64)
+    if target_sum is None:
+        pos = sums[sums > 0]
+        target_sum = float(np.median(pos)) if pos.size else 1.0
+    out = m.normalize(jnp.asarray(sums, m.dtype), target_sum, Direction.ROW)
+    return out, sums / target_sum
+
+
+def aggregate(
+    m,
+    labels,
+    *,
+    funcs=("mean", "frac_nonzero"),
+):
+    """Per-group per-gene aggregates (scanpy ``sc.get.aggregate`` role;
+    the dotplot/matrixplot data): dict of [n_groups, p] arrays keyed by
+    func, plus ``groups`` order. Supported funcs: 'mean' (zeros
+    included), 'sum', 'var' (Bessel, zeros included), 'frac_nonzero',
+    'count_nonzero'. All ride the grouped one-hot SpMM."""
+
+    n, p = m.shape
+    names, codes = m._batch_codes(list(labels), n, "row")
+    sizes = np.bincount(codes, minlength=len(names)).astype(np.float64)
+    out = {"groups": np.asarray(names, object)}
+    need_sum = {"mean", "sum", "var"} & set(funcs)
+    sums = (
+        np.asarray(m._batch_spmm("col", codes, "sum"), np.float64).T
+        if need_sum
+        else None
+    )  # [G, p]
+    for f in funcs:
+        if f == "sum":
+            out[f] = sums
+        elif f == "mean":
+            out[f] = sums / np.maximum(sizes, 1.0)[:, None]
+        elif f == "var":
+            sumsq = np.asarray(
+                m._batch_spmm("col", codes, "sumsq"), np.float64
+            ).T
+            mean = sums / np.maximum(sizes, 1.0)[:, None]
+            out[f] = np.maximum(
+                (sumsq - sums * mean) / np.maximum(sizes - 1.0, 1.0)[:, None],
+                0.0,
+            )
+        elif f in ("frac_nonzero", "count_nonzero"):
+            cnt = np.asarray(
+                m._batch_spmm("col", codes, "count"), np.float64
+            ).T
+            out[f] = (
+                cnt / np.maximum(sizes, 1.0)[:, None]
+                if f == "frac_nonzero"
+                else cnt
+            )
+        else:
+            raise ValueError(f"Unknown aggregate func {f!r}")
+    return out
 
 
 @partial(jax.jit, static_argnames=("n",))

@@ -209,3 +209,65 @@ def test_recipe_zheng17():
     mean, std = sub.mean(0), sub.std(0, ddof=1)
     ref = np.minimum((sub - mean) / np.where(std > 0, std, 1), 10.0)
     np.testing.assert_allclose(Z, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_normalize_total_median_default():
+    from single_algebra_tpu.preprocess import normalize_total
+
+    X = _mat(seed=11, zero_var_col=False)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    out, sf = normalize_total(m)
+    sums = X.sum(1)
+    target = np.median(sums[sums > 0])
+    ref = X * (target / np.where(sums > 0, sums, 1))[:, None]
+    np.testing.assert_allclose(out.to_dense(), ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sf, sums / target, rtol=1e-6)
+
+
+def test_normalize_total_exclude_highly_expressed():
+    from single_algebra_tpu.preprocess import normalize_total
+
+    rng = np.random.default_rng(12)
+    X = _mat(seed=12, zero_var_col=False)
+    X[:, 0] = X.sum(1)  # gene 0 dominates every cell
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    out, sf = normalize_total(
+        m, target_sum=100.0, exclude_highly_expressed=True,
+        max_fraction=0.2,
+    )
+    # size factors computed without the dominant gene
+    shares = X / X.sum(1, keepdims=True)
+    excluded = shares.max(0) > 0.2
+    assert excluded[0]
+    sums_ex = X[:, ~excluded].sum(1)
+    np.testing.assert_allclose(sf, sums_ex / 100.0, rtol=1e-4)
+    # the gene itself is still present in the output
+    assert np.asarray(out.to_dense())[:, 0].max() > 0
+
+
+def test_aggregate_matches_numpy_groupby():
+    from single_algebra_tpu.preprocess import aggregate
+
+    X = _mat(seed=13, zero_var_col=False)
+    rng = np.random.default_rng(13)
+    labels = rng.choice(["u", "v", "w"], X.shape[0])
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    agg = aggregate(
+        m, labels.tolist(),
+        funcs=("mean", "sum", "var", "frac_nonzero", "count_nonzero"),
+    )
+    for gi, g in enumerate(agg["groups"]):
+        sel = X[labels == g]
+        np.testing.assert_allclose(agg["sum"][gi], sel.sum(0), rtol=1e-4)
+        np.testing.assert_allclose(agg["mean"][gi], sel.mean(0), rtol=1e-4)
+        np.testing.assert_allclose(
+            agg["var"][gi], sel.var(0, ddof=1), rtol=1e-3, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            agg["frac_nonzero"][gi], (sel > 0).mean(0), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            agg["count_nonzero"][gi], (sel > 0).sum(0), rtol=1e-6
+        )
+    with pytest.raises(ValueError, match="Unknown aggregate"):
+        aggregate(m, labels.tolist(), funcs=("median",))
