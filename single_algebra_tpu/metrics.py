@@ -31,6 +31,8 @@ __all__ = [
     "silhouette_samples",
     "adjusted_rand_index",
     "normalized_mutual_info",
+    "morans_i",
+    "gearys_c",
 ]
 
 
@@ -167,3 +169,76 @@ def normalized_mutual_info(labels_true, labels_pred) -> float:
         return 1.0
     denom = (ha + hb) / 2.0
     return mi / denom if denom > 0 else 0.0
+
+
+# ---------------------------------------------------------------------------
+# graph autocorrelation (scanpy sc.metrics.morans_i / gearys_c)
+# ---------------------------------------------------------------------------
+
+
+def _graph_autocorr(graph, X, *, block: int):
+    """Shared blocked machinery: per-gene (num_moran, num_geary, denom).
+
+    For gene block Xb [n, B] (centered), one sparse SpMM gives
+    W @ Xb; Moran's numerator is colsum(Xb * WXb), Geary's is
+    sum_ij w_ij (x_i - x_j)^2 = 2 (x^T D x - x^T W x) with D the degree
+    diagonal — all column reductions of the same product.
+    """
+
+    import scipy.sparse as sp
+
+    from .sparse.matrix import SparseMatrix
+
+    if isinstance(graph, SparseMatrix):
+        W = graph
+        Wsp = graph.to_scipy()
+    else:
+        Wsp = sp.csr_matrix(graph)
+        W = SparseMatrix.from_scipy(Wsp.astype(np.float32))
+    n = W.shape[0]
+    if W.shape[0] != W.shape[1]:
+        raise ValueError(f"graph must be square, got {W.shape}")
+    X = np.asarray(X, np.float32)
+    if X.ndim == 1:
+        X = X[:, None]
+    if X.shape[0] != n:
+        raise ValueError(
+            f"values rows ({X.shape[0]}) != graph nodes ({n})"
+        )
+    w_sum = float(Wsp.sum())
+    deg = np.asarray(Wsp.sum(axis=1)).ravel().astype(np.float64)
+
+    p = X.shape[1]
+    num_m = np.empty(p)
+    num_g = np.empty(p)
+    den = np.empty(p)
+    for j0 in range(0, p, block):
+        xb = X[:, j0: j0 + block]
+        xc = xb - xb.mean(axis=0, keepdims=True)
+        wx = np.asarray(W.matmul_dense(jnp.asarray(xc)), np.float64)
+        xc = xc.astype(np.float64)
+        num_m[j0: j0 + block] = (xc * wx).sum(axis=0)
+        xdx = (xc * xc * deg[:, None]).sum(axis=0)
+        num_g[j0: j0 + block] = 2.0 * (xdx - (xc * wx).sum(axis=0))
+        den[j0: j0 + block] = (xc * xc).sum(axis=0)
+    return n, w_sum, num_m, num_g, np.maximum(den, 1e-30)
+
+
+def morans_i(graph, values, *, block: int = 512) -> np.ndarray:
+    """Moran's I spatial/graph autocorrelation of per-cell values over a
+    (kNN) graph (scanpy ``sc.metrics.morans_i``): +1 = neighbors agree,
+    ~0 = random, <0 = anti-correlated. ``values`` [n] or [n, p] (e.g. a
+    gene-expression block); one device SpMM per gene block."""
+
+    n, w_sum, num_m, _, den = _graph_autocorr(graph, values, block=block)
+    out = (n / w_sum) * num_m / den
+    return out[0] if np.ndim(values) == 1 else out
+
+
+def gearys_c(graph, values, *, block: int = 512) -> np.ndarray:
+    """Geary's C (scanpy ``sc.metrics.gearys_c``): 0 = perfect positive
+    autocorrelation, 1 = none, 2 = anti. Same blocked SpMM machinery."""
+
+    n, w_sum, _, num_g, den = _graph_autocorr(graph, values, block=block)
+    out = ((n - 1.0) / (2.0 * w_sum)) * num_g / den
+    return out[0] if np.ndim(values) == 1 else out

@@ -99,3 +99,61 @@ def test_label_length_mismatch():
         adjusted_rand_index(np.zeros(5), np.zeros(6))
     with pytest.raises(ValueError, match="same length"):
         normalized_mutual_info(np.zeros(5), np.zeros(6))
+
+
+# ---------------------------------------------------------------------------
+# graph autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def _knn_w(X, k=8):
+    from single_algebra_tpu import neighbors
+
+    return neighbors.connectivities(np.asarray(X, np.float32), k)
+
+
+def test_morans_gearys_match_dense_definition():
+    import scipy.sparse as sp
+    from single_algebra_tpu.metrics import gearys_c, morans_i
+
+    rng = np.random.default_rng(0)
+    n = 150
+    X = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    W = _knn_w(X)
+    vals = rng.normal(0, 1, (n, 5))
+    got_i = morans_i(W, vals, block=2)
+    got_c = gearys_c(W, vals, block=2)
+    Wd = W.toarray()
+    w_sum = Wd.sum()
+    for j in range(5):
+        x = vals[:, j] - vals[:, j].mean()
+        I = (n / w_sum) * (x @ Wd @ x) / (x @ x)
+        num_c = sum(
+            Wd[a, b] * (x[a] - x[b]) ** 2
+            for a, b in zip(*np.nonzero(Wd))
+        )
+        C = ((n - 1) / (2 * w_sum)) * num_c / (x @ x)
+        np.testing.assert_allclose(got_i[j], I, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got_c[j], C, rtol=1e-4, atol=1e-5)
+
+
+def test_autocorr_detects_structure():
+    from single_algebra_tpu.metrics import gearys_c, morans_i
+
+    rng = np.random.default_rng(1)
+    n = 300
+    # 1-d gradient embedding: coordinate = strong autocorrelation
+    t = np.sort(rng.random(n))
+    X = np.stack([t * 10, np.zeros(n)], 1).astype(np.float32)
+    W = _knn_w(X)
+    smooth = t + rng.normal(0, 0.01, n)
+    noise = rng.normal(0, 1, n)
+    i_s, i_n = morans_i(W, smooth), morans_i(W, noise)
+    c_s, c_n = gearys_c(W, smooth), gearys_c(W, noise)
+    assert i_s > 0.9 and abs(i_n) < 0.3
+    assert c_s < 0.1 and c_n > 0.7
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="values rows"):
+        morans_i(W, np.ones(5))
