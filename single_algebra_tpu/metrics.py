@@ -33,6 +33,7 @@ __all__ = [
     "normalized_mutual_info",
     "morans_i",
     "gearys_c",
+    "embedding_density",
 ]
 
 
@@ -242,3 +243,50 @@ def gearys_c(graph, values, *, block: int = 512) -> np.ndarray:
     n, w_sum, _, num_g, den = _graph_autocorr(graph, values, block=block)
     out = ((n - 1.0) / (2.0 * w_sum)) * num_g / den
     return out[0] if np.ndim(values) == 1 else out
+
+
+def embedding_density(
+    Y, *, groups=None, block: int = 2048
+) -> np.ndarray:
+    """Per-cell Gaussian KDE in a low-dim embedding (scanpy
+    ``tl.embedding_density``), computed within each group and min-max
+    scaled to [0, 1] per group. The kernel sums are the same blocked
+    [block, n] MXU distance tiles as the silhouette. Scott's-rule
+    bandwidth per group."""
+
+    Y = np.asarray(Y, np.float32)
+    if Y.ndim != 2:
+        raise ValueError(f"expected [n, d] embedding, got {Y.shape}")
+    n, d = Y.shape
+    if groups is None:
+        groups = np.zeros(n, np.int32)
+    groups = np.asarray(groups)
+    if groups.shape[0] != n:
+        raise ValueError(
+            f"groups length ({groups.shape[0]}) != rows ({n})"
+        )
+    out = np.zeros(n)
+    for g in np.unique(groups):
+        sel = np.where(groups == g)[0]
+        m = len(sel)
+        if m < 2:
+            out[sel] = 0.0
+            continue
+        Yg = jnp.asarray(Y[sel])
+        h = float(m ** (-1.0 / (d + 4)) * np.std(Y[sel])) or 1.0
+
+        dens = np.empty(m)
+        y2 = jnp.sum(Yg * Yg, axis=1)
+        for i0 in range(0, m, block):
+            blk = Yg[i0: i0 + block]
+            d2 = (
+                jnp.sum(blk * blk, axis=1)[:, None]
+                - 2.0 * (blk @ Yg.T)
+                + y2[None, :]
+            )
+            dens[i0: i0 + block] = np.asarray(
+                jnp.mean(jnp.exp(-jnp.maximum(d2, 0.0) / (2.0 * h * h)), axis=1)
+            )
+        lo, hi = dens.min(), dens.max()
+        out[sel] = (dens - lo) / (hi - lo) if hi > lo else 0.5
+    return out

@@ -157,3 +157,27 @@ def test_autocorr_detects_structure():
 
     with _pytest.raises(ValueError, match="values rows"):
         morans_i(W, np.ones(5))
+
+
+def test_embedding_density():
+    from single_algebra_tpu.metrics import embedding_density
+
+    rng = np.random.default_rng(2)
+    # dense core + sparse halo: core cells must score higher
+    core = rng.normal(0, 0.3, (150, 2))
+    halo = rng.normal(0, 4.0, (50, 2))
+    Y = np.concatenate([core, halo]).astype(np.float32)
+    d = embedding_density(Y, block=64)
+    assert d.shape == (200,)
+    assert 0.0 <= d.min() and d.max() <= 1.0
+    assert d[:150].mean() > d[150:].mean() + 0.2
+    # per-group scaling: each group hits [0, 1]
+    groups = np.repeat(["a", "b"], 100)
+    dg = embedding_density(Y, groups=groups)
+    for g in ("a", "b"):
+        sel = dg[groups == g]
+        assert sel.min() == 0.0 and sel.max() == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="groups length"):
+        embedding_density(Y, groups=np.ones(3))
