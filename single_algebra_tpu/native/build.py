@@ -26,7 +26,7 @@ _tried = False
 def _build() -> str | None:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    cmd = [
+    base = [
         "g++",
         "-O3",
         "-march=native",
@@ -37,11 +37,16 @@ def _build() -> str | None:
         "-o",
         _SO,
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _SO
-    except Exception:
-        return None
+    # OpenMP parallelizes the row loops (the host payload build is the
+    # cold-path bottleneck at wide shapes); fall back to serial if the
+    # toolchain lacks it
+    for cmd in (base[:1] + ["-fopenmp"] + base[1:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return _SO
+        except Exception:
+            continue
+    return None
 
 
 def get_lib():

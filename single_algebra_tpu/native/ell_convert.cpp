@@ -9,6 +9,9 @@
 // pass, cache-friendly write patterns).
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+// Row loops with disjoint writes are OpenMP-parallel (the host build
+// was the measured cold-path bottleneck at wide shapes); pragmas are
+// no-ops when compiled without -fopenmp.
 
 #include <cstdint>
 #include <cstring>
@@ -21,6 +24,7 @@ extern "C" {
 void csr_to_ell_f32(const int64_t* indptr, const int32_t* indices,
                     const float* data, int64_t n_rows, int64_t width,
                     float* ell_data, int32_t* ell_ids, int32_t* row_nnz) {
+#pragma omp parallel for schedule(guided)
   for (int64_t r = 0; r < n_rows; ++r) {
     const int64_t lo = indptr[r], hi = indptr[r + 1];
     row_nnz[r] = static_cast<int32_t>(hi - lo);
@@ -64,6 +68,7 @@ int64_t csr_to_tiled_ell_t_f32(const int64_t* indptr, const int32_t* indices,
                                int64_t rows_padded, float* tdata_t,
                                int32_t* tlocal_t) {
   int64_t dropped = 0;
+#pragma omp parallel for schedule(guided) reduction(+ : dropped)
   for (int64_t r = 0; r < n_rows; ++r) {
     int64_t cur_tile = -1;
     int64_t rank = 0;
@@ -88,6 +93,7 @@ int64_t csr_to_tiled_ell_t_f32(const int64_t* indptr, const int32_t* indices,
 int64_t csr_tile_width(const int64_t* indptr, const int32_t* indices,
                        int64_t n_rows, int64_t col_tile) {
   int64_t max_cnt = 0;
+#pragma omp parallel for schedule(guided) reduction(max : max_cnt)
   for (int64_t r = 0; r < n_rows; ++r) {
     int64_t cur_tile = -1, cnt = 0;
     for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
@@ -108,6 +114,7 @@ int32_t csr_densify_bf16(const int64_t* indptr, const int32_t* indices,
                          const float* data, int64_t n_rows, int64_t n_cols,
                          uint16_t* dense_hi, uint16_t* dense_lo /* or null */) {
   int32_t exact = 1;
+#pragma omp parallel for schedule(guided) reduction(&& : exact)
   for (int64_t r = 0; r < n_rows; ++r) {
     uint16_t* row_hi = dense_hi + r * n_cols;
     uint16_t* row_lo = dense_lo ? dense_lo + r * n_cols : nullptr;
@@ -163,6 +170,7 @@ void csr_tile_group_hist(const int64_t* indptr, const int32_t* indices,
 int64_t csr_overflow_width(const int64_t* indptr, const int32_t* indices,
                            int64_t n_rows, int64_t col_tile, int64_t wt) {
   int64_t max_over = 0;
+#pragma omp parallel for schedule(guided) reduction(max : max_over)
   for (int64_t r = 0; r < n_rows; ++r) {
     int64_t cur_tile = -1, rank = 0, over = 0;
     for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
@@ -186,6 +194,7 @@ void csr_to_tiled_ell_split_t_f32(const int64_t* indptr,
                                   float* tdata_t, int32_t* tlocal_t,
                                   float* ov_data, int32_t* ov_ids,
                                   int64_t ov_w) {
+#pragma omp parallel for schedule(guided)
   for (int64_t r = 0; r < n_rows; ++r) {
     int64_t cur_tile = -1, rank = 0, over = 0;
     for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
@@ -215,6 +224,7 @@ extern "C" {
 // out[r] = widest column-tile run of row r. One O(nnz) pass.
 void csr_row_tile_widths(const int64_t* indptr, const int32_t* indices,
                          int64_t n_rows, int64_t col_tile, int64_t* out) {
+#pragma omp parallel for schedule(guided)
   for (int64_t r = 0; r < n_rows; ++r) {
     int64_t cur_tile = -1, cnt = 0, best = 0;
     for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
@@ -233,6 +243,7 @@ void csr_extract_rows_f32(const int64_t* indptr, const int32_t* indices,
                           const float* data, const int64_t* rows,
                           int64_t n_sel, const int64_t* out_indptr,
                           int32_t* out_indices, float* out_data) {
+#pragma omp parallel for schedule(guided)
   for (int64_t j = 0; j < n_sel; ++j) {
     const int64_t src = indptr[rows[j]];
     const int64_t len = indptr[rows[j] + 1] - src;
