@@ -203,3 +203,43 @@ def test_filter_then_stats_consistency():
     np.testing.assert_allclose(
         np.asarray(sub.sum_row()), X.toarray()[keep].sum(1), rtol=1e-6
     )
+
+
+def test_select_empty_and_full():
+    X = _rand(seed=4)
+    m = SparseMatrix.from_scipy(X)
+    none = m.select_rows(np.zeros(X.shape[0], bool))
+    assert none.shape == (0, X.shape[1]) and none.nnz == 0
+    allr = m.select_rows(np.ones(X.shape[0], bool))
+    np.testing.assert_array_equal(allr.to_dense(), X.toarray())
+    nonec = m.select_cols(np.zeros(X.shape[1], bool))
+    assert nonec.shape == (X.shape[0], 0)
+    # duplicate + reordered indices are honored in order
+    dup = m.select_rows(np.array([3, 3, 1]))
+    np.testing.assert_array_equal(dup.to_dense(), X.toarray()[[3, 3, 1]])
+
+
+def test_pipeline_h5ad_roundtrip():
+    """QC + embedding results ride obs/obsm through write/read_h5ad."""
+
+    import tempfile, os
+    from single_algebra_tpu.io import read_h5ad, write_h5ad
+    from single_algebra_tpu.qc import calculate_qc_metrics
+
+    X = _rand(seed=5)
+    m = SparseMatrix.from_scipy(X)
+    obs, var = calculate_qc_metrics(m, log1p=False)
+    emb = np.random.default_rng(0).normal(0, 1, (X.shape[0], 7)).astype(np.float32)
+    path = os.path.join(tempfile.mkdtemp(), "out.h5ad")
+    write_h5ad(
+        path, X,
+        obs={"total_counts": obs["total_counts"],
+             "n_genes": obs["n_genes_by_counts"]},
+        var={"n_cells": var["n_cells_by_counts"]},
+        obsm={"X_pca": emb},
+    )
+    ad = read_h5ad(path)
+    np.testing.assert_allclose(ad.obs["total_counts"], obs["total_counts"])
+    np.testing.assert_array_equal(ad.var["n_cells"], var["n_cells_by_counts"])
+    np.testing.assert_allclose(ad.obsm["X_pca"], emb)
+    np.testing.assert_array_equal(ad.X.to_dense(), X.toarray())
