@@ -84,7 +84,7 @@ def get_lib():
         ]
         lib.csr_transpose_f32.restype = None
         lib.csr_to_tiled_ell_t_f32.argtypes = [
-            i64p, i32p, f32p, c64, c64, c64, c64, f32p, i32p,
+            i64p, i32p, f32p, c64, c64, c64, c64, c64, f32p, i32p,
         ]
         # returns the count of entries whose rank overflowed wt (caller
         # bug when nonzero — a stale width plan would otherwise corrupt
@@ -101,7 +101,8 @@ def get_lib():
         lib.csr_overflow_width.argtypes = [i64p, i32p, c64, c64, c64]
         lib.csr_overflow_width.restype = c64
         lib.csr_to_tiled_ell_split_t_f32.argtypes = [
-            i64p, i32p, f32p, c64, c64, c64, c64, f32p, i32p, f32p, i32p, c64,
+            i64p, i32p, f32p, c64, c64, c64, c64, c64,
+            f32p, i32p, f32p, i32p, c64,
         ]
         lib.csr_to_tiled_ell_split_t_f32.restype = None
         lib.csr_row_tile_widths.argtypes = [i64p, i32p, c64, c64, i64p]

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -56,34 +57,68 @@ void csr_transpose_f32(const int64_t* indptr, const int32_t* indices,
 }
 
 // CSR -> column-tiled padded ELL (the Pallas SpMM kernel layout),
-// TRANSPOSED orientation: outputs are [ntiles * wt, rows_padded].
-// tdata_t/tlocal_t must be zero-initialized by the caller.
+// TRANSPOSED orientation: outputs are [n_payload_rows, rows_padded]
+// with n_payload_rows = ntiles * wt. tdata_t/tlocal_t must be
+// zero-initialized by the caller.
 // The caller pre-computes wt with csr_tile_width and passes it back here;
 // entries whose within-(row, tile) rank reaches wt are NOT written (they
 // would index past the slot array) and are counted in the return value —
 // callers must treat a nonzero return as a caller bug (stale width plan).
+//
+// The transposed layout makes the naive fill one scattered float write
+// per entry with a rows_padded*4-byte stride — TLB/cache-hostile (15 s
+// for a 48M-nnz wide-shape payload measured). Instead: fill a
+// cache-resident [n_payload_rows, BR] block-local buffer for BR source
+// rows at a time (tracking which payload rows the block touched), then
+// stream the touched rows out with memcpy. Work is proportional to the
+// touched payload bytes; blocks parallelize over threads.
 int64_t csr_to_tiled_ell_t_f32(const int64_t* indptr, const int32_t* indices,
                                const float* data, int64_t n_rows,
                                int64_t col_tile, int64_t wt,
-                               int64_t rows_padded, float* tdata_t,
-                               int32_t* tlocal_t) {
+                               int64_t rows_padded, int64_t n_payload_rows,
+                               float* tdata_t, int32_t* tlocal_t) {
+  // block width: keep the local buffers (8 bytes/slot) around 8 MB
+  int64_t BR = 512;
+  while (BR > 64 && n_payload_rows * BR * 8 > (8 << 20)) BR /= 2;
   int64_t dropped = 0;
-#pragma omp parallel for schedule(guided) reduction(+ : dropped)
-  for (int64_t r = 0; r < n_rows; ++r) {
-    int64_t cur_tile = -1;
-    int64_t rank = 0;
-    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-      const int64_t c = indices[i];
-      const int64_t t = c / col_tile;
-      rank = (t == cur_tile) ? rank + 1 : 0;
-      cur_tile = t;
-      if (rank >= wt) {
-        ++dropped;
-        continue;
+#pragma omp parallel reduction(+ : dropped)
+  {
+    std::vector<float> ld(static_cast<size_t>(n_payload_rows) * BR, 0.0f);
+    std::vector<int32_t> ll(static_cast<size_t>(n_payload_rows) * BR, 0);
+    std::vector<uint8_t> touched(n_payload_rows, 0);
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t b0 = 0; b0 < n_rows; b0 += BR) {
+      const int64_t b1 = std::min(b0 + BR, n_rows);
+      std::memset(touched.data(), 0, n_payload_rows);
+      for (int64_t r = b0; r < b1; ++r) {
+        int64_t cur_tile = -1;
+        int64_t rank = 0;
+        const int64_t rcol = r - b0;
+        for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+          const int64_t c = indices[i];
+          const int64_t t = c / col_tile;
+          rank = (t == cur_tile) ? rank + 1 : 0;
+          cur_tile = t;
+          if (rank >= wt) {
+            ++dropped;
+            continue;
+          }
+          const int64_t pr = t * wt + rank;
+          touched[pr] = 1;
+          ld[pr * BR + rcol] = data[i];
+          ll[pr * BR + rcol] = static_cast<int32_t>(c - t * col_tile);
+        }
       }
-      const int64_t slot = (t * wt + rank) * rows_padded + r;
-      tdata_t[slot] = data[i];
-      tlocal_t[slot] = static_cast<int32_t>(c - t * col_tile);
+      const int64_t width = b1 - b0;
+      for (int64_t pr = 0; pr < n_payload_rows; ++pr) {
+        if (!touched[pr]) continue;
+        std::memcpy(tdata_t + pr * rows_padded + b0, ld.data() + pr * BR,
+                    width * sizeof(float));
+        std::memcpy(tlocal_t + pr * rows_padded + b0, ll.data() + pr * BR,
+                    width * sizeof(int32_t));
+        std::memset(ld.data() + pr * BR, 0, width * sizeof(float));
+        std::memset(ll.data() + pr * BR, 0, width * sizeof(int32_t));
+      }
     }
   }
   return dropped;
@@ -184,33 +219,61 @@ int64_t csr_overflow_width(const int64_t* indptr, const int32_t* indices,
   return max_over;
 }
 
-// two-level split fill: main level (transposed tiled ELL, rank < wt) +
-// overflow side array [rows_padded, ov_w] with GLOBAL column ids.
-// All outputs must be zero-initialized by the caller.
+// two-level split fill: main level (transposed tiled ELL, rank < wt,
+// [n_payload_rows = ntiles * wt, rows_padded]) + overflow side array
+// [rows_padded, ov_w] with GLOBAL column ids. All outputs must be
+// zero-initialized by the caller. Same block-local buffering as
+// csr_to_tiled_ell_t_f32 for the transposed main level; the overflow
+// side array is row-major (already cache-friendly) and written direct.
 void csr_to_tiled_ell_split_t_f32(const int64_t* indptr,
                                   const int32_t* indices, const float* data,
                                   int64_t n_rows, int64_t col_tile,
                                   int64_t wt, int64_t rows_padded,
+                                  int64_t n_payload_rows,
                                   float* tdata_t, int32_t* tlocal_t,
                                   float* ov_data, int32_t* ov_ids,
                                   int64_t ov_w) {
-#pragma omp parallel for schedule(guided)
-  for (int64_t r = 0; r < n_rows; ++r) {
-    int64_t cur_tile = -1, rank = 0, over = 0;
-    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-      const int64_t c = indices[i];
-      const int64_t t = c / col_tile;
-      rank = (t == cur_tile) ? rank + 1 : 0;
-      cur_tile = t;
-      if (rank < wt) {
-        const int64_t slot = (t * wt + rank) * rows_padded + r;
-        tdata_t[slot] = data[i];
-        tlocal_t[slot] = static_cast<int32_t>(c - t * col_tile);
-      } else {
-        const int64_t slot = r * ov_w + over;
-        ov_data[slot] = data[i];
-        ov_ids[slot] = static_cast<int32_t>(c);
-        ++over;
+  int64_t BR = 512;
+  while (BR > 64 && n_payload_rows * BR * 8 > (8 << 20)) BR /= 2;
+#pragma omp parallel
+  {
+    std::vector<float> ld(static_cast<size_t>(n_payload_rows) * BR, 0.0f);
+    std::vector<int32_t> ll(static_cast<size_t>(n_payload_rows) * BR, 0);
+    std::vector<uint8_t> touched(n_payload_rows, 0);
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t b0 = 0; b0 < n_rows; b0 += BR) {
+      const int64_t b1 = std::min(b0 + BR, n_rows);
+      std::memset(touched.data(), 0, n_payload_rows);
+      for (int64_t r = b0; r < b1; ++r) {
+        int64_t cur_tile = -1, rank = 0, over = 0;
+        const int64_t rcol = r - b0;
+        for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+          const int64_t c = indices[i];
+          const int64_t t = c / col_tile;
+          rank = (t == cur_tile) ? rank + 1 : 0;
+          cur_tile = t;
+          if (rank < wt) {
+            const int64_t pr = t * wt + rank;
+            touched[pr] = 1;
+            ld[pr * BR + rcol] = data[i];
+            ll[pr * BR + rcol] = static_cast<int32_t>(c - t * col_tile);
+          } else {
+            const int64_t slot = r * ov_w + over;
+            ov_data[slot] = data[i];
+            ov_ids[slot] = static_cast<int32_t>(c);
+            ++over;
+          }
+        }
+      }
+      const int64_t width = b1 - b0;
+      for (int64_t pr = 0; pr < n_payload_rows; ++pr) {
+        if (!touched[pr]) continue;
+        std::memcpy(tdata_t + pr * rows_padded + b0, ld.data() + pr * BR,
+                    width * sizeof(float));
+        std::memcpy(tlocal_t + pr * rows_padded + b0, ll.data() + pr * BR,
+                    width * sizeof(int32_t));
+        std::memset(ld.data() + pr * BR, 0, width * sizeof(float));
+        std::memset(ll.data() + pr * BR, 0, width * sizeof(int32_t));
       }
     }
   }

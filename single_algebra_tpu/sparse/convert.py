@@ -387,7 +387,8 @@ def csr_to_tiled_ell_split_numpy(
             ov_ids = np.zeros((rows_padded, max(ov_w, 1)), np.int32)
             lib.csr_to_tiled_ell_split_t_f32(
                 indptr64, idx32, dat, n_rows, col_tile, wt, rows_padded,
-                tdata_t, tlocal_t, ov_data, ov_ids, max(ov_w, 1),
+                ntiles * wt, tdata_t, tlocal_t, ov_data, ov_ids,
+                max(ov_w, 1),
             )
             if ov_w == 0:
                 ov_data = np.zeros((rows_padded, 0), np.float32)
@@ -585,7 +586,7 @@ def fill_class_payload(
             np.ascontiguousarray(s_ip, np.int64),
             np.ascontiguousarray(s_ix, np.int32),
             np.ascontiguousarray(s_dt, np.float32),
-            len(rows), col_tile, c, rc, out_td, out_tl,
+            len(rows), col_tile, c, rc, nt * c, out_td, out_tl,
         )
         if dropped:
             raise RuntimeError(
