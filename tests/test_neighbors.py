@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from single_algebra_tpu import neighbors
 from single_algebra_tpu.neighbors import knn
 
 
@@ -27,3 +28,54 @@ def test_knn_validation():
         knn(X, 5)
     idx = knn(X, 2, return_distances=False)
     assert np.asarray(idx).shape == (5, 2)
+
+
+# ----------------------------------------------------------------------
+# IVF approximate kNN
+# ----------------------------------------------------------------------
+
+
+def test_ivf_recall_on_clustered_embedding():
+    rng = np.random.default_rng(0)
+    mu = rng.normal(0, 6, (20, 16))
+    X = (mu[rng.integers(0, 20, 4000)]
+         + rng.normal(0, 1, (4000, 16))).astype(np.float32)
+    d_ex, i_ex = neighbors.knn(X, 10)
+    d_iv, i_iv = neighbors.ivf_knn(X, 10, seed=0)
+    i_ex, i_iv = np.asarray(i_ex), np.asarray(i_iv)
+    recall = np.mean(
+        [len(set(a) & set(b)) / 10 for a, b in zip(i_ex, i_iv)]
+    )
+    assert recall > 0.98, recall
+    # distances ascending, self excluded
+    d_iv = np.asarray(d_iv)
+    assert (np.diff(d_iv, axis=1) >= -1e-5).all()
+    assert not (i_iv == np.arange(4000)[:, None]).any()
+
+
+def test_ivf_full_probe_is_exact():
+    """n_probe == n_lists scans everything -> must equal exact kNN."""
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 1, (600, 8)).astype(np.float32)
+    _, i_ex = neighbors.knn(X, 5)
+    _, i_iv = neighbors.ivf_knn(
+        X, 5, n_lists=16, n_probe=16, seed=0
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(i_iv), 1), np.sort(np.asarray(i_ex), 1)
+    )
+
+
+def test_ivf_query_mode():
+    rng = np.random.default_rng(2)
+    X = rng.normal(0, 1, (1500, 8)).astype(np.float32)
+    Q = X[:40] + 1e-4  # near-duplicates: nearest must be the original
+    _, idx = neighbors.ivf_knn(
+        X, 1, query=Q, n_lists=32, n_probe=32, seed=0
+    )
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(40))
+    with pytest.raises(ValueError, match="query must be"):
+        neighbors.ivf_knn(X, 3, query=np.ones((4, 9)))
+    with pytest.raises(ValueError, match="k="):
+        neighbors.ivf_knn(X, 0)
