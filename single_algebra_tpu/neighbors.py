@@ -93,13 +93,16 @@ def cross_knn(X_query, X_ref, k: int, *, block: int = 2048):
     return _cross_knn(Xq, Xr, k=k, block=min(block, max(8, Xq.shape[0])))
 
 
-def connectivities(X, n_neighbors: int = 15, *, block: int = 2048):
+def connectivities(
+    X, n_neighbors: int = 15, *, block: int = 2048, method: str = "auto"
+):
     """Symmetric fuzzy kNN graph of an embedding, as scipy CSR [n, n].
 
     scanpy's ``pp.neighbors`` connectivities (umap-learn fuzzy simplicial
     set): kNN + smooth-kNN calibration on device, fuzzy union on host.
     Feed the result to :func:`single_algebra_tpu.cluster.leiden` or reuse
-    it across UMAP runs.
+    it across UMAP runs. ``method='auto'`` uses the exact blocked kNN and
+    switches to the IVF index (:func:`ivf_knn`) above 200k rows.
     """
 
     X = jnp.asarray(X, jnp.float32)
@@ -107,7 +110,9 @@ def connectivities(X, n_neighbors: int = 15, *, block: int = 2048):
     k = min(n_neighbors, n - 1)
     if k < 1:
         raise ValueError("need at least 2 samples")
-    return fuzzy_connectivities(X, k, block=min(block, max(8, n)))
+    return fuzzy_connectivities(
+        X, k, block=min(block, max(8, n)), method=method
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "n_probe", "block"))

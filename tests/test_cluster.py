@@ -271,3 +271,18 @@ def test_dendrogram_groups_nearby_clusters():
         dendrogram(X, lab[:-1])
     with pytest.raises(ValueError, match="at least 2"):
         dendrogram(X, ["z"] * X.shape[0])
+
+
+def test_connectivities_ivf_method_agrees_with_exact():
+    X, truth = _blobs(n_per=200, centers=3, seed=5)
+    S_ex = neighbors.connectivities(X, 10, method="exact")
+    S_iv = neighbors.connectivities(X, 10, method="ivf")
+    # graphs nearly identical on clustered data -> same leiden result
+    r_ex = leiden(S_ex, resolution=0.5, seed=0)
+    r_iv = leiden(S_iv, resolution=0.5, seed=0)
+    assert adjusted_rand_index(r_ex.labels, r_iv.labels) == pytest.approx(1.0)
+    assert adjusted_rand_index(truth, r_iv.labels) == pytest.approx(1.0)
+    overlap = (S_ex != 0).multiply(S_iv != 0).nnz / max((S_ex != 0).nnz, 1)
+    assert overlap > 0.97, overlap
+    with pytest.raises(ValueError, match="Unknown kNN method"):
+        neighbors.connectivities(X, 10, method="annoy")
