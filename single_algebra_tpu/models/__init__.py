@@ -8,4 +8,5 @@ from .kmeans import KMeans, KMeansBuilder  # noqa: F401
 from .spectral import SpectralClustering, SpectralClusteringBuilder  # noqa: F401
 from .diffmap import diffmap, diffusion_pseudotime, DiffMapResult  # noqa: F401
 from .harmony import harmony, HarmonyResult  # noqa: F401
+from .mnn import mnn_correct, MNNResult  # noqa: F401
 from . import tsne  # noqa: F401
