@@ -49,17 +49,59 @@ class DEResult:
     logfoldchanges: Dict  # log2 fold change, scanpy semantics
     method: str
     reference: str
+    pts: Optional[Dict] = None  # group -> fraction expressing (pts=True)
+    pts_rest: Optional[Dict] = None
 
     def group(self, name) -> Dict[str, np.ndarray]:
         """One group's table as a dict of columns."""
 
-        return {
+        out = {
             "names": self.names[name],
             "scores": self.scores[name],
             "pvals": self.pvals[name],
             "pvals_adj": self.pvals_adj[name],
             "logfoldchanges": self.logfoldchanges[name],
         }
+        if self.pts is not None:
+            out["pts"] = self.pts[name]
+            out["pts_rest"] = self.pts_rest[name]
+        return out
+
+    def filter(
+        self,
+        *,
+        min_fold_change: float = 1.0,
+        min_in_group_fraction: float = 0.25,
+        max_out_group_fraction: float = 0.5,
+    ) -> "DEResult":
+        """Keep markers passing effect-size/expression cutoffs (scanpy
+        ``tl.filter_rank_genes_groups``). Requires ``pts=True`` at rank
+        time; rows failing any cutoff are dropped per group."""
+
+        if self.pts is None:
+            raise ValueError(
+                "filter() needs pts: rerun rank_genes_groups(pts=True)"
+            )
+        names, scores, pv, padj, lfc, pts, ptsr = (
+            {}, {}, {}, {}, {}, {}, {},
+        )
+        for g in self.names:
+            keep = (
+                (self.logfoldchanges[g] >= min_fold_change)
+                & (self.pts[g] >= min_in_group_fraction)
+                & (self.pts_rest[g] <= max_out_group_fraction)
+            )
+            names[g] = self.names[g][keep]
+            scores[g] = self.scores[g][keep]
+            pv[g] = self.pvals[g][keep]
+            padj[g] = self.pvals_adj[g][keep]
+            lfc[g] = self.logfoldchanges[g][keep]
+            pts[g] = self.pts[g][keep]
+            ptsr[g] = self.pts_rest[g][keep]
+        return DEResult(
+            names, scores, pv, padj, lfc, self.method, self.reference,
+            pts, ptsr,
+        )
 
 
 # ----------------------------------------------------------------------
@@ -319,6 +361,7 @@ def rank_genes_groups(
     n_genes: Optional[int] = None,
     log1p_input: bool = True,
     tie_correct: bool = True,
+    pts: bool = False,
     block: Optional[int] = None,
 ) -> DEResult:
     """Rank genes characterizing each group (scanpy's surface).
@@ -338,6 +381,9 @@ def rank_genes_groups(
         (scanpy semantics). Set False for raw-scale input.
     tie_correct : apply the exact tie correction to the wilcoxon
         variance (scipy's default; scanpy defaults this OFF).
+    pts : also report the fraction of expressing cells per group and
+        in the rest (scanpy's pts/pts_rest; one grouped count SpMM) —
+        required by :meth:`DEResult.filter`.
     block : genes per device dispatch in the wilcoxon rank kernel;
         ``None`` sizes it so the ~6 [block, n] f32 work buffers stay
         within ~2 GB of device memory (min 16, max 512).
@@ -408,6 +454,12 @@ def rank_genes_groups(
         pvals = np.full_like(scores, np.nan)
 
     out_names, out_scores, out_p, out_padj, out_lfc = {}, {}, {}, {}, {}
+    out_pts, out_ptsr = ({}, {}) if pts else (None, None)
+    if pts:
+        gcnt = np.asarray(
+            m._batch_spmm("col", codes, "count"), np.float64
+        )  # [p, G]
+        tot_cnt = gcnt.sum(axis=1)
     for j, g in enumerate(sel):
         i = gid[g]
         n1, m1, v1 = sizes[i], mean[:, i], var[:, i]
@@ -440,6 +492,14 @@ def rank_genes_groups(
         out_p[g] = pv[order]
         out_padj[g] = padj[order]
         out_lfc[g] = lfc[order]
+        if pts:
+            frac_in = gcnt[:, i] / max(n1, 1.0)
+            if ref_id is None:
+                frac_out = (tot_cnt - gcnt[:, i]) / max(tot_size - n1, 1.0)
+            else:
+                frac_out = gcnt[:, ref_id] / max(sizes[ref_id], 1.0)
+            out_pts[g] = frac_in[order]
+            out_ptsr[g] = frac_out[order]
 
     return DEResult(
         names=out_names,
@@ -449,4 +509,6 @@ def rank_genes_groups(
         logfoldchanges=out_lfc,
         method=method,
         reference=reference,
+        pts=out_pts,
+        pts_rest=out_ptsr,
     )

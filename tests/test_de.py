@@ -256,3 +256,32 @@ def test_logreg_with_reference_group():
                             reference="c", log1p_input=False)
     assert set(res.names) == {"a", "b"}
     assert set(res.names["a"][:3]) == {0, 1, 2}
+
+
+def test_pts_and_filter():
+    rng = np.random.default_rng(30)
+    n, p = 200, 30
+    X = sp.random(n, p, density=0.25, format="csr", dtype=np.float32,
+                  random_state=rng, data_rvs=rng.random).toarray()
+    lab = rng.choice(["a", "b"], n)
+    X[lab == "a", :3] += 2.0  # strong markers, high in-group fraction
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    res = rank_genes_groups(m, lab.tolist(), method="t-test",
+                            log1p_input=False, pts=True)
+    got = _cols(res, "a")
+    Xd = X
+    frac_in = (Xd[lab == "a"] > 0).mean(0)
+    frac_out = (Xd[lab != "a"] > 0).mean(0)
+    np.testing.assert_allclose(got["pts"], frac_in, rtol=1e-6)
+    np.testing.assert_allclose(got["pts_rest"], frac_out, rtol=1e-6)
+    filt = res.filter(min_fold_change=1.0, min_in_group_fraction=0.8,
+                      max_out_group_fraction=0.5)
+    assert set(filt.names["a"]) <= set(res.names["a"])
+    assert set(range(3)) <= set(filt.names["a"])  # markers survive
+    assert (filt.logfoldchanges["a"] >= 1.0).all()
+    assert (filt.pts["a"] >= 0.8).all()
+    # filter without pts errors
+    bare = rank_genes_groups(m, lab.tolist(), method="t-test",
+                             log1p_input=False)
+    with pytest.raises(ValueError, match="pts=True"):
+        bare.filter()
