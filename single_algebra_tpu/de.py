@@ -76,18 +76,22 @@ class DEResult:
     ) -> "DEResult":
         """Keep markers passing effect-size/expression cutoffs (scanpy
         ``tl.filter_rank_genes_groups``). Requires ``pts=True`` at rank
-        time; rows failing any cutoff are dropped per group."""
+        time; rows failing any cutoff are dropped per group.
+        ``min_fold_change`` is the RAW fold change (scanpy semantics:
+        the stored log2 fold change must be >= log2(min_fold_change))."""
 
         if self.pts is None:
             raise ValueError(
                 "filter() needs pts: rerun rank_genes_groups(pts=True)"
             )
+        if min_fold_change <= 0:
+            raise ValueError("min_fold_change must be positive")
         names, scores, pv, padj, lfc, pts, ptsr = (
             {}, {}, {}, {}, {}, {}, {},
         )
         for g in self.names:
             keep = (
-                (self.logfoldchanges[g] >= min_fold_change)
+                (self.logfoldchanges[g] >= np.log2(min_fold_change))
                 & (self.pts[g] >= min_in_group_fraction)
                 & (self.pts_rest[g] <= max_out_group_fraction)
             )
@@ -175,17 +179,7 @@ def _welch(m1, v1, n1, m2, v2, n2, overestim: bool):
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _densify_block(ell_data, ell_ids, row_nnz, n: int):
-    """Gene-major ELL block -> dense [B, n] (cells on lanes)."""
-
-    B, W = ell_data.shape
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    valid = w_iota < row_nnz[:, None]
-    vals = jnp.where(valid, ell_data, 0.0)
-    ids = jnp.where(valid, ell_ids, 0)
-    r = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
-    return jnp.zeros((B, n), ell_data.dtype).at[r, ids].add(vals)
+from .ops.spmm import ell_scatter_densify as _densify_block  # noqa: E402
 
 
 @jax.jit

@@ -64,14 +64,22 @@ def magic(
     M = sp.diags(1.0 / np.maximum(rs, 1e-30)) @ W  # row-stochastic
     Md = SparseMatrix.from_scipy(M.astype(np.float32).tocsr())
 
+    from .ops.spmm import ell_scatter_densify
+
+    mc = X._layout_for("col") if is_sparse else None  # gene-major ELL
     out = np.empty((n, p), np.float32)
     for j0 in range(0, p, block):
+        j1 = min(j0 + block, p)
         if is_sparse:
-            cols = np.arange(j0, min(j0 + block, p))
-            blk = jnp.asarray(X.select_cols(cols).to_dense())
+            # densify the gene block on device from the col-major
+            # layout (one scatter), cells on lanes, then transpose
+            blk = ell_scatter_densify(
+                mc.ell_data[j0:j1], mc.ell_ids[j0:j1],
+                mc.row_nnz[j0:j1], n,
+            ).T
         else:
-            blk = jnp.asarray(np.asarray(X)[:, j0: j0 + block], jnp.float32)
+            blk = jnp.asarray(np.asarray(X)[:, j0:j1], jnp.float32)
         for _ in range(t):
             blk = Md.matmul_dense(blk)
-        out[:, j0: j0 + block] = np.asarray(blk)
+        out[:, j0:j1] = np.asarray(blk)
     return out

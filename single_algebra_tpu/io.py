@@ -281,7 +281,7 @@ def read_10x_mtx(path: str, *, dtype=np.float32, device: bool = True):
     with _open_maybe_gz(path, ["barcodes.tsv"]) as f:
         barcodes = np.asarray([ln.strip().split("\t")[0] for ln in f])
     with _open_maybe_gz(path, ["features.tsv", "genes.tsv"]) as f:
-        rows = [ln.rstrip("\n").split("\t") for ln in f]
+        rows = [ln.rstrip("\r\n").split("\t") for ln in f]
     gene_ids = np.asarray([r[0] for r in rows])
     gene_names = np.asarray([r[1] if len(r) > 1 else r[0] for r in rows])
     var = {"gene_ids": gene_ids}

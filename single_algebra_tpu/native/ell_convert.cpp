@@ -80,6 +80,30 @@ int64_t csr_to_tiled_ell_t_f32(const int64_t* indptr, const int32_t* indices,
   // block width: keep the local buffers (8 bytes/slot) around 8 MB
   int64_t BR = 512;
   while (BR > 64 && n_payload_rows * BR * 8 > (8 << 20)) BR /= 2;
+  if (n_payload_rows * BR * 8 > (64LL << 20)) {
+    // extreme payload heights would make the per-thread scratch (and
+    // the per-block touched-row sweep) dominate: fall back to the
+    // direct streaming writer (zero extra memory, nnz-proportional)
+    int64_t dropped = 0;
+#pragma omp parallel for schedule(guided) reduction(+ : dropped)
+    for (int64_t r = 0; r < n_rows; ++r) {
+      int64_t cur_tile = -1, rank = 0;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const int64_t c = indices[i];
+        const int64_t t = c / col_tile;
+        rank = (t == cur_tile) ? rank + 1 : 0;
+        cur_tile = t;
+        if (rank >= wt) {
+          ++dropped;
+          continue;
+        }
+        const int64_t slot = (t * wt + rank) * rows_padded + r;
+        tdata_t[slot] = data[i];
+        tlocal_t[slot] = static_cast<int32_t>(c - t * col_tile);
+      }
+    }
+    return dropped;
+  }
   int64_t dropped = 0;
 #pragma omp parallel reduction(+ : dropped)
   {
@@ -235,6 +259,30 @@ void csr_to_tiled_ell_split_t_f32(const int64_t* indptr,
                                   int64_t ov_w) {
   int64_t BR = 512;
   while (BR > 64 && n_payload_rows * BR * 8 > (8 << 20)) BR /= 2;
+  if (n_payload_rows * BR * 8 > (64LL << 20)) {
+    // same scratch bound as csr_to_tiled_ell_t_f32: direct writer
+#pragma omp parallel for schedule(guided)
+    for (int64_t r = 0; r < n_rows; ++r) {
+      int64_t cur_tile = -1, rank = 0, over = 0;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const int64_t c = indices[i];
+        const int64_t t = c / col_tile;
+        rank = (t == cur_tile) ? rank + 1 : 0;
+        cur_tile = t;
+        if (rank < wt) {
+          const int64_t slot = (t * wt + rank) * rows_padded + r;
+          tdata_t[slot] = data[i];
+          tlocal_t[slot] = static_cast<int32_t>(c - t * col_tile);
+        } else {
+          const int64_t slot = r * ov_w + over;
+          ov_data[slot] = data[i];
+          ov_ids[slot] = static_cast<int32_t>(c);
+          ++over;
+        }
+      }
+    }
+    return;
+  }
 #pragma omp parallel
   {
     std::vector<float> ld(static_cast<size_t>(n_payload_rows) * BR, 0.0f);

@@ -247,8 +247,27 @@ def ivf_knn(
             )
         q_ids = np.full(Q.shape[0], -1, np.int32)
 
-    return _ivf_search(
+    D, I = _ivf_search(
         jnp.asarray(Q), jnp.asarray(q_ids), jnp.asarray(cent),
         jnp.asarray(lists_v), jnp.asarray(lists_i),
         k=k, n_probe=npr, block=min(block, max(8, Q.shape[0])),
     )
+    D, I = np.array(D), np.array(I)  # writable host copies
+    # a query whose probed lists hold fewer than k candidates comes back
+    # with -1/inf padding — resolve those rows exactly so callers never
+    # see sentinels (scattered points on imbalanced lists trigger this)
+    bad = np.where((I < 0).any(axis=1))[0]
+    if len(bad):
+        kk = k + 1 if query is None else k
+        db, ib = cross_knn(Q[bad], X, min(kk, n), block=block)
+        db, ib = np.asarray(db), np.asarray(ib)
+        if query is None:  # drop the self-hit
+            keep = ib != bad[:, None]
+            for row in range(len(bad)):
+                sel = np.where(keep[row])[0][:k]
+                I[bad[row]] = ib[row, sel]
+                D[bad[row]] = db[row, sel]
+        else:
+            I[bad] = ib[:, :k]
+            D[bad] = db[:, :k]
+    return D, I

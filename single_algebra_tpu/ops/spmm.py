@@ -25,7 +25,27 @@ import jax.numpy as jnp
 
 from ..types import MATMUL_PRECISION
 
-__all__ = ["ell_spmm", "ell_spmm_xla"]
+__all__ = ["ell_spmm", "ell_spmm_xla", "ell_scatter_densify"]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n",))
+def ell_scatter_densify(ell_data, ell_ids, row_nnz, n: int):
+    """Major-axis ELL block -> dense [rows, n] by one device scatter.
+
+    Shared by the DE rank kernel, preprocess densify, and imputation —
+    one jit cache entry per shape instead of per-module duplicates.
+    """
+
+    R, W = ell_data.shape
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    valid = w_iota < row_nnz[:, None]
+    vals = jnp.where(valid, ell_data, 0.0)
+    ids = jnp.where(valid, ell_ids, 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    return jnp.zeros((R, n), ell_data.dtype).at[r, ids].add(vals)
 
 # Elements budget for the gathered [BR, W, k] intermediate per row block.
 _GATHER_BUDGET = 1 << 22

@@ -116,17 +116,7 @@ def aggregate(
     return out
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _ell_densify(ell_data, ell_ids, row_nnz, n: int):
-    """Row-major ELL -> dense [rows_padded, n] by one device scatter."""
-
-    R, W = ell_data.shape
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-    valid = w_iota < row_nnz[:, None]
-    vals = jnp.where(valid, ell_data, 0.0)
-    ids = jnp.where(valid, ell_ids, 0)
-    r = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
-    return jnp.zeros((R, n), ell_data.dtype).at[r, ids].add(vals)
+from .ops.spmm import ell_scatter_densify as _ell_densify  # noqa: E402
 
 
 def _col_mean_std(X):

@@ -109,12 +109,18 @@ def score_genes_cell_cycle(
     ``ctrl_size`` defaults to the signature length (scanpy behavior).
     """
 
+    s_genes = list(s_genes)
+    g2m_genes = list(g2m_genes)
     kw = dict(var_names=var_names, n_bins=n_bins, seed=seed)
     s_score = score_genes(
-        m, s_genes, ctrl_size=ctrl_size or len(list(s_genes)), **kw
+        m, s_genes,
+        ctrl_size=len(s_genes) if ctrl_size is None else ctrl_size,
+        **kw,
     )
     g2m_score = score_genes(
-        m, g2m_genes, ctrl_size=ctrl_size or len(list(g2m_genes)), **kw
+        m, g2m_genes,
+        ctrl_size=len(g2m_genes) if ctrl_size is None else ctrl_size,
+        **kw,
     )
     phase = np.where(
         (s_score <= 0) & (g2m_score <= 0),

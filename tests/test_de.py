@@ -274,12 +274,15 @@ def test_pts_and_filter():
     frac_out = (Xd[lab != "a"] > 0).mean(0)
     np.testing.assert_allclose(got["pts"], frac_in, rtol=1e-6)
     np.testing.assert_allclose(got["pts_rest"], frac_out, rtol=1e-6)
-    filt = res.filter(min_fold_change=1.0, min_in_group_fraction=0.8,
+    filt = res.filter(min_fold_change=2.0, min_in_group_fraction=0.8,
                       max_out_group_fraction=0.5)
     assert set(filt.names["a"]) <= set(res.names["a"])
     assert set(range(3)) <= set(filt.names["a"])  # markers survive
+    # scanpy semantics: RAW fold change cutoff -> log2FC >= 1
     assert (filt.logfoldchanges["a"] >= 1.0).all()
     assert (filt.pts["a"] >= 0.8).all()
+    with pytest.raises(ValueError, match="positive"):
+        res.filter(min_fold_change=0.0)
     # filter without pts errors
     bare = rank_genes_groups(m, lab.tolist(), method="t-test",
                              log1p_input=False)

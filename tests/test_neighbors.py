@@ -79,3 +79,21 @@ def test_ivf_query_mode():
         neighbors.ivf_knn(X, 3, query=np.ones((4, 9)))
     with pytest.raises(ValueError, match="k="):
         neighbors.ivf_knn(X, 0)
+
+
+def test_ivf_underfilled_lists_fall_back_exactly():
+    """Scattered points + imbalanced lists used to return -1 sentinels
+    (crashing connectivities); underfilled rows now resolve exactly."""
+
+    rng = np.random.default_rng(3)
+    X = np.concatenate([
+        rng.normal(0, 30, (63, 8)),  # scattered
+        rng.normal(0, 0.5, (1937, 8)),  # one dense blob
+    ]).astype(np.float32)
+    d, i = neighbors.ivf_knn(X, 20, n_lists=64, n_probe=16, seed=0)
+    d, i = np.asarray(d), np.asarray(i)
+    assert (i >= 0).all()
+    assert np.isfinite(d).all()
+    # the graph construction that used to crash
+    S = neighbors.connectivities(X, 20, method="ivf")
+    assert np.isfinite(S.data).all() and S.shape == (2000, 2000)
