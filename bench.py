@@ -277,6 +277,53 @@ def project_64core(spmm_s: float, dense_s: float) -> float:
     return spmm_s / S_SPMM + dense_s / S_DENSE
 
 
+def _backend_watchdog(timeout_s: float):
+    """Fail fast with a JSON line if backend init hangs (dead tunnel).
+
+    jax.devices() against a downed TPU tunnel blocks forever; the
+    driver's bench run must record an error row instead of hanging.
+    The init runs in a daemon thread; on timeout we os._exit because
+    the stuck thread cannot be interrupted.
+    """
+
+    import threading
+
+    done = threading.Event()
+    err = []
+
+    def _init():
+        try:
+            import jax
+
+            jax.devices()
+        except Exception as e:  # pragma: no cover - env specific
+            err.append(str(e))
+        done.set()
+
+    threading.Thread(target=_init, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "pca_fit_warm_seconds",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": (
+                f"backend init timed out after {timeout_s:.0f}s "
+                "(TPU tunnel unreachable)"
+            ),
+        }), flush=True)
+        os._exit(1)
+    if err:
+        print(json.dumps({
+            "metric": "pca_fit_warm_seconds",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": f"backend init failed: {err[0]}",
+        }), flush=True)
+        os._exit(1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
@@ -295,6 +342,9 @@ def main():
         n_, p_, d_, k_ = args.shape.split(",")
         cfg = dict(n=int(n_), p=int(p_), density=float(d_), k=int(k_))
 
+    _backend_watchdog(
+        float(os.environ.get("BENCH_INIT_TIMEOUT_S", "300"))
+    )
     X = make_matrix(cfg["n"], cfg["p"], cfg["density"])
     _log(f"matrix ready: {X.shape} nnz={X.nnz}")
     tpu = run_tpu(X, cfg["k"])
