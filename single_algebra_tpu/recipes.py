@@ -14,7 +14,57 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["recipe_zheng17"]
+__all__ = ["recipe_zheng17", "recipe_seurat"]
+
+
+def recipe_seurat(
+    m,
+    *,
+    min_genes: int = 200,
+    min_cells: int = 3,
+    log: bool = True,
+    scale_max: float = 10.0,
+) -> Tuple[np.ndarray, Dict]:
+    """Seurat-flavor preprocessing (scanpy ``pp.recipe_seurat``):
+
+    1. drop cells with < ``min_genes`` detected genes and genes seen in
+       < ``min_cells`` cells,
+    2. total-count normalize to 1e4,
+    3. log1p,
+    4. Seurat dispersion-cutoff HVG selection (the classic
+       min_mean/max_mean/min_disp box, NOT a top-N ranking),
+    5. subset, scale to unit variance clipped at ``scale_max``.
+
+    Returns ``(Z, info)``: Z dense [n_kept, n_hvg]; info carries
+    ``cell_mask`` / ``gene_mask`` over the ORIGINAL axes and ``hvg``.
+    """
+
+    from .feature_selection import highly_variable_genes
+    from .preprocess import scale
+    from .qc import filter_cells, filter_genes
+    from .types import Direction
+
+    n, p = m.shape
+    kept_cells, cell_mask = filter_cells(m, min_genes=min_genes)
+    kept, counts_mask = filter_genes(kept_cells, min_cells=min_cells)
+
+    sums = np.asarray(kept.sum_row())
+    norm = kept.normalize(sums, 1e4, Direction.ROW)
+    if log:
+        norm = norm.log1p_normalize()
+
+    hvg = highly_variable_genes(norm, flavor="seurat")
+    sub = norm.select_cols(hvg.mask)
+    Z = scale(sub, max_value=scale_max)
+
+    gene_mask = np.zeros(p, bool)
+    gene_mask[np.where(counts_mask)[0][hvg.mask]] = True
+    return Z, {
+        "cell_mask": cell_mask,
+        "gene_mask": gene_mask,
+        "counts_mask": counts_mask,
+        "hvg": hvg,
+    }
 
 
 def recipe_zheng17(

@@ -271,3 +271,41 @@ def test_aggregate_matches_numpy_groupby():
         )
     with pytest.raises(ValueError, match="Unknown aggregate"):
         aggregate(m, labels.tolist(), funcs=("median",))
+
+
+def test_recipe_seurat():
+    from single_algebra_tpu.recipes import recipe_seurat
+
+    rng = np.random.default_rng(14)
+    # realistic shape: the Seurat cutoff box expects per-gene de-logged
+    # means around 1e4/p, i.e. inside [0.0125, 3] only when p is large
+    n, p = 400, 5000
+    counts = sp.random(
+        n, p, density=0.04, format="csr", dtype=np.float32,
+        random_state=rng,
+        data_rvs=lambda s: (rng.pareto(2.0, s) * 2 + 1).astype(np.float32).round(),
+    ).toarray()
+    counts[:5] = 0.0  # empty cells: dropped by min_genes
+    counts[:, 13] = 0.0  # dead gene: dropped by min_cells
+    m = SparseMatrix.from_scipy(sp.csr_matrix(counts))
+    Z, info = recipe_seurat(m, min_genes=10, min_cells=3)
+    Z = np.asarray(Z)
+    assert not info["cell_mask"][:5].any()
+    assert not info["gene_mask"][13]
+    n_kept = info["cell_mask"].sum()
+    assert Z.shape == (n_kept, info["gene_mask"].sum())
+    assert info["hvg"].n_selected == Z.shape[1] > 0
+    # scaled: unit variance (clipped columns legitimately fall below 1),
+    # upper clip respected
+    sd = Z.std(0, ddof=1)
+    assert (sd <= 1.0 + 1e-3).all()
+    assert np.median(sd[sd > 0]) == pytest.approx(1.0, rel=1e-3)
+    assert Z.max() <= 10.0 + 1e-5
+    # reproduce by hand
+    kept = counts[info["cell_mask"]][:, info["counts_mask"]]
+    sums = kept.sum(1)
+    normed = np.log1p(kept * (1e4 / np.where(sums > 0, sums, 1))[:, None])
+    sub = normed[:, info["hvg"].mask]
+    mean, std = sub.mean(0), sub.std(0, ddof=1)
+    ref = np.minimum((sub - mean) / np.where(std > 0, std, 1), 10.0)
+    np.testing.assert_allclose(Z, ref, rtol=2e-3, atol=2e-3)
