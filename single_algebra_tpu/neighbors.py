@@ -23,7 +23,7 @@ import jax
 
 from .models.umap import _knn_graph, fuzzy_connectivities
 
-__all__ = ["knn", "connectivities", "cross_knn", "ivf_knn"]
+__all__ = ["knn", "connectivities", "cross_knn", "ivf_knn", "bbknn"]
 
 
 @partial(jax.jit, static_argnames=("k", "block"))
@@ -271,3 +271,104 @@ def ivf_knn(
             I[bad] = ib[:, :k]
             D[bad] = db[:, :k]
     return D, I
+
+
+def bbknn(
+    X,
+    batch,
+    *,
+    neighbors_within_batch: int = 3,
+    trim: int | None = None,
+    block: int = 2048,
+):
+    """Batch-balanced kNN graph (Polanski et al. 2020; scanpy
+    ``external.pp.bbknn`` role) — graph-level batch integration.
+
+    Every cell takes its ``neighbors_within_batch`` nearest neighbors
+    from EACH batch (blocked cross-set MXU kNN per batch pair), so no
+    batch can dominate a neighborhood; the union is fed through the
+    same smooth-kNN fuzzy calibration as :func:`connectivities`. The
+    returned symmetric scipy CSR drops straight into
+    ``cluster.leiden`` / UMAP.
+
+    ``trim``: keep only each cell's ``trim`` strongest connectivities
+    (scanpy's default is 10 * total neighbors; None = no trimming).
+    """
+
+    import numpy as np
+    import scipy.sparse as sp
+
+    from .models.umap import _smooth_knn
+
+    X = jnp.asarray(X, jnp.float32)
+    n = X.shape[0]
+    batch = np.asarray(list(batch))
+    if batch.shape[0] != n:
+        raise ValueError(f"batch length ({batch.shape[0]}) != rows ({n})")
+    labels = list(dict.fromkeys(batch.tolist()))
+    if neighbors_within_batch < 1:
+        raise ValueError("neighbors_within_batch must be >= 1")
+    kb = neighbors_within_batch
+
+    rows_all = []
+    for b in labels:
+        ref_rows = np.where(batch == b)[0]
+        kk = min(kb, len(ref_rows))
+        if kk < 1:
+            continue
+        d, idx = cross_knn(np.asarray(X), np.asarray(X[ref_rows]), kk + 1,
+                           block=block)
+        d, idx = np.asarray(d), np.asarray(ref_rows[np.asarray(idx)])
+        # drop self-hits (cells of batch b querying their own batch)
+        self_hit = idx == np.arange(n)[:, None]
+        d = np.where(self_hit, np.inf, d)
+        order = np.argsort(d, axis=1)[:, :kk]
+        rows_all.append((
+            np.take_along_axis(d, order, axis=1),
+            np.take_along_axis(idx, order, axis=1),
+        ))
+    dists = np.concatenate([r[0] for r in rows_all], axis=1)
+    idx = np.concatenate([r[1] for r in rows_all], axis=1)
+    # sort each row's union by distance for the smooth-kNN calibration
+    order = np.argsort(dists, axis=1)
+    dists = np.take_along_axis(dists, order, axis=1)
+    idx = np.take_along_axis(idx, order, axis=1)
+    finite = np.isfinite(dists)
+    dists = np.where(finite, dists, 0.0)
+
+    rho, sigma = _smooth_knn(jnp.asarray(dists, jnp.float32))
+    W = np.asarray(
+        jnp.exp(
+            -jnp.maximum(
+                jnp.asarray(dists) - jnp.asarray(rho)[:, None], 0.0
+            )
+            / jnp.asarray(sigma)[:, None]
+        ),
+        np.float64,
+    )
+    W = np.where(finite, W, 0.0)
+    k_tot = W.shape[1]
+    A = sp.coo_matrix(
+        (
+            W.ravel(),
+            (
+                np.repeat(np.arange(n, dtype=np.int64), k_tot),
+                idx.ravel().astype(np.int64),
+            ),
+        ),
+        shape=(n, n),
+    ).tocsr()
+    A.eliminate_zeros()
+    S = A + A.T - A.multiply(A.T)
+    if trim is not None:
+        S = S.tolil()
+        for i in range(n):
+            row = np.asarray(S.data[i])
+            if len(row) > trim:
+                cutoff = np.partition(row, -trim)[-trim]
+                keep = row >= cutoff
+                S.rows[i] = [c for c, kf in zip(S.rows[i], keep) if kf]
+                S.data[i] = [v for v, kf in zip(S.data[i], keep) if kf]
+        S = S.tocsr()
+        S = S.maximum(S.T)  # retain symmetry after trimming
+    return S.tocsr()

@@ -97,3 +97,47 @@ def test_ivf_underfilled_lists_fall_back_exactly():
     # the graph construction that used to crash
     S = neighbors.connectivities(X, 20, method="ivf")
     assert np.isfinite(S.data).all() and S.shape == (2000, 2000)
+
+
+def test_bbknn_balances_batches():
+    rng = np.random.default_rng(4)
+    # batch 1 shifted: plain kNN picks same-batch neighbors only
+    types = rng.normal(0, 6, (3, 8))
+    off = np.zeros(8); off[0] = 4.0
+    Z, b_lab = [], []
+    for b in range(2):
+        for t in range(3):
+            Z.append(types[t] + off * b + rng.normal(0, 0.6, (60, 8)))
+            b_lab += [f"b{b}"] * 60
+    Z = np.concatenate(Z).astype(np.float32)
+    b_lab = np.asarray(b_lab)
+    S = neighbors.bbknn(Z, b_lab, neighbors_within_batch=4)
+    assert S.shape == (360, 360)
+    assert abs(S - S.T).max() < 1e-12
+    # every cell connects to BOTH batches
+    coo = S.tocoo()
+    other = np.zeros(360, bool)
+    for i, j in zip(coo.row, coo.col):
+        if b_lab[i] != b_lab[j]:
+            other[i] = True
+    assert other.mean() > 0.95
+    # plain connectivities, by contrast, is batch-segregated here
+    S0 = neighbors.connectivities(Z, 8)
+    coo0 = S0.tocoo()
+    cross0 = (b_lab[coo0.row] != b_lab[coo0.col]).mean()
+    cross1 = (b_lab[coo.row] != b_lab[coo.col]).mean()
+    assert cross1 > 3 * max(cross0, 1e-9)
+
+
+def test_bbknn_trim_and_validation():
+    rng = np.random.default_rng(5)
+    Z = rng.normal(0, 1, (120, 6)).astype(np.float32)
+    b = rng.choice(["x", "y", "z"], 120)
+    S = neighbors.bbknn(Z, b, neighbors_within_batch=3, trim=6)
+    deg = np.diff(S.indptr)
+    assert deg.max() <= 6 * 3  # trimmed + symmetrized stays bounded
+    assert abs(S - S.T).max() < 1e-12
+    with pytest.raises(ValueError, match="batch length"):
+        neighbors.bbknn(Z, b[:-1])
+    with pytest.raises(ValueError, match="neighbors_within_batch"):
+        neighbors.bbknn(Z, b, neighbors_within_batch=0)
