@@ -293,6 +293,12 @@ def bbknn(
 
     ``trim``: keep only each cell's ``trim`` strongest connectivities
     (scanpy's default is 10 * total neighbors; None = no trimming).
+
+    Weights are smooth-kNN calibrated PER BATCH (each batch's neighbor
+    set gets its own rho/sigma): with a global calibration a strong
+    batch shift makes every cross-batch weight vanish (the nearest
+    same-batch neighbor sets rho), defeating the balancing this graph
+    exists for.
     """
 
     import numpy as np
@@ -310,43 +316,38 @@ def bbknn(
         raise ValueError("neighbors_within_batch must be >= 1")
     kb = neighbors_within_batch
 
-    rows_all = []
+    W_parts, idx_parts, finite_parts = [], [], []
     for b in labels:
         ref_rows = np.where(batch == b)[0]
         kk = min(kb, len(ref_rows))
         if kk < 1:
             continue
-        d, idx = cross_knn(np.asarray(X), np.asarray(X[ref_rows]), kk + 1,
-                           block=block)
-        d, idx = np.asarray(d), np.asarray(ref_rows[np.asarray(idx)])
+        d, idx_b = cross_knn(np.asarray(X), np.asarray(X[ref_rows]),
+                             kk + 1, block=block)
+        d, idx_b = np.asarray(d), np.asarray(ref_rows[np.asarray(idx_b)])
         # drop self-hits (cells of batch b querying their own batch)
-        self_hit = idx == np.arange(n)[:, None]
+        self_hit = idx_b == np.arange(n)[:, None]
         d = np.where(self_hit, np.inf, d)
         order = np.argsort(d, axis=1)[:, :kk]
-        rows_all.append((
-            np.take_along_axis(d, order, axis=1),
-            np.take_along_axis(idx, order, axis=1),
-        ))
-    dists = np.concatenate([r[0] for r in rows_all], axis=1)
-    idx = np.concatenate([r[1] for r in rows_all], axis=1)
-    # sort each row's union by distance for the smooth-kNN calibration
-    order = np.argsort(dists, axis=1)
-    dists = np.take_along_axis(dists, order, axis=1)
-    idx = np.take_along_axis(idx, order, axis=1)
-    finite = np.isfinite(dists)
-    dists = np.where(finite, dists, 0.0)
-
-    rho, sigma = _smooth_knn(jnp.asarray(dists, jnp.float32))
-    W = np.asarray(
-        jnp.exp(
-            -jnp.maximum(
-                jnp.asarray(dists) - jnp.asarray(rho)[:, None], 0.0
-            )
-            / jnp.asarray(sigma)[:, None]
-        ),
-        np.float64,
-    )
-    W = np.where(finite, W, 0.0)
+        d = np.take_along_axis(d, order, axis=1)
+        idx_b = np.take_along_axis(idx_b, order, axis=1)
+        fin = np.isfinite(d)
+        d = np.where(fin, d, 0.0)
+        rho, sigma = _smooth_knn(jnp.asarray(d, jnp.float32))
+        Wb = np.asarray(
+            jnp.exp(
+                -jnp.maximum(
+                    jnp.asarray(d) - jnp.asarray(rho)[:, None], 0.0
+                )
+                / jnp.asarray(sigma)[:, None]
+            ),
+            np.float64,
+        )
+        W_parts.append(np.where(fin, Wb, 0.0))
+        idx_parts.append(idx_b)
+        finite_parts.append(fin)
+    W = np.concatenate(W_parts, axis=1)
+    idx = np.concatenate(idx_parts, axis=1)
     k_tot = W.shape[1]
     A = sp.coo_matrix(
         (
