@@ -176,6 +176,45 @@ def fuzzy_connectivities(
     return A + A.T - A.multiply(A.T)
 
 
+@partial(jax.jit, static_argnames=("epochs", "neg_rate"))
+def _transform_layout(
+    Ynew, Ytrain, idx, w, key, *, epochs: int, neg_rate: int,
+    a: float, b: float, lr: float,
+):
+    """One-sided layout for out-of-sample points: only ``Ynew`` moves;
+    its kNN memberships attract toward the FROZEN training embedding,
+    uniform training negatives repel. [m, k, dim] vectorized epochs."""
+
+    m, k = w.shape
+    n_train = Ytrain.shape[0]
+    a = jnp.float32(a)
+    b = jnp.float32(b)
+    eps = 1e-3
+
+    def epoch(e, carry):
+        Y, key = carry
+        alpha = lr * (1.0 - e.astype(jnp.float32) / epochs)
+        key, k1, k2 = jax.random.split(key, 3)
+        active = jax.random.uniform(k1, (m, k)) < w
+        yt = Ytrain[idx]  # [m, k, dim]
+        dvec = Y[:, None, :] - yt
+        d2 = jnp.sum(dvec * dvec, axis=2, keepdims=True)
+        g_att = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2**b)
+        g_att = jnp.where(active[:, :, None], g_att, 0.0)
+        grad = jnp.clip(g_att * dvec, -4.0, 4.0).sum(axis=1)
+
+        negs = jax.random.randint(k2, (m, neg_rate), 0, n_train)
+        yn = Ytrain[negs]
+        dn = Y[:, None, :] - yn
+        dn2 = jnp.sum(dn * dn, axis=2, keepdims=True)
+        g_rep = (2.0 * b) / ((eps + dn2) * (1.0 + a * dn2**b))
+        grad = grad + jnp.clip(g_rep * dn, -4.0, 4.0).sum(axis=1)
+        return Y + alpha * grad, key
+
+    Y, _ = jax.lax.fori_loop(0, epochs, epoch, (Ynew, key))
+    return Y
+
+
 @partial(
     jax.jit,
     static_argnames=("n_epochs", "neg_rate", "n"),
@@ -342,6 +381,7 @@ class UMAP:
         w = S.data[keep]
         weights = jnp.asarray((w / w.max()).astype(np.float32))
         self.graph_ = (heads, tails, weights)
+        self._train_X = np.asarray(X, np.float32)  # for transform()
 
         a, b = _fit_ab(cfg.spread, cfg.min_dist)
 
@@ -386,3 +426,41 @@ class UMAP:
             lr=cfg.learning_rate,
         )
         return self.embedding_
+
+    def transform(self, X_new, *, epochs: int = 30) -> jnp.ndarray:
+        """Embed NEW points into the fitted space (umap-learn
+        ``transform``): each new point is initialized at the
+        membership-weighted average of its training neighbors'
+        embeddings, then optimized one-sidedly (training embedding
+        frozen) — attraction along its kNN memberships, negative
+        sampling against random training points. One jitted loop.
+        """
+
+        if self.embedding_ is None:
+            raise RuntimeError("Must be fitted before transform!")
+        cfg = self.config
+        Xn = jnp.asarray(X_new, jnp.float32)
+        train = self._train_X
+        if Xn.ndim != 2 or Xn.shape[1] != train.shape[1]:
+            raise ValueError(
+                f"X_new must be [m, {train.shape[1]}], got {Xn.shape}"
+            )
+        n_train = train.shape[0]
+        k = min(cfg.n_neighbors, n_train)
+
+        from ..neighbors import cross_knn
+
+        d, idx = cross_knn(np.asarray(Xn), train, k)
+        rho, sigma = _smooth_knn(d)
+        W = jnp.exp(-jnp.maximum(d - rho[:, None], 0.0) / sigma[:, None])
+        Wn = W / jnp.maximum(W.sum(axis=1, keepdims=True), 1e-12)
+        Ytrain = jnp.asarray(self.embedding_, jnp.float32)
+        Y0 = jnp.einsum("mk,mkd->md", Wn, Ytrain[idx])
+
+        a, b = _fit_ab(cfg.spread, cfg.min_dist)
+        return _transform_layout(
+            Y0, Ytrain, idx, (W / W.max()).astype(jnp.float32),
+            jax.random.PRNGKey(cfg.random_seed + 2),
+            epochs=epochs, neg_rate=cfg.negative_sample_rate,
+            a=a, b=b, lr=cfg.learning_rate,
+        )

@@ -91,3 +91,40 @@ def test_umap_pads_when_input_narrower_than_components():
     emb = np.asarray(UMAP(UMAPConfig(n_neighbors=5, n_epochs=20)).fit_transform(X))
     assert emb.shape == (60, 2)
     assert np.isfinite(emb).all()
+
+
+def test_transform_places_new_points_with_their_cluster():
+    rng = np.random.default_rng(7)
+    mu = rng.normal(0, 10, (3, 6))
+    lab = rng.integers(0, 3, 300)
+    X = (mu[lab] + rng.normal(0, 0.8, (300, 6))).astype(np.float32)
+    um = UMAP(UMAPConfig(n_neighbors=12, n_epochs=150, random_seed=0))
+    Y = np.asarray(um.fit_transform(X))
+
+    new_lab = rng.integers(0, 3, 60)
+    X_new = (mu[new_lab] + rng.normal(0, 0.8, (60, 6))).astype(np.float32)
+    Y_new = np.asarray(um.transform(X_new))
+    assert Y_new.shape == (60, 2)
+    assert np.isfinite(Y_new).all()
+    # each new point lands nearest its own cluster's training centroid
+    cents = np.stack([Y[lab == c].mean(0) for c in range(3)])
+    d = np.linalg.norm(Y_new[:, None] - cents[None], axis=2)
+    acc = (d.argmin(1) == new_lab).mean()
+    assert acc > 0.95, acc
+    # deterministic
+    np.testing.assert_allclose(
+        np.asarray(um.transform(X_new)), Y_new, atol=1e-5
+    )
+
+
+def test_transform_validation():
+    um = UMAP(UMAPConfig(n_neighbors=5, n_epochs=20))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="fitted"):
+        um.transform(np.zeros((3, 4), np.float32))
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, (50, 4)).astype(np.float32)
+    um.fit_transform(X)
+    with _pytest.raises(ValueError, match="X_new must be"):
+        um.transform(np.zeros((3, 7), np.float32))
