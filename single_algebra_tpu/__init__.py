@@ -24,7 +24,12 @@ from . import io  # noqa: F401
 from .qc import calculate_qc_metrics  # noqa: F401
 from .de import rank_genes_groups  # noqa: F401
 from .cluster import leiden  # noqa: F401
-from .preprocess import scale, regress_out, combat  # noqa: F401
+from .preprocess import (  # noqa: F401
+    scale,
+    regress_out,
+    combat,
+    normalize_pearson_residuals,
+)
 from .scoring import score_genes, score_genes_cell_cycle  # noqa: F401
 from .ingest import ingest, transfer_values  # noqa: F401
 from .doublets import scrublet  # noqa: F401

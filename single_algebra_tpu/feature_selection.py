@@ -35,8 +35,10 @@ dispersion) — the same combination rule scanpy uses for ``batch_key``.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -154,6 +156,96 @@ def _normalized_dispersion(
     )
 
 
+@partial(jax.jit, static_argnames=("row_block", "n_real"))
+def _pearson_var_graph(ed, ei, nz, g, t_pad, theta, clip, row_block, n_real):
+    """Per-gene variance of clipped analytic Pearson residuals.
+
+    Tiled so the dense [n, p] residual matrix is NEVER materialized:
+    ``ed/ei/nz/g`` are the column-major ELL payload pre-reshaped into
+    gene blocks ([nb, GB, w] / [nb, GB]), ``t_pad`` the per-cell totals
+    zero-padded to a multiple of ``row_block``. For each gene block the
+    zero-entry part sum_i f(t_i * p_g) is accumulated over row blocks
+    ([row_block, GB] VPU tiles), then the stored entries swap their
+    zero-part term for the true residual — O(n p) elementwise + O(nnz),
+    all on device, with only p-length vectors reaching the host.
+    Cells/genes with zero total contribute zero residuals (no NaNs).
+    """
+
+    total = jnp.sum(t_pad)
+    n_row_blocks = t_pad.shape[0] // row_block
+    t_blocks = t_pad.reshape(n_row_blocks, row_block)
+    w = ed.shape[2]
+    rank = jax.lax.broadcasted_iota(jnp.int32, (ed.shape[1], w), 1)
+
+    def gene_block(_, blk):
+        ed_b, ei_b, nz_b, g_b = blk  # [GB, w] x2, [GB], [GB]
+        pg = g_b / jnp.where(total > 0, total, 1.0)  # [GB]
+
+        def row_pass(i, acc):
+            s, ss = acc
+            mu = t_blocks[i][:, None] * pg[None, :]  # [rb, GB]
+            r0 = -jnp.sqrt(mu / (1.0 + mu / theta))
+            r0 = jnp.maximum(r0, -clip)  # r0 <= 0: only the lower clip binds
+            return s + r0.sum(axis=0), ss + (r0 * r0).sum(axis=0)
+
+        zero = jnp.zeros(ed_b.shape[0], ed_b.dtype)
+        s0, ss0 = jax.lax.fori_loop(0, n_row_blocks, row_pass, (zero, zero))
+
+        # stored entries: replace their zero-part term with the true residual
+        mu_e = jnp.take(t_pad, ei_b, axis=0) * pg[:, None]  # [GB, w]
+        valid = (rank < nz_b[:, None]) & (mu_e > 0)
+        safe = jnp.where(valid, mu_e, 1.0)
+        sig = jnp.sqrt(safe + safe * safe / theta)
+        r = jnp.clip((ed_b - safe) / sig, -clip, clip)
+        r0e = jnp.maximum(-jnp.sqrt(safe / (1.0 + safe / theta)), -clip)
+        s = s0 + jnp.where(valid, r - r0e, 0.0).sum(axis=1)
+        ss = ss0 + jnp.where(valid, r * r - r0e * r0e, 0.0).sum(axis=1)
+        mean = s / n_real
+        return _, ss / n_real - mean * mean  # np.var ddof=0 (scanpy)
+
+    _, var = jax.lax.scan(gene_block, 0, (ed, ei, nz, g))
+    return var.reshape(-1)
+
+
+def _pearson_residual_variance(
+    x, theta: float, clip: Optional[float], *,
+    gene_block: int = 256, row_block: int = 4096,
+):
+    """Blocked device computation of per-gene clipped-residual variance."""
+
+    n, p = x.shape
+    if clip is None:
+        clip = float(np.sqrt(n))
+    mc = x._layout_for("col")  # ELL major lines are genes
+    ed, ei, nz = mc.ell_data, mc.ell_ids, mc.row_nnz
+    R = ed.shape[0]
+    gb = min(gene_block, R)
+    pad_g = (-R) % gb
+    if pad_g:
+        ed = jnp.pad(ed, ((0, pad_g), (0, 0)))
+        ei = jnp.pad(ei, ((0, pad_g), (0, 0)))
+        nz = jnp.pad(nz, ((0, pad_g),))
+    g = jnp.pad(jnp.asarray(x.sum_col(), ed.dtype), (0, R + pad_g - p))
+    t = jnp.asarray(x.sum_row(), ed.dtype)
+    rb = min(row_block, max(8, n))
+    pad_t = (-n) % rb
+    if pad_t:
+        t = jnp.pad(t, (0, pad_t))  # zero totals contribute zero residuals
+    nb = (R + pad_g) // gb
+    var = _pearson_var_graph(
+        ed.reshape(nb, gb, -1),
+        ei.reshape(nb, gb, -1),
+        nz.reshape(nb, gb),
+        g.reshape(nb, gb),
+        t,
+        jnp.asarray(theta, ed.dtype),
+        jnp.asarray(clip, ed.dtype),
+        rb,
+        n,
+    )
+    return np.asarray(var[:p], np.float64)
+
+
 def highly_variable_genes_from_moments(
     mean,
     var,
@@ -207,6 +299,69 @@ def highly_variable_genes_from_moments(
     )
 
 
+def _hvg_pearson_residuals(
+    x,
+    *,
+    n_top_genes: Optional[int],
+    theta: float,
+    clip: Optional[float],
+    assume_logged: Optional[bool],
+    batches: Optional[Sequence],
+) -> HVGResult:
+    """flavor='pearson_residuals' path: rank by clipped-residual variance.
+
+    Batch mode follows scanpy's experimental rule: residual variances are
+    computed per batch (each on its own row subset, so t_i/g_g/total are
+    batch-local), genes are ranked by how many batches put them in their
+    top-n (ties broken by median residual variance across batches).
+    """
+
+    if n_top_genes is None:
+        raise ValueError(
+            "flavor='pearson_residuals' requires n_top_genes (scanpy rule)"
+        )
+    if not 1 <= n_top_genes <= x.ncols:
+        raise ValueError(
+            f"n_top_genes={n_top_genes} out of range [1, {x.ncols}]"
+        )
+    if not theta > 0:
+        raise ValueError(f"theta={theta} must be > 0")
+    if assume_logged:
+        raise ValueError(
+            "flavor='pearson_residuals' expects RAW counts "
+            "(assume_logged must be False/None)"
+        )
+    p = x.ncols
+    mean = np.asarray(x.sum_col(), np.float64) / max(x.nrows, 1)
+    n_sel_batches = None
+    if batches is None:
+        var = _pearson_residual_variance(x, theta, clip)
+        order = np.argsort(-var, kind="stable")
+        mask = np.zeros(p, dtype=bool)
+        mask[order[:n_top_genes]] = True
+    else:
+        labels, codes = x._batch_codes(list(batches), x.nrows, "row")
+        per_batch = []
+        votes = np.zeros(p, dtype=np.int64)
+        for b in range(len(labels)):
+            sub = x.select_rows(np.where(codes == b)[0])
+            var_b = _pearson_residual_variance(sub, theta, clip)
+            per_batch.append(var_b)
+            votes[np.argsort(-var_b, kind="stable")[:n_top_genes]] += 1
+        var = np.median(np.stack(per_batch), axis=0)
+        rank = np.lexsort((-var, -votes))
+        mask = np.zeros(p, dtype=bool)
+        mask[rank[:n_top_genes]] = True
+        n_sel_batches = votes
+    return HVGResult(
+        mask=mask,
+        means=mean,
+        dispersions=var,
+        dispersions_norm=var,
+        n_batches_selected=n_sel_batches,
+    )
+
+
 def highly_variable_genes(
     x,
     *,
@@ -219,6 +374,8 @@ def highly_variable_genes(
     max_disp: float = float("inf"),
     assume_logged: Optional[bool] = None,
     batches: Optional[Sequence] = None,
+    theta: float = 100.0,
+    clip: Optional[float] = None,
 ) -> HVGResult:
     """Select highly variable genes of a cells x genes ``SparseMatrix``.
 
@@ -227,6 +384,14 @@ def highly_variable_genes(
     scale, min/max normalized dispersion), matching the classic Seurat
     defaults. ``assume_logged`` defaults to True for 'seurat' (expm1 is
     applied on device before the moments) and False for 'cell_ranger'.
+
+    ``flavor='pearson_residuals'`` (scanpy ``experimental.pp``; Lause et
+    al. 2021) ranks genes by the variance of their clipped analytic
+    Pearson residuals, computed in device tiles without materializing
+    the dense residual matrix (see ``_pearson_var_graph``). It expects
+    RAW counts, requires ``n_top_genes``, and uses ``theta`` / ``clip``
+    (default sqrt(n)); the residual variance is reported in both
+    ``dispersions`` and ``dispersions_norm``.
 
     ``batches`` (length n_cells) computes dispersions independently per
     batch and combines by selection count — genes variable in *every*
@@ -237,6 +402,15 @@ def highly_variable_genes(
         raise ValueError("Matrix has no feature columns")
     if n_bins < 1:
         raise ValueError(f"n_bins={n_bins} must be >= 1")
+    if flavor == "pearson_residuals":
+        return _hvg_pearson_residuals(
+            x,
+            n_top_genes=n_top_genes,
+            theta=theta,
+            clip=clip,
+            assume_logged=assume_logged,
+            batches=batches,
+        )
     if assume_logged is None:
         assume_logged = flavor == "seurat"
 

@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = [
     "normalize_total",
+    "normalize_pearson_residuals",
     "scale",
     "regress_out",
     "combat",
@@ -64,6 +65,63 @@ def normalize_total(
         target_sum = float(np.median(pos)) if pos.size else 1.0
     out = m.normalize(jnp.asarray(sums, m.dtype), target_sum, Direction.ROW)
     return out, sums / target_sum
+
+
+@partial(jax.jit, static_argnames=("ncols", "nrows"))
+def _pearson_residual_graph(
+    ell_data, ell_ids, row_nnz, ncols, nrows, t, g, theta, clip
+):
+    """Dense [n, p] clipped analytic Pearson residuals in one graph."""
+
+    dense = _ell_densify(ell_data, ell_ids, row_nnz, ncols)[:nrows]
+    total = jnp.sum(t)
+    mu = jnp.outer(t, g) / jnp.where(total > 0, total, 1.0)
+    denom = jnp.sqrt(mu + mu * mu / theta)
+    r = jnp.where(denom > 0, (dense - mu) / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return jnp.clip(r, -clip, clip)
+
+
+def normalize_pearson_residuals(
+    m,
+    *,
+    theta: float = 100.0,
+    clip: Optional[float] = None,
+):
+    """Analytic Pearson residuals of raw counts (Lause, Berens & Kobak
+    2021; scanpy ``experimental.pp.normalize_pearson_residuals``).
+
+    Under the NB model with fixed inverse overdispersion ``theta``,
+    mu_ig = t_i g_g / total and r = (x - mu) / sqrt(mu + mu^2 / theta),
+    clipped to ``[-clip, clip]`` (default ``sqrt(n)``, the scanpy/paper
+    rule). ``theta=inf`` gives Poisson residuals. Expects RAW counts.
+    Returns a dense device array [n, p] — centering destroys sparsity,
+    like ``scale(zero_center=True)``; for HVG selection use
+    ``highly_variable_genes(flavor='pearson_residuals')``, which never
+    materializes the dense residuals. Cells with zero total count and
+    genes with zero total count get all-zero residuals (no NaNs).
+    """
+
+    if not theta > 0:
+        raise ValueError(f"theta={theta} must be > 0")
+    n = m.nrows
+    if clip is None:
+        clip = float(np.sqrt(n))
+    if clip <= 0:
+        raise ValueError(f"clip={clip} must be > 0 (scanpy: None -> sqrt(n))")
+    mr = m._layout_for("row")
+    t = m.sum_row()
+    g = m.sum_col()
+    return _pearson_residual_graph(
+        mr.ell_data,
+        mr.ell_ids,
+        mr.row_nnz,
+        m.ncols,
+        n,
+        jnp.asarray(t, mr.dtype),
+        jnp.asarray(g, mr.dtype),
+        jnp.asarray(theta, mr.dtype),
+        jnp.asarray(clip, mr.dtype),
+    )
 
 
 def aggregate(
