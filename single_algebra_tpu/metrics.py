@@ -29,11 +29,14 @@ import numpy as np
 __all__ = [
     "silhouette_score",
     "silhouette_samples",
+    "silhouette_batch",
     "adjusted_rand_index",
     "normalized_mutual_info",
     "morans_i",
     "gearys_c",
     "embedding_density",
+    "lisi",
+    "kbet",
 ]
 
 
@@ -290,3 +293,146 @@ def embedding_density(
         lo, hi = dens.min(), dens.max()
         out[sel] = (dens - lo) / (hi - lo) if hi > lo else 0.5
     return out
+
+
+# ----------------------------------------------------------------------
+# integration-quality metrics (the scib benchmarking surface for the
+# harmony / mnn_correct / bbknn / combat integration stack)
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_labels",))
+def _lisi_device(d2, codes, perplexity, n_labels: int):
+    """Per-cell inverse Simpson's index over a perplexity-calibrated
+    Gaussian neighborhood: ``d2`` [n, k] squared kNN distances (self
+    excluded, ascending), ``codes`` [n, k] int label codes of those
+    neighbors. Rows of the calibrated kernel sum to 1 (the t-SNE
+    conditional-P calibration); LISI_i = 1 / sum_l q_il^2 where q_il is
+    the neighborhood's probability mass on label l."""
+
+    from .models.tsne import _calibrate_p_knn
+
+    p = _calibrate_p_knn(d2, perplexity)  # [n, k], rows sum to 1
+    onehot = (
+        codes[:, :, None] == jnp.arange(n_labels)[None, None, :]
+    ).astype(p.dtype)
+    q = jnp.sum(p[:, :, None] * onehot, axis=1)  # [n, L]
+    return 1.0 / jnp.maximum(jnp.sum(q * q, axis=1), 1e-12)
+
+
+def lisi(
+    X, labels, *, perplexity: float = 30.0, block: int = 2048
+) -> np.ndarray:
+    """Local Inverse Simpson's Index per cell (Korsunsky et al. 2019 —
+    the Harmony paper's mixing metric; scib's iLISI/cLISI base).
+
+    ``lisi(emb, batch)`` (iLISI): ~1 when each neighborhood is a single
+    batch, ~n_batches when batches mix perfectly — higher is better
+    integration. ``lisi(emb, cell_type)`` (cLISI): lower is better
+    (neighborhoods should stay one cell type). The kNN search
+    (k = 3 * perplexity, the t-SNE convention) and the per-cell Gaussian
+    calibration run as blocked device kernels; only [n]-length results
+    reach the host.
+    """
+
+    from .neighbors import knn
+
+    X = jnp.asarray(X, jnp.float32)
+    n = X.shape[0]
+    labels = np.asarray(labels)
+    if labels.shape[0] != n:
+        raise ValueError(f"labels length ({labels.shape[0]}) != rows ({n})")
+    uniq, inv = np.unique(labels, return_inverse=True)
+    if len(uniq) < 1 or n < 4:
+        raise ValueError("lisi needs n >= 4 and at least one label")
+    k = int(min(n - 1, max(round(3 * perplexity), 3)))
+    if k < perplexity:
+        raise ValueError(
+            f"perplexity={perplexity} too large for n={n} (k={k})"
+        )
+    d, idx = knn(X, k, block=block)
+    codes = jnp.asarray(inv.astype(np.int32))[idx]
+    out = _lisi_device(
+        d.astype(jnp.float32) ** 2,
+        codes,
+        jnp.asarray(perplexity, jnp.float32),
+        len(uniq),
+    )
+    return np.asarray(out)
+
+
+def silhouette_batch(
+    X, batch, group, *, block: int = 2048
+) -> float:
+    """Batch-mixing silhouette (scib ``silhouette_batch``): within each
+    cell-type ``group``, score the silhouette of the BATCH labels and
+    report the mean of ``1 - |s|`` — 1.0 means batches are
+    indistinguishable inside every cell type (perfect integration).
+    Groups containing a single batch are skipped (no signal)."""
+
+    X = np.asarray(X, np.float32)
+    batch = np.asarray(batch)
+    group = np.asarray(group)
+    if not (X.shape[0] == batch.shape[0] == group.shape[0]):
+        raise ValueError(
+            f"rows ({X.shape[0]}), batch ({batch.shape[0]}) and group "
+            f"({group.shape[0]}) lengths must match"
+        )
+    scores = []
+    for g in np.unique(group):
+        sel = group == g
+        bs = batch[sel]
+        if len(np.unique(bs)) < 2 or sel.sum() <= len(np.unique(bs)):
+            continue
+        s = np.asarray(silhouette_samples(X[sel], bs, block=block))
+        scores.append(float(np.mean(1.0 - np.abs(s))))
+    if not scores:
+        raise ValueError(
+            "no group contains more than one batch — nothing to score"
+        )
+    return float(np.mean(scores))
+
+
+def kbet(
+    X, batch, *, k: int = 25, alpha: float = 0.05, block: int = 2048
+) -> float:
+    """kBET acceptance rate (Büttner et al. 2019, simplified): for each
+    cell, a chi-squared goodness-of-fit test of its k-nearest-neighborhood
+    batch composition against the global batch frequencies; returns the
+    fraction of cells whose test ACCEPTS the null (p > alpha) — 1.0 means
+    every neighborhood looks like the global batch mix. The neighborhood
+    batch counts ride the blocked kNN + a one-hot sum on device."""
+
+    from scipy.stats import chi2
+
+    from .neighbors import knn
+
+    X = jnp.asarray(X, jnp.float32)
+    n = X.shape[0]
+    batch = np.asarray(batch)
+    if batch.shape[0] != n:
+        raise ValueError(f"batch length ({batch.shape[0]}) != rows ({n})")
+    uniq, inv = np.unique(batch, return_inverse=True)
+    B = len(uniq)
+    if B < 2:
+        raise ValueError("kbet needs at least 2 batches")
+    k = int(min(k, n - 1))
+    idx = knn(X, k, block=block, return_distances=False)
+    codes = jnp.asarray(inv.astype(np.int32))[idx]  # [n, k]
+    counts = jnp.sum(
+        (codes[:, :, None] == jnp.arange(B)[None, None, :]).astype(
+            jnp.float32
+        ),
+        axis=1,
+    )  # [n, B]
+    expected = np.bincount(inv, minlength=B).astype(np.float64) / n * k
+    stat = np.asarray(
+        jnp.sum(
+            (counts - jnp.asarray(expected, jnp.float32)) ** 2
+            / jnp.asarray(np.maximum(expected, 1e-12), jnp.float32),
+            axis=1,
+        ),
+        np.float64,
+    )
+    pvals = chi2.sf(stat, df=B - 1)
+    return float(np.mean(pvals > alpha))
