@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "normalize_total",
     "normalize_pearson_residuals",
+    "tfidf",
     "scale",
     "regress_out",
     "combat",
@@ -65,6 +66,74 @@ def normalize_total(
         target_sum = float(np.median(pos)) if pos.size else 1.0
     out = m.normalize(jnp.asarray(sums, m.dtype), target_sum, Direction.ROW)
     return out, sums / target_sum
+
+
+@partial(jax.jit, static_argnames=("major_is_tf",))
+def _tfidf_data(data, ids, major_fac, minor_fac, sf, log_tf, log_tfidf,
+                major_is_tf: bool):
+    """Per-stored-entry TF-IDF on the major-axis ELL payload: the major
+    factor broadcasts per line, the minor factor is gathered by ``ids``;
+    ``major_is_tf`` says which one is the 1/rowsum TF factor (csr major)
+    vs the IDF factor (csc major). All branches map 0 -> 0, so sparsity
+    is preserved."""
+
+    mj = major_fac[: data.shape[0], None]  # [R, 1]
+    mn = jnp.take(minor_fac, ids, axis=0, mode="clip")  # [R, W]
+    tf = data * (mj if major_is_tf else mn)
+    tf = jnp.where(log_tf, jnp.log1p(tf * sf), tf)
+    out = tf * (mn if major_is_tf else mj)
+    return jnp.where(log_tfidf, jnp.log1p(out * sf), out)
+
+
+def tfidf(
+    m,
+    *,
+    scale_factor: float = 1e4,
+    log_tf: bool = True,
+    log_idf: bool = True,
+    log_tfidf: bool = False,
+):
+    """TF-IDF normalization of a cells x peaks count matrix (the scATAC
+    preprocessing step; muon ``atac.pp.tfidf`` / Signac ``RunTFIDF``
+    semantics).
+
+    TF_ig = x_ig / rowsum_i, IDF_g = n_cells / colsum_g. With the
+    defaults (``log_tf=log_idf=True``) the result is
+    ``log1p(TF * scale_factor) * log1p(IDF)``; ``log_tfidf=True``
+    (mutually exclusive with the other logs, the Signac method-1 form)
+    gives ``log1p(TF * IDF * scale_factor)``. Every variant maps zeros
+    to zeros, so the result stays a SparseMatrix (one fused device pass
+    over the stored values). Zero-sum rows/columns contribute zero
+    factors (no NaN/inf).
+    """
+
+    if log_tfidf and (log_tf or log_idf):
+        raise ValueError(
+            "log_tfidf cannot be combined with log_tf / log_idf "
+            "(muon rule: pass log_tf=False, log_idf=False)"
+        )
+    n = m.nrows
+    rs = np.asarray(m.sum_row(), np.float64)
+    cs = np.asarray(m.sum_col(), np.float64)
+    inv_rs = np.where(rs > 0, 1.0 / np.where(rs > 0, rs, 1.0), 0.0)
+    idf = np.where(cs > 0, n / np.where(cs > 0, cs, 1.0), 0.0)
+    if log_idf:
+        idf = np.log1p(idf)
+    major_is_tf = m.format == "csr"
+    major_fac, minor_fac = (inv_rs, idf) if major_is_tf else (idf, inv_rs)
+    R = m.ell_data.shape[0]
+    major_fac = np.pad(major_fac, (0, R - len(major_fac)))
+    new = _tfidf_data(
+        m.ell_data,
+        m.ell_ids,
+        jnp.asarray(major_fac, m.dtype),
+        jnp.asarray(minor_fac, m.dtype),
+        jnp.asarray(scale_factor, m.dtype),
+        jnp.asarray(log_tf),
+        jnp.asarray(log_tfidf),
+        major_is_tf,
+    )
+    return m._with_data(new)
 
 
 @partial(jax.jit, static_argnames=("ncols", "nrows"))
