@@ -11,4 +11,5 @@ from .harmony import harmony, HarmonyResult  # noqa: F401
 from .mnn import mnn_correct, MNNResult  # noqa: F401
 from .draw_graph import draw_graph  # noqa: F401
 from .lsi import lsi, LSIResult  # noqa: F401
+from .nmf import NMF  # noqa: F401
 from . import tsne  # noqa: F401
