@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rank_genes_groups", "DEResult"]
+__all__ = ["rank_genes_groups", "DEResult", "marker_gene_overlap"]
 
 
 @dataclasses.dataclass
@@ -106,6 +106,49 @@ class DEResult:
             names, scores, pv, padj, lfc, self.method, self.reference,
             pts, ptsr,
         )
+
+
+def marker_gene_overlap(
+    de: "DEResult",
+    reference_markers: Dict,
+    *,
+    top_n: Optional[int] = 100,
+    method: str = "overlap_count",
+) -> Dict:
+    """Score each DE group's top markers against known marker sets
+    (scanpy ``tl.marker_gene_overlap``): cell-type annotation by marker
+    agreement. ``reference_markers`` maps cell-type name -> iterable of
+    gene names/ids. ``method``: 'overlap_count', 'overlap_coef'
+    (|A∩B| / min(|A|, |B|)), or 'jaccard'. Returns
+    ``{cell_type: {group: score}}`` (host arithmetic over the already
+    ranked tables)."""
+
+    if method not in ("overlap_count", "overlap_coef", "jaccard"):
+        raise ValueError(f"unknown method {method!r}")
+    if not reference_markers:
+        raise ValueError("reference_markers is empty")
+    out: Dict = {}
+    groups = {
+        g: set(
+            np.asarray(v[:top_n] if top_n is not None else v).tolist()
+        )
+        for g, v in de.names.items()
+    }
+    for ct, markers in reference_markers.items():
+        ref = set(np.asarray(list(markers)).tolist())
+        if not ref:
+            raise ValueError(f"marker set for {ct!r} is empty")
+        row = {}
+        for g, sel in groups.items():
+            inter = len(sel & ref)
+            if method == "overlap_count":
+                row[g] = float(inter)
+            elif method == "overlap_coef":
+                row[g] = inter / max(min(len(sel), len(ref)), 1)
+            else:
+                row[g] = inter / max(len(sel | ref), 1)
+        out[ct] = row
+    return out
 
 
 # ----------------------------------------------------------------------

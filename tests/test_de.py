@@ -288,3 +288,32 @@ def test_pts_and_filter():
                              log1p_input=False)
     with pytest.raises(ValueError, match="pts=True"):
         bare.filter()
+
+
+def test_marker_gene_overlap():
+    from single_algebra_tpu.de import marker_gene_overlap
+
+    # planted markers: genes 0-4 mark group 'a', 5-9 mark group 'b'
+    rng = np.random.default_rng(7)
+    n, p = 200, 30
+    X = rng.random((n, p)).astype(np.float32)
+    labels = np.array(["a"] * 100 + ["b"] * 100)
+    X[:100, :5] += 5.0
+    X[100:, 5:10] += 5.0
+    m = SparseMatrix.from_dense(X)
+    res = rank_genes_groups(m, labels.tolist(), method="t-test",
+                            log1p_input=False)
+    ref = {"type_a": [0, 1, 2, 3, 4], "type_b": [5, 6, 7, 8, 9]}
+    counts = marker_gene_overlap(res, ref, top_n=5)
+    assert counts["type_a"]["a"] == 5.0 and counts["type_a"]["b"] == 0.0
+    assert counts["type_b"]["b"] == 5.0 and counts["type_b"]["a"] == 0.0
+    jac = marker_gene_overlap(res, ref, top_n=5, method="jaccard")
+    assert jac["type_a"]["a"] == 1.0 and jac["type_a"]["b"] == 0.0
+    coef = marker_gene_overlap(res, ref, top_n=10, method="overlap_coef")
+    assert coef["type_b"]["b"] == 1.0
+    with pytest.raises(ValueError, match="method"):
+        marker_gene_overlap(res, ref, method="bogus")
+    with pytest.raises(ValueError, match="empty"):
+        marker_gene_overlap(res, {})
+    with pytest.raises(ValueError, match="empty"):
+        marker_gene_overlap(res, {"t": []})
