@@ -33,7 +33,11 @@ from .preprocess import (  # noqa: F401
 from .scoring import score_genes, score_genes_cell_cycle  # noqa: F401
 from .ingest import ingest, transfer_values  # noqa: F401
 from .doublets import scrublet  # noqa: F401
-from .recipes import recipe_zheng17, recipe_seurat  # noqa: F401
+from .recipes import (  # noqa: F401
+    recipe_zheng17,
+    recipe_seurat,
+    recipe_pearson_residuals,
+)
 from .imputation import magic  # noqa: F401
 
 __version__ = "0.1.0"

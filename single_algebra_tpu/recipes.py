@@ -14,7 +14,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["recipe_zheng17", "recipe_seurat"]
+__all__ = ["recipe_zheng17", "recipe_seurat", "recipe_pearson_residuals"]
 
 
 def recipe_seurat(
@@ -56,6 +56,61 @@ def recipe_seurat(
     hvg = highly_variable_genes(norm, flavor="seurat")
     sub = norm.select_cols(hvg.mask)
     Z = scale(sub, max_value=scale_max)
+
+    gene_mask = np.zeros(p, bool)
+    gene_mask[np.where(counts_mask)[0][hvg.mask]] = True
+    return Z, {
+        "cell_mask": cell_mask,
+        "gene_mask": gene_mask,
+        "counts_mask": counts_mask,
+        "hvg": hvg,
+    }
+
+
+def recipe_pearson_residuals(
+    m,
+    *,
+    n_top_genes: int = 1000,
+    theta: float = 100.0,
+    clip=None,
+    min_genes: int = 200,
+    min_cells: int = 3,
+    batches=None,
+) -> Tuple[np.ndarray, Dict]:
+    """Pearson-residuals preprocessing (scanpy
+    ``experimental.pp.recipe_pearson_residuals``; Lause et al. 2021):
+
+    1. drop cells with < ``min_genes`` detected genes and genes seen in
+       < ``min_cells`` cells (on RAW counts),
+    2. HVG selection by clipped-residual variance (the tiled device
+       pass — no dense residuals),
+    3. subset to the HVGs,
+    4. transform the kept counts to clipped analytic Pearson residuals
+       (residuals recomputed on the SUBSET counts, scanpy order).
+
+    Returns ``(Z, info)``: Z dense [n_kept, n_top_genes] residuals ready
+    for PCA; info carries ``cell_mask`` / ``gene_mask`` over the
+    ORIGINAL axes and ``hvg``.
+    """
+
+    from .feature_selection import highly_variable_genes
+    from .preprocess import normalize_pearson_residuals
+    from .qc import filter_cells, filter_genes
+
+    n, p = m.shape
+    kept_cells, cell_mask = filter_cells(m, min_genes=min_genes)
+    kept, counts_mask = filter_genes(kept_cells, min_cells=min_cells)
+
+    hvg = highly_variable_genes(
+        kept,
+        flavor="pearson_residuals",
+        n_top_genes=min(n_top_genes, kept.ncols),
+        theta=theta,
+        clip=clip,
+        batches=batches,
+    )
+    sub = kept.select_cols(hvg.mask)
+    Z = normalize_pearson_residuals(sub, theta=theta, clip=clip)
 
     gene_mask = np.zeros(p, bool)
     gene_mask[np.where(counts_mask)[0][hvg.mask]] = True

@@ -104,9 +104,8 @@ def test_tiled_variance_handles_empty_rows():
 def test_hvg_pearson_flavor_selects_markers():
     # planted cluster structure: marker genes must out-rank flat noise
     X = np.asarray(
-        cluster_counts(600, 200, n_clusters=4, seed=7, density=0.15)[0].todense()
+        cluster_counts(600, 200, n_clusters=4, seed=7, density=0.15).todense()
     )
-    X = np.rint(X * 10)  # integer-ish counts
     m = SparseMatrix.from_dense(X)
     res = highly_variable_genes(
         m, flavor="pearson_residuals", n_top_genes=40
@@ -176,3 +175,25 @@ def test_sparse_random_matrix_roundtrip_parity():
     got = _pearson_residual_variance(m, 50.0, None, gene_block=16, row_block=32)
     want = np.var(_np_residuals(X, 50.0), axis=0)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_recipe_pearson_residuals():
+    from single_algebra_tpu.recipes import recipe_pearson_residuals
+
+    X = np.asarray(
+        cluster_counts(400, 300, n_clusters=4, seed=13, density=0.2).todense()
+    )
+    m = SparseMatrix.from_dense(X)
+    Z, info = recipe_pearson_residuals(
+        m, n_top_genes=80, min_genes=1, min_cells=2
+    )
+    n_kept = int(info["cell_mask"].sum())
+    assert Z.shape == (n_kept, 80)
+    assert np.isfinite(np.asarray(Z)).all()
+    assert info["gene_mask"].sum() == 80
+    assert info["hvg"].n_selected == 80
+    # step 4 recomputes residuals on the SUBSET counts — check against
+    # the numpy formula applied to the kept submatrix
+    sub = X[np.asarray(info["cell_mask"])][:, np.asarray(info["gene_mask"])]
+    want = _np_residuals(sub, theta=100.0)
+    np.testing.assert_allclose(np.asarray(Z), want, rtol=1e-8, atol=1e-9)
