@@ -71,7 +71,10 @@ def _forces(y, mass, e_src, e_dst, e_val, *, scaling, gravity,
         d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-18))
         w = w * jnp.log1p(d) / d
     if outbound:
-        w = w / jnp.take(mass, e_src, axis=0)
+        # fa2: divide by the source mass AND compensate globally by the
+        # mean mass (outboundAttCompensation), keeping the overall
+        # attraction scale comparable to the non-distributed mode
+        w = w * jnp.mean(mass) / jnp.take(mass, e_src, axis=0)
     attr = jax.ops.segment_sum(
         w[:, None] * diff, e_src, num_segments=n, indices_are_sorted=True
     )
@@ -110,9 +113,10 @@ def _forces(y, mass, e_src, e_dst, e_val, *, scaling, gravity,
     )[:n]
     rep = scaling * mass[:, None] * rep
 
-    # -- gravity toward the origin
+    # -- gravity toward the origin (fa2's apply_gravity: the strong
+    # branch carries the scalingRatio coefficient, the lin branch does not)
     if strong_gravity:
-        grav = -gravity * mass[:, None] * y
+        grav = -scaling * gravity * mass[:, None] * y
     else:
         dist = jnp.sqrt(jnp.maximum(jnp.sum(y * y, axis=1), 1e-18))
         grav = -gravity * mass[:, None] * y / dist[:, None]

@@ -44,11 +44,14 @@ def _mu_loop(ell_args, W0, H0, x_sq, tol, max_iter: int, n: int, p: int):
     def xtw(W):  # X^T @ W : [p, k]
         return ell_spmm(ed_c, ei_c, W)[:p]
 
-    def loss(W, H):
-        WtX_H = jnp.sum(xtw(W).T * H)  # <W^T X, H>
-        WtW = W.T @ W
-        HHt = H @ H.T
-        return x_sq - 2.0 * WtX_H + jnp.sum(WtW * HHt)
+    def loss_from_xht(W, H, XHt):
+        # <W^T X, H> = sum(W * (X H^T)) — reuses the SpMM the W update
+        # already ran, so the loss costs only [k, k] Grams
+        return (
+            x_sq
+            - 2.0 * jnp.sum(W * XHt)
+            + jnp.sum((W.T @ W) * (H @ H.T))
+        )
 
     def body(state):
         W, H, prev, _, it = state
@@ -60,7 +63,7 @@ def _mu_loop(ell_args, W0, H0, x_sq, tol, max_iter: int, n: int, p: int):
         num_w = xh(H.T)  # [n, k]
         den_w = W @ (H @ H.T)
         W = W * num_w / jnp.maximum(den_w, _EPS)
-        cur = loss(W, H)
+        cur = loss_from_xht(W, H, num_w)
         return W, H, cur, prev - cur, it + 1
 
     def cond(state):
@@ -73,7 +76,8 @@ def _mu_loop(ell_args, W0, H0, x_sq, tol, max_iter: int, n: int, p: int):
         )
 
     init = (
-        W0, H0, loss(W0, H0), jnp.asarray(jnp.inf, W0.dtype),
+        W0, H0, loss_from_xht(W0, H0, xh(H0.T)),
+        jnp.asarray(jnp.inf, W0.dtype),
         jnp.asarray(0, jnp.int32),
     )
     W, H, final, _, n_iter = jax.lax.while_loop(cond, body, init)

@@ -100,6 +100,13 @@ def recipe_pearson_residuals(
     n, p = m.shape
     kept_cells, cell_mask = filter_cells(m, min_genes=min_genes)
     kept, counts_mask = filter_genes(kept_cells, min_cells=min_cells)
+    if batches is not None:
+        batches = np.asarray(batches)
+        if batches.shape[0] != n:
+            raise ValueError(
+                f"batches length ({batches.shape[0]}) != cells ({n})"
+            )
+        batches = batches[np.asarray(cell_mask, bool)]  # follow the filter
 
     hvg = highly_variable_genes(
         kept,

@@ -197,3 +197,31 @@ def test_recipe_pearson_residuals():
     sub = X[np.asarray(info["cell_mask"])][:, np.asarray(info["gene_mask"])]
     want = _np_residuals(sub, theta=100.0)
     np.testing.assert_allclose(np.asarray(Z), want, rtol=1e-8, atol=1e-9)
+
+
+def test_recipe_pearson_residuals_with_batches_and_filtering():
+    # cells below min_genes get dropped; the batches vector must follow
+    rng = np.random.default_rng(17)
+    X = np.asarray(
+        cluster_counts(200, 120, n_clusters=3, seed=19, density=0.25).todense()
+    )
+    X[:15] = 0.0  # cells that filter_cells will drop
+    X[15, :] = 0.0
+    X[15, 0] = 3.0  # one detected gene — below min_genes=5
+    batches = np.array(["a", "b"])[rng.integers(0, 2, 200)]
+    from single_algebra_tpu.recipes import recipe_pearson_residuals
+
+    Z, info = recipe_pearson_residuals(
+        m=SparseMatrix.from_dense(X), n_top_genes=30, min_genes=5,
+        min_cells=2, batches=batches,
+    )
+    assert int(info["cell_mask"].sum()) == 200 - 16
+    assert Z.shape == (184, 30)
+    assert info["hvg"].n_batches_selected is not None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="batches length"):
+        recipe_pearson_residuals(
+            m=SparseMatrix.from_dense(X), n_top_genes=10,
+            batches=batches[:50],
+        )
