@@ -102,6 +102,28 @@ def _knn_graph(X: jnp.ndarray, *, k: int, block: int = 2048):
     return d, i_all[:n]
 
 
+def _metric_prep(X: jnp.ndarray, metric: str) -> jnp.ndarray:
+    """Input prep for the blocked euclidean kNN kernels: 'cosine' rides
+    the SAME MXU tiles on L2-normalized rows (unit-sphere euclidean is
+    monotone in cosine distance; convert with :func:`_to_cosine_dist`).
+    Zero rows stay zero (distance 1 to everything, like umap-learn)."""
+
+    if metric == "euclidean":
+        return X
+    if metric == "cosine":
+        nrm = jnp.linalg.norm(X, axis=1, keepdims=True)
+        return X / jnp.maximum(nrm, 1e-12)
+    raise ValueError(
+        f"unknown metric {metric!r}; expected 'euclidean' or 'cosine'"
+    )
+
+
+def _to_cosine_dist(d_euclidean: jnp.ndarray) -> jnp.ndarray:
+    """Unit-sphere euclidean -> cosine distance: 1 - cos = d^2 / 2."""
+
+    return d_euclidean * d_euclidean * 0.5
+
+
 @jax.jit
 def _smooth_knn(dists: jnp.ndarray, *, n_iter: int = 64):
     """Per-point (rho, sigma) calibration: rho = nearest nonzero distance,
@@ -139,7 +161,8 @@ def _smooth_knn(dists: jnp.ndarray, *, n_iter: int = 64):
 
 
 def fuzzy_connectivities(
-    X, k: int, *, block: int = 2048, method: str = "auto"
+    X, k: int, *, block: int = 2048, method: str = "auto",
+    metric: str = "euclidean",
 ):
     """Symmetric fuzzy-simplicial-set weights as scipy CSR [n, n].
 
@@ -157,7 +180,7 @@ def fuzzy_connectivities(
 
     import scipy.sparse as sp
 
-    X = jnp.asarray(X, jnp.float32)
+    X = _metric_prep(jnp.asarray(X, jnp.float32), metric)
     n = X.shape[0]
     if method not in ("auto", "exact", "ivf"):
         raise ValueError(f"Unknown kNN method {method!r}")
@@ -167,6 +190,8 @@ def fuzzy_connectivities(
         dists, idx = ivf_knn(np.asarray(X), k)
     else:
         dists, idx = _knn_graph(X, k=k, block=block)
+    if metric == "cosine":
+        dists = _to_cosine_dist(dists)
     rho, sigma = _smooth_knn(dists)
     W = jnp.exp(-jnp.maximum(dists - rho[:, None], 0.0) / sigma[:, None])
     rows = np.repeat(np.arange(n, dtype=np.int64), k)
@@ -336,7 +361,13 @@ class UMAPConfig:
         learning_rate: float = 1.0,
         negative_sample_rate: int = 5,
         random_seed: int = 42,
+        metric: str = "euclidean",
     ):
+        if metric not in ("euclidean", "cosine"):
+            raise ValueError(
+                f"unknown metric {metric!r}; expected 'euclidean' or "
+                "'cosine'"
+            )
         self.n_components = n_components
         self.n_neighbors = n_neighbors
         self.min_dist = min_dist
@@ -345,6 +376,7 @@ class UMAPConfig:
         self.learning_rate = learning_rate
         self.negative_sample_rate = negative_sample_rate
         self.random_seed = random_seed
+        self.metric = metric
 
 
 class UMAP:
@@ -368,7 +400,9 @@ class UMAP:
         if k < 1:
             raise ValueError("need at least 2 samples")
 
-        S = fuzzy_connectivities(X, k, block=min(2048, max(8, n)))
+        S = fuzzy_connectivities(
+            X, k, block=min(2048, max(8, n)), metric=cfg.metric
+        )
         S = S.tocoo()
         keep = S.data > 1e-8
         h_np = S.row[keep].astype(np.int32)  # COO from CSR: row-sorted
@@ -450,7 +484,7 @@ class UMAP:
 
         from ..neighbors import cross_knn
 
-        d, idx = cross_knn(np.asarray(Xn), train, k)
+        d, idx = cross_knn(np.asarray(Xn), train, k, metric=cfg.metric)
         rho, sigma = _smooth_knn(d)
         W = jnp.exp(-jnp.maximum(d - rho[:, None], 0.0) / sigma[:, None])
         Wn = W / jnp.maximum(W.sum(axis=1, keepdims=True), 1e-12)

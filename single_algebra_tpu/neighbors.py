@@ -21,7 +21,12 @@ from functools import partial
 
 import jax
 
-from .models.umap import _knn_graph, fuzzy_connectivities
+from .models.umap import (
+    _knn_graph,
+    _metric_prep,
+    _to_cosine_dist,
+    fuzzy_connectivities,
+)
 
 __all__ = ["knn", "connectivities", "cross_knn", "ivf_knn", "bbknn"]
 
@@ -57,32 +62,38 @@ def _cross_knn(Q, R, *, k: int, block: int):
 
 
 def knn(
-    X, k: int, *, block: int = 2048, return_distances: bool = True
+    X, k: int, *, block: int = 2048, return_distances: bool = True,
+    metric: str = "euclidean",
 ) -> Tuple[jnp.ndarray, jnp.ndarray] | jnp.ndarray:
     """k nearest neighbors of every row of ``X`` (self excluded).
 
     Returns ``(distances [n, k], indices [n, k])`` sorted ascending by
     distance (``return_distances=False`` returns indices only).
+    ``metric``: 'euclidean' or 'cosine' (normalized rows on the same MXU
+    tiles; distances are true cosine distances ``1 - cos``).
     """
 
-    X = jnp.asarray(X, jnp.float32)
+    X = _metric_prep(jnp.asarray(X, jnp.float32), metric)
     n = X.shape[0]
     if k < 1 or k > n - 1:
         raise ValueError(f"k={k} must be in [1, n-1] (n={n})")
     d, idx = _knn_graph(X, k=k, block=min(block, max(8, n)))
     # top_k returns descending by -d^2 => ascending by distance already
+    if metric == "cosine":
+        d = _to_cosine_dist(d)
     if return_distances:
         return d, idx
     return idx
 
 
-def cross_knn(X_query, X_ref, k: int, *, block: int = 2048):
+def cross_knn(X_query, X_ref, k: int, *, block: int = 2048,
+              metric: str = "euclidean"):
     """k nearest REFERENCE rows for every query row (cross-set exact
     kNN; the primitive behind :func:`single_algebra_tpu.ingest.ingest`).
     Returns ``(distances [nq, k], indices [nq, k])`` ascending."""
 
-    Xq = jnp.asarray(X_query, jnp.float32)
-    Xr = jnp.asarray(X_ref, jnp.float32)
+    Xq = _metric_prep(jnp.asarray(X_query, jnp.float32), metric)
+    Xr = _metric_prep(jnp.asarray(X_ref, jnp.float32), metric)
     if Xq.ndim != 2 or Xr.ndim != 2 or Xq.shape[1] != Xr.shape[1]:
         raise ValueError(
             f"query {Xq.shape} and reference {Xr.shape} must be 2-d with "
@@ -90,11 +101,15 @@ def cross_knn(X_query, X_ref, k: int, *, block: int = 2048):
         )
     if not (1 <= k <= Xr.shape[0]):
         raise ValueError(f"k={k} must be in [1, n_ref={Xr.shape[0]}]")
-    return _cross_knn(Xq, Xr, k=k, block=min(block, max(8, Xq.shape[0])))
+    d, idx = _cross_knn(Xq, Xr, k=k, block=min(block, max(8, Xq.shape[0])))
+    if metric == "cosine":
+        d = _to_cosine_dist(d)
+    return d, idx
 
 
 def connectivities(
-    X, n_neighbors: int = 15, *, block: int = 2048, method: str = "auto"
+    X, n_neighbors: int = 15, *, block: int = 2048, method: str = "auto",
+    metric: str = "euclidean",
 ):
     """Symmetric fuzzy kNN graph of an embedding, as scipy CSR [n, n].
 
@@ -111,7 +126,7 @@ def connectivities(
     if k < 1:
         raise ValueError("need at least 2 samples")
     return fuzzy_connectivities(
-        X, k, block=min(block, max(8, n)), method=method
+        X, k, block=min(block, max(8, n)), method=method, metric=metric
     )
 
 

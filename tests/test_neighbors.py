@@ -141,3 +141,79 @@ def test_bbknn_trim_and_validation():
         neighbors.bbknn(Z, b[:-1])
     with pytest.raises(ValueError, match="neighbors_within_batch"):
         neighbors.bbknn(Z, b, neighbors_within_batch=0)
+
+
+def test_knn_cosine_matches_sklearn():
+    from sklearn.neighbors import NearestNeighbors
+
+    from single_algebra_tpu.neighbors import knn
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(150, 12)).astype(np.float32)
+    d, idx = knn(X, 7, metric="cosine")
+    ref = NearestNeighbors(n_neighbors=8, metric="cosine").fit(X)
+    rd, ri = ref.kneighbors(X)
+    # drop the self column from sklearn's output
+    np.testing.assert_array_equal(np.asarray(idx), ri[:, 1:])
+    np.testing.assert_allclose(np.asarray(d), rd[:, 1:], rtol=2e-4,
+                               atol=2e-6)
+
+
+def test_knn_cosine_scale_invariant():
+    from single_algebra_tpu.neighbors import knn
+
+    rng = np.random.default_rng(22)
+    X = rng.normal(size=(100, 6)).astype(np.float32)
+    scales = rng.uniform(0.1, 10.0, size=(100, 1)).astype(np.float32)
+    _, i1 = knn(X, 5, metric="cosine")
+    _, i2 = knn(X * scales, 5, metric="cosine")
+    assert (np.asarray(i1) == np.asarray(i2)).mean() > 0.98
+
+
+def test_cross_knn_cosine():
+    from single_algebra_tpu.neighbors import cross_knn
+
+    rng = np.random.default_rng(23)
+    Q = rng.normal(size=(40, 8)).astype(np.float32)
+    R = rng.normal(size=(90, 8)).astype(np.float32)
+    d, idx = cross_knn(Q, R, 5, metric="cosine")
+    qs = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    rs = R / np.linalg.norm(R, axis=1, keepdims=True)
+    D = 1.0 - qs @ rs.T
+    want = np.argsort(D, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    np.testing.assert_allclose(
+        np.asarray(d), np.take_along_axis(D, want, axis=1),
+        rtol=2e-4, atol=2e-6,
+    )
+
+
+def test_connectivities_cosine_and_umap_metric():
+    from single_algebra_tpu.models import UMAP
+    from single_algebra_tpu.neighbors import connectivities
+
+    rng = np.random.default_rng(24)
+    # two DIRECTIONS (cosine clusters), magnitudes scrambled
+    base = np.stack([np.ones(8), np.r_[np.ones(4), -np.ones(4)]])
+    lab = rng.integers(0, 2, 120)
+    X = (base[lab] + 0.05 * rng.normal(size=(120, 8))) * rng.uniform(
+        0.1, 10.0, size=(120, 1)
+    )
+    S = connectivities(X.astype(np.float32), 10, metric="cosine")
+    from single_algebra_tpu.cluster import leiden
+
+    res = leiden(S, resolution=0.25, seed=0)
+    from single_algebra_tpu.metrics import adjusted_rand_index
+
+    assert adjusted_rand_index(lab, res.labels) == 1.0
+
+    emb = UMAP(n_neighbors=10, n_epochs=50, metric="cosine").fit_transform(
+        X.astype(np.float32)
+    )
+    assert np.isfinite(np.asarray(emb)).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="metric"):
+        UMAP(metric="manhattan")
+    with _pytest.raises(ValueError, match="metric"):
+        connectivities(X.astype(np.float32), 5, metric="bogus")
