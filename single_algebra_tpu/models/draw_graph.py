@@ -152,11 +152,13 @@ def _fa2_chunk(
     def body(_, carry):
         y, f_prev, speed, speed_eff = carry
         f = force(y, mass)
-        # fa2's global adaptive-speed controller
-        swing_i = mass * jnp.sqrt(jnp.sum((f - f_prev) ** 2, axis=1))
-        tract_i = mass * 0.5 * jnp.sqrt(jnp.sum((f + f_prev) ** 2, axis=1))
-        swinging = jnp.maximum(jnp.sum(swing_i), 1e-12)
-        traction = jnp.maximum(jnp.sum(tract_i), 1e-12)
+        # fa2's global adaptive-speed controller: the TOTALS are
+        # mass-weighted, the per-node displacement factor uses the RAW
+        # per-node swinging (fa2 adjustSpeedAndApplyForces)
+        swing_i = jnp.sqrt(jnp.sum((f - f_prev) ** 2, axis=1))
+        tract_i = 0.5 * jnp.sqrt(jnp.sum((f + f_prev) ** 2, axis=1))
+        swinging = jnp.maximum(jnp.sum(mass * swing_i), 1e-12)
+        traction = jnp.maximum(jnp.sum(mass * tract_i), 1e-12)
         est_jt = 0.05 * jnp.sqrt(jnp.asarray(float(n), y.dtype))
         jt = jitter_tolerance * jnp.clip(
             est_jt * traction / float(n) ** 2, jnp.sqrt(est_jt), 10.0
@@ -174,9 +176,21 @@ def _fa2_chunk(
             jnp.maximum(speed_eff * 0.7, 0.05),
             jnp.where(speed < 1000.0, speed_eff * 1.3, speed_eff),
         )
+        # deviation from fa2: cap efficiency at its initial value. fa2's
+        # 1.3x growth branch can compound unbounded (observed 400x on
+        # fuzzy kNN graphs once forces align with gravity and swinging
+        # stays tiny), launching nodes to 1e8 radii in the first chunk.
+        speed_eff = jnp.minimum(speed_eff, 1.0)
         speed = speed + jnp.minimum(target - speed, 0.5 * speed)
         factor = speed / (1.0 + jnp.sqrt(speed * swing_i))
-        y = y + f * factor[:, None]
+        # second stabilizer: bound any single displacement to a fraction
+        # of the current RMS radius — one bad step cannot eject a node
+        disp = f * factor[:, None]
+        rms = jnp.sqrt(jnp.mean(jnp.sum(y * y, axis=1))) + 1.0
+        dnorm = jnp.sqrt(jnp.sum(disp * disp, axis=1, keepdims=True))
+        lim = 0.5 * rms
+        disp = disp * jnp.minimum(1.0, lim / jnp.maximum(dnorm, 1e-12))
+        y = y + disp
         return y, f, speed, speed_eff
 
     return jax.lax.fori_loop(i0, i1, body, state)

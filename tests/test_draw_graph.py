@@ -108,3 +108,11 @@ def test_validation():
         draw_graph(A, n_iter=0)
     with pytest.raises(ValueError, match="dim"):
         draw_graph(A, dim=0)
+
+
+def test_lin_log_separates_at_scale():
+    # plain linear FA2 converges to a density-uniform spread on sparse
+    # kNN-scale graphs; lin_log (Noack) is the cluster-separating mode
+    A, labels = _sbm([300, 300, 300], p_in=0.04, p_out=0.0008, seed=9)
+    y = draw_graph(A, n_iter=1200, seed=0, lin_log=True)
+    assert _separation(y, labels) > 3.0
