@@ -29,20 +29,45 @@ __all__ = ["NMF"]
 _EPS = 1e-12
 
 
-@partial(jax.jit, static_argnames=("max_iter", "n", "p"))
-def _mu_loop(ell_args, W0, H0, x_sq, tol, max_iter: int, n: int, p: int):
-    """Multiplicative-update loop; ``ell_args`` carries the row- and
-    col-major ELL payloads."""
+@jax.tree_util.register_pytree_node_class
+class _LocalEllOp:
+    """Single-device mv/rmv operator over the row-/col-major ELL payloads
+    (the operator protocol ``ShardedSpMM`` implements over a mesh)."""
 
-    (ed_r, ei_r, ed_c, ei_c) = ell_args
+    def __init__(self, ed_r, ei_r, ed_c, ei_c, shape):
+        self.ed_r, self.ei_r = ed_r, ei_r
+        self.ed_c, self.ei_c = ed_c, ei_c
+        self.shape = shape
 
-    from ..ops.spmm import ell_spmm
+    def mv(self, B):  # X @ B : [n, k]
+        from ..ops.spmm import ell_spmm
+
+        return ell_spmm(self.ed_r, self.ei_r, B)[: self.shape[0]]
+
+    def rmv(self, C):  # X^T @ C : [p, k]
+        from ..ops.spmm import ell_spmm
+
+        return ell_spmm(self.ed_c, self.ei_c, C)[: self.shape[1]]
+
+    def tree_flatten(self):
+        return (self.ed_r, self.ei_r, self.ed_c, self.ei_c), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _mu_loop(op, W0, H0, x_sq, tol, max_iter: int):
+    """Multiplicative-update loop over any mv/rmv operator pytree —
+    the same compiled program serves the local ELL payloads and the
+    row-sharded mesh operator (whose products are shard_map + psum)."""
 
     def xh(Ht):  # X @ H^T : [n, k]
-        return ell_spmm(ed_r, ei_r, Ht)[:n]
+        return op.mv(Ht)
 
     def xtw(W):  # X^T @ W : [p, k]
-        return ell_spmm(ed_c, ei_c, W)[:p]
+        return op.rmv(W)
 
     def loss_from_xht(W, H, XHt):
         # <W^T X, H> = sum(W * (X H^T)) — reuses the SpMM the W update
@@ -92,6 +117,12 @@ class NMF:
     'nndsvd' (zeros stay zero), or 'random' (seeded scaled uniform).
     After ``fit``/``fit_transform``: ``components_`` [k, p],
     ``reconstruction_err_`` (Frobenius), ``n_iter_``.
+
+    ``mesh``: a ``jax.sharding.Mesh`` row-shards X across devices
+    (``ShardedSpMM``) — every MU product becomes a local slab SpMM plus
+    one psum for ``X^T W``, the [k, k]/[k, p] dense algebra is
+    partitioned by XLA, and W stays row-sharded on the mesh. The NNDSVD
+    init's randomized SVD runs over the same sharded operator.
     """
 
     def __init__(
@@ -102,6 +133,7 @@ class NMF:
         max_iter: int = 200,
         tol: float = 1e-4,
         seed: int = 42,
+        mesh=None,
     ):
         if n_components < 1:
             raise ValueError(f"n_components={n_components} must be >= 1")
@@ -114,13 +146,14 @@ class NMF:
         self.max_iter = int(max_iter)
         self.tol = float(tol)
         self.seed = int(seed)
+        self.mesh = mesh
         self.components_: Optional[np.ndarray] = None
         self.reconstruction_err_: Optional[float] = None
         self.n_iter_: Optional[int] = None
 
     # -- initialization ------------------------------------------------
 
-    def _init_wh(self, m, dt):
+    def _init_wh(self, m, dt, op=None):
         n, p = m.shape
         k = self.n_components
         if self.init == "random":
@@ -136,9 +169,10 @@ class NMF:
         # NNDSVD (Boutsidis & Gallopoulos 2008) from the randomized SVD
         from ..linalg import randomized_svd
 
-        from .pca import make_engine_operator
+        if op is None:
+            from .pca import make_engine_operator
 
-        op = make_engine_operator(m, "auto")
+            op = make_engine_operator(m, "auto")
         res = randomized_svd(op, k, n_oversamples=10, n_power_iterations=7,
                              seed=self.seed)
         u = np.asarray(res.u, np.float64)
@@ -192,15 +226,22 @@ class NMF:
         if host_min < 0:
             raise ValueError("NMF requires non-negative data")
         dt = m.dtype
-        W0, H0 = self._init_wh(m, dt)
-        mr = m._layout_for("row")
-        mc = m._layout_for("col")
+        if self.mesh is not None:
+            from ..parallel import ShardedSpMM
+
+            op = ShardedSpMM.from_matrix(m, self.mesh)
+        else:
+            mr = m._layout_for("row")
+            mc = m._layout_for("col")
+            op = _LocalEllOp(
+                mr.ell_data, mr.ell_ids, mc.ell_data, mc.ell_ids, (n, p)
+            )
+        W0, H0 = self._init_wh(m, dt, op if self.mesh is not None else None)
         x_sq = jnp.asarray(
             float(np.asarray(m.sum_row_squared(), np.float64).sum()), dt
         )
         W, H, final, n_iter = _mu_loop(
-            (mr.ell_data, mr.ell_ids, mc.ell_data, mc.ell_ids),
-            W0, H0, x_sq, jnp.asarray(self.tol, dt), self.max_iter, n, p,
+            op, W0, H0, x_sq, jnp.asarray(self.tol, dt), self.max_iter,
         )
         self.components_ = np.asarray(H)
         self.reconstruction_err_ = float(np.sqrt(max(float(final), 0.0)))

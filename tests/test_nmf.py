@@ -91,3 +91,27 @@ def test_nmf_validation():
     fitted = NMF(2, max_iter=20).fit(m)
     with pytest.raises(ValueError, match="columns"):
         fitted.transform(SparseMatrix.from_dense(X[:, :10]))
+
+
+def test_nmf_mesh_matches_single_device():
+    from single_algebra_tpu.parallel import make_mesh
+
+    X, _, _ = _planted(n=160, p=70, k=3, seed=6)
+    m = SparseMatrix.from_dense(X.astype(np.float32))
+    local = NMF(3, max_iter=80, tol=1e-9)
+    W_local = local.fit_transform(m)
+
+    for nd in (1, 8):
+        mesh = make_mesh(nd)
+        sharded = NMF(3, max_iter=80, tol=1e-9, mesh=mesh)
+        W_mesh = sharded.fit_transform(m)
+        # same math, different reduction order (f32 drift compounds over
+        # the MU iterations): compare the identifiable quantities
+        np.testing.assert_allclose(
+            sharded.reconstruction_err_, local.reconstruction_err_,
+            rtol=1e-2,
+        )
+        R_local = W_local @ local.components_
+        R_mesh = W_mesh @ sharded.components_
+        rel = np.linalg.norm(R_mesh - R_local) / np.linalg.norm(R_local)
+        assert rel < 0.02
