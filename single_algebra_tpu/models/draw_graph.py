@@ -124,6 +124,172 @@ def _forces(y, mass, e_src, e_dst, e_val, *, scaling, gravity,
     return attr + rep + grav
 
 
+def _forces_slab(y, mass_pad, y_sl, m_sl, r0, e_src, e_dst, e_val, *,
+                 scaling, gravity, strong_gravity: bool, lin_log: bool,
+                 outbound: bool, block: int, mean_mass):
+    """ForceAtlas2 forces for one row slab [rs, dim] against the full
+    (replicated) position array ``y`` [npad, dim] — the per-device body
+    of the mesh mode. ``e_*`` are the slab's own edges (src in the slab,
+    GLOBAL ids); ``r0`` the slab's first global row."""
+
+    rs, dim = y_sl.shape
+    dt = y.dtype
+
+    diff = jnp.take(y, e_dst, axis=0) - jnp.take(y, e_src, axis=0)
+    w = e_val
+    if lin_log:
+        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-18))
+        w = w * jnp.log1p(d) / d
+    if outbound:
+        # padded slab rows carry mass 0 — their filler edges have w == 0,
+        # so clamp the divisor to keep 0/0 out of the segment_sum
+        w = w * mean_mass / jnp.maximum(
+            jnp.take(mass_pad, e_src, axis=0), 1.0
+        )
+    attr = jax.ops.segment_sum(
+        w[:, None] * diff, e_src - r0, num_segments=rs,
+        indices_are_sorted=True,
+    )
+
+    sq = jnp.sum(y * y, axis=1)
+    sq_sl = jnp.sum(y_sl * y_sl, axis=1)
+    cols = jnp.arange(y.shape[0])
+    nb = rs // block
+
+    def body(b, rep):
+        yb = jax.lax.dynamic_slice(y_sl, (b * block, 0), (block, dim))
+        sb = jax.lax.dynamic_slice(sq_sl, (b * block,), (block,))
+        d2 = jnp.maximum(
+            sb[:, None]
+            + sq[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                yb, y,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dt,
+            ),
+            1e-9,
+        )
+        r = r0 + b * block + jnp.arange(block)
+        wgt = jnp.where(
+            r[:, None] != cols[None, :], mass_pad[None, :] / d2, 0.0
+        )
+        repb = jnp.sum(wgt, axis=1, keepdims=True) * yb - jnp.dot(
+            wgt, y, precision=MATMUL_PRECISION
+        )
+        return jax.lax.dynamic_update_slice(rep, repb, (b * block, 0))
+
+    rep = jax.lax.fori_loop(0, nb, body, jnp.zeros((rs, dim), dt))
+    rep = scaling * m_sl[:, None] * rep
+
+    if strong_gravity:
+        grav = -scaling * gravity * m_sl[:, None] * y_sl
+    else:
+        dist = jnp.sqrt(jnp.maximum(sq_sl, 1e-18))
+        grav = -gravity * m_sl[:, None] * y_sl / dist[:, None]
+
+    return attr + rep + grav
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "strong_gravity", "lin_log", "outbound", "block", "rs", "n_real",
+        "mesh", "axis_name",
+    ),
+)
+def _fa2_chunk_mesh(
+    state, mass_pad, mass_sh, e_src, e_dst, e_val, i0, i1,
+    scaling, gravity, jitter_tolerance,
+    strong_gravity, lin_log, outbound, block, rs, n_real, mesh,
+    axis_name="rows",
+):
+    """Mesh-sharded FA2 iterations [i0, i1): each device owns a row slab
+    (repulsion = its [block, npad] tiles, attraction = its src-local
+    edges), the controller totals ride one psum, and positions are
+    re-replicated with an all_gather per iteration (y is [npad, dim] —
+    tiny next to the O(n^2 / ndev) repulsion each device just did)."""
+
+    from jax.sharding import PartitionSpec as P
+
+    ax = axis_name
+    mean_mass = jnp.sum(mass_pad) / float(n_real)
+
+    def run(mass_sl, es, ed, ev, y0, f0, sp0, ef0):
+        d = jax.lax.axis_index(ax)
+        r0 = d * rs
+        mass_sl, es, ed, ev = mass_sl[0], es[0], ed[0], ev[0]
+
+        def body(i, carry):
+            y, f_prev, speed, speed_eff = carry
+            # r0 is an int32 axis_index product; keep index dtypes uniform
+            # under x64 mode
+            z = jnp.zeros((), r0.dtype)
+            y_sl = jax.lax.dynamic_slice(y, (r0, z), (rs, y.shape[1]))
+            f_sl = _forces_slab(
+                y, mass_pad, y_sl, mass_sl, r0, es, ed, ev,
+                scaling=scaling, gravity=gravity,
+                strong_gravity=strong_gravity, lin_log=lin_log,
+                outbound=outbound, block=block, mean_mass=mean_mass,
+            )
+            fp_sl = jax.lax.dynamic_slice(
+                f_prev, (r0, z), (rs, y.shape[1])
+            )
+            swing_i = jnp.sqrt(jnp.sum((f_sl - fp_sl) ** 2, axis=1))
+            tract_i = 0.5 * jnp.sqrt(jnp.sum((f_sl + fp_sl) ** 2, axis=1))
+            swinging = jnp.maximum(
+                jax.lax.psum(jnp.sum(mass_sl * swing_i), ax), 1e-12
+            )
+            traction = jnp.maximum(
+                jax.lax.psum(jnp.sum(mass_sl * tract_i), ax), 1e-12
+            )
+            est_jt = 0.05 * jnp.sqrt(jnp.asarray(float(n_real), y.dtype))
+            jt = jitter_tolerance * jnp.clip(
+                est_jt * traction / float(n_real) ** 2,
+                jnp.sqrt(est_jt), 10.0,
+            )
+            speed_eff = jnp.where(
+                swinging / traction > 2.0,
+                jnp.maximum(speed_eff * 0.5, 0.05),
+                speed_eff,
+            )
+            jt = jnp.where(swinging / traction > 2.0,
+                           jnp.maximum(jt, jitter_tolerance), jt)
+            target = jt * speed_eff * traction / swinging
+            speed_eff = jnp.where(
+                swinging > jt * traction,
+                jnp.maximum(speed_eff * 0.7, 0.05),
+                jnp.where(speed < 1000.0, speed_eff * 1.3, speed_eff),
+            )
+            speed_eff = jnp.minimum(speed_eff, 1.0)
+            speed = speed + jnp.minimum(target - speed, 0.5 * speed)
+            factor = speed / (1.0 + jnp.sqrt(speed * swing_i))
+            disp = f_sl * factor[:, None]
+            rms = jnp.sqrt(jnp.sum(y * y) / float(n_real)) + 1.0
+            dnorm = jnp.sqrt(
+                jnp.sum(disp * disp, axis=1, keepdims=True)
+            )
+            disp = disp * jnp.minimum(
+                1.0, (0.5 * rms) / jnp.maximum(dnorm, 1e-12)
+            )
+            y_new = jax.lax.all_gather(y_sl + disp, ax).reshape(y.shape)
+            f_new = jax.lax.all_gather(f_sl, ax).reshape(y.shape)
+            return y_new, f_new, speed, speed_eff
+
+        return jax.lax.fori_loop(i0, i1, body, (y0, f0, sp0, ef0))
+
+    return jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(
+            P(ax, None), P(ax, None), P(ax, None), P(ax, None),
+            P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(mass_sh, e_src, e_dst, e_val, *state)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -212,6 +378,7 @@ def draw_graph(
     jitter_tolerance: float = 1.0,
     repulsion_block: int = 2048,
     dispatch_chunk: int = 100,
+    mesh=None,
 ) -> np.ndarray:
     """ForceAtlas2 layout of a (cell-cell) graph -> positions [n, dim].
 
@@ -221,6 +388,11 @@ def draw_graph(
     ``pp.neighbors -> tl.draw_graph`` chain). ``init`` seeds positions
     (e.g. PAGA coarse positions indexed by cluster, or a prior layout);
     default is a seeded random disc. Returns a host numpy array.
+
+    ``mesh``: a ``jax.sharding.Mesh`` shards the O(n^2) repulsion and the
+    edge attraction over row slabs (one psum for the speed controller +
+    one [n, dim] all_gather per iteration — negligible next to the
+    per-device [block, n] tiles).
     """
 
     from ..cluster import _as_sym_csr
@@ -259,6 +431,55 @@ def draw_graph(
             np.sqrt(n)
         )
 
+    c = max(int(dispatch_chunk), 1)
+    scal = jnp.asarray(scaling, jnp.float32)
+    grav = jnp.asarray(gravity, jnp.float32)
+    jt = jnp.asarray(jitter_tolerance, jnp.float32)
+
+    if mesh is not None:
+        ax = mesh.axis_names[0]
+        ndev = mesh.shape[ax]
+        rs = max(-(-n // ndev), 8)
+        block = min(repulsion_block, max(rs // 8 // 8 * 8, 8))
+        rs = -(-rs // block) * block  # slab = whole blocks
+        npad = ndev * rs
+        # per-slab edge ranges (src is sorted); pad to a common length
+        # with inert val=0 edges at the slab's LAST row (keeps src sorted)
+        e_real = int(a.nnz)
+        bounds = np.searchsorted(src[:e_real], np.arange(ndev + 1) * rs)
+        es_max = max(int(np.diff(bounds).max()), 1)
+        es_pad = -(-es_max // 1024) * 1024
+        e_src = np.empty((ndev, es_pad), np.int32)
+        e_dst = np.zeros((ndev, es_pad), np.int32)
+        e_val = np.zeros((ndev, es_pad), np.float32)
+        for dvc in range(ndev):
+            lo, hi = int(bounds[dvc]), int(bounds[dvc + 1])
+            e_src[dvc] = (dvc + 1) * rs - 1
+            e_src[dvc, : hi - lo] = src[lo:hi]
+            e_dst[dvc, : hi - lo] = dst[lo:hi]
+            e_val[dvc, : hi - lo] = val[lo:hi]
+        mass_pad = jnp.pad(mass, (0, npad - n))
+        mass_sh = mass_pad.reshape(ndev, rs)
+        y0p = jnp.pad(y0, ((0, npad - n), (0, 0)))
+        state = (
+            y0p,
+            jnp.zeros_like(y0p),
+            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+        )
+        eargs = (
+            jnp.asarray(e_src), jnp.asarray(e_dst), jnp.asarray(e_val),
+        )
+        for i0 in range(0, n_iter, c):
+            state = _fa2_chunk_mesh(
+                state, mass_pad, mass_sh, *eargs,
+                jnp.int32(i0), jnp.int32(min(i0 + c, n_iter)),
+                scal, grav, jt,
+                strong_gravity, lin_log,
+                outbound_attraction_distribution, block, rs, n, mesh, ax,
+            )
+        return np.asarray(state[0][:n])
+
     block = min(repulsion_block, max(-(-n // 8) // 128 * 128, 128))
     state = (
         y0,
@@ -269,14 +490,11 @@ def draw_graph(
     args = (
         mass, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val),
     )
-    c = max(int(dispatch_chunk), 1)
     for i0 in range(0, n_iter, c):
         state = _fa2_chunk(
             state, *args,
             jnp.int32(i0), jnp.int32(min(i0 + c, n_iter)),
-            jnp.asarray(scaling, jnp.float32),
-            jnp.asarray(gravity, jnp.float32),
-            jnp.asarray(jitter_tolerance, jnp.float32),
+            scal, grav, jt,
             strong_gravity, lin_log,
             outbound_attraction_distribution, block,
         )

@@ -116,3 +116,33 @@ def test_lin_log_separates_at_scale():
     A, labels = _sbm([300, 300, 300], p_in=0.04, p_out=0.0008, seed=9)
     y = draw_graph(A, n_iter=1200, seed=0, lin_log=True)
     assert _separation(y, labels) > 3.0
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_mesh_layout_matches_single_device(ndev):
+    from single_algebra_tpu.parallel import make_mesh
+
+    A, labels = _sbm([50, 50, 50], seed=11)
+    y_local = draw_graph(A, n_iter=60, seed=3)
+    y_mesh = draw_graph(A, n_iter=60, seed=3, mesh=make_mesh(ndev))
+    assert y_mesh.shape == y_local.shape
+    # same controller, different tile partitioning/reduction order:
+    # f32 drift compounds over iterations, so compare the structure
+    assert np.isfinite(y_mesh).all()
+    assert _separation(y_mesh, labels) > 2.0
+    # and short runs agree tightly before drift accumulates
+    y1 = draw_graph(A, n_iter=5, seed=3)
+    y2 = draw_graph(A, n_iter=5, seed=3, mesh=make_mesh(ndev))
+    np.testing.assert_allclose(y1, y2, rtol=5e-3, atol=1e-2)
+
+
+def test_mesh_layout_options_smoke():
+    from single_algebra_tpu.parallel import make_mesh
+
+    A, _ = _sbm([40, 40], seed=12)
+    y = draw_graph(
+        A, n_iter=30, seed=1, mesh=make_mesh(8), lin_log=True,
+        strong_gravity=True, outbound_attraction_distribution=True,
+        dispatch_chunk=13,
+    )
+    assert y.shape == (80, 2) and np.isfinite(y).all()
