@@ -56,6 +56,27 @@ def _edge_list(a, n: int):
     return src, dst, val
 
 
+def partition_edges_by_slab(src, dst, val, e_real: int, ndev: int, rs: int):
+    """Split a src-SORTED flat edge list into per-device slabs of equal
+    padded length ([ndev, Es] arrays). Filler edges sit at each slab's
+    LAST row (keeps local src sorted) with val 0 (inert). Shared by the
+    mesh modes of draw_graph and t-SNE."""
+
+    bounds = np.searchsorted(src[:e_real], np.arange(ndev + 1) * rs)
+    es_max = max(int(np.diff(bounds).max()), 1)
+    es_pad = -(-es_max // 1024) * 1024
+    e_src = np.empty((ndev, es_pad), np.int32)
+    e_dst = np.zeros((ndev, es_pad), np.int32)
+    e_val = np.zeros((ndev, es_pad), val.dtype)
+    for dvc in range(ndev):
+        lo, hi = int(bounds[dvc]), int(bounds[dvc + 1])
+        e_src[dvc] = (dvc + 1) * rs - 1
+        e_src[dvc, : hi - lo] = src[lo:hi]
+        e_dst[dvc, : hi - lo] = dst[lo:hi]
+        e_val[dvc, : hi - lo] = val[lo:hi]
+    return e_src, e_dst, e_val
+
+
 def _forces(y, mass, e_src, e_dst, e_val, *, scaling, gravity,
             strong_gravity: bool, lin_log: bool, outbound: bool,
             block: int):
@@ -443,21 +464,9 @@ def draw_graph(
         block = min(repulsion_block, max(rs // 8 // 8 * 8, 8))
         rs = -(-rs // block) * block  # slab = whole blocks
         npad = ndev * rs
-        # per-slab edge ranges (src is sorted); pad to a common length
-        # with inert val=0 edges at the slab's LAST row (keeps src sorted)
-        e_real = int(a.nnz)
-        bounds = np.searchsorted(src[:e_real], np.arange(ndev + 1) * rs)
-        es_max = max(int(np.diff(bounds).max()), 1)
-        es_pad = -(-es_max // 1024) * 1024
-        e_src = np.empty((ndev, es_pad), np.int32)
-        e_dst = np.zeros((ndev, es_pad), np.int32)
-        e_val = np.zeros((ndev, es_pad), np.float32)
-        for dvc in range(ndev):
-            lo, hi = int(bounds[dvc]), int(bounds[dvc + 1])
-            e_src[dvc] = (dvc + 1) * rs - 1
-            e_src[dvc, : hi - lo] = src[lo:hi]
-            e_dst[dvc, : hi - lo] = dst[lo:hi]
-            e_val[dvc, : hi - lo] = val[lo:hi]
+        e_src, e_dst, e_val = partition_edges_by_slab(
+            src, dst, val.astype(np.float32), int(a.nnz), ndev, rs
+        )
         mass_pad = jnp.pad(mass, (0, npad - n))
         mass_sh = mass_pad.reshape(ndev, rs)
         y0p = jnp.pad(y0, ((0, npad - n), (0, 0)))

@@ -321,6 +321,147 @@ def _knn_grad(y, e_src, e_dst, e_val, exag, *, block: int):
     return 4.0 * (exag * attr - rep)
 
 
+def _knn_grad_slab(y, y_sl, r0, e_src, e_dst, e_val, exag, *, block: int,
+                   n_real: int, axis_name: str):
+    """One device's share of the exact knn-mode gradient: attraction over
+    its src-local edges + repulsion of its row slab against the full
+    (replicated) y, with the student-t normalizer Z psum-reduced."""
+
+    rs, dim = y_sl.shape
+    dt = y.dtype
+    npad = y.shape[0]
+
+    diff = jnp.take(y, e_src, axis=0) - jnp.take(y, e_dst, axis=0)
+    numa = 1.0 / (1.0 + jnp.sum(diff * diff, axis=-1))
+    attr = jax.ops.segment_sum(
+        (e_val * numa)[:, None] * diff,
+        e_src - r0,
+        num_segments=rs,
+        indices_are_sorted=True,
+    )
+
+    sq = jnp.sum(y * y, axis=1)
+    sq_sl = jnp.sum(y_sl * y_sl, axis=1)
+    col_valid = jnp.arange(npad) < n_real
+    nb = rs // block
+
+    def body(b, acc):
+        rep, z = acc
+        yb = jax.lax.dynamic_slice(y_sl, (b * block, 0), (block, dim))
+        sb = jax.lax.dynamic_slice(sq_sl, (b * block,), (block,))
+        d2 = jnp.maximum(
+            sb[:, None]
+            + sq[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                yb, y,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dt,
+            ),
+            0.0,
+        )
+        num = 1.0 / (1.0 + d2)
+        r = r0 + b * block + jnp.arange(block)
+        mask = (
+            (r[:, None] != jnp.arange(npad)[None, :])
+            & col_valid[None, :]
+            & (r < n_real)[:, None]
+        )
+        num = jnp.where(mask, num, 0.0)
+        z = z + jnp.sum(num)
+        num2 = num * num
+        repb = jnp.sum(num2, axis=1, keepdims=True) * yb - jnp.dot(
+            num2, y, precision=MATMUL_PRECISION
+        )
+        rep = jax.lax.dynamic_update_slice(rep, repb, (b * block, 0))
+        return rep, z
+
+    rep0 = jnp.zeros((rs, dim), dt)
+    rep, z_local = jax.lax.fori_loop(
+        0, nb, body, (rep0, jnp.asarray(0.0, dt))
+    )
+    z = jnp.maximum(jax.lax.psum(z_local, axis_name), 1e-12)
+    return 4.0 * (exag * attr - rep / z)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "block", "rs", "n_real", "mesh", "axis_name"),
+)
+def _knn_epoch_chunk_mesh(
+    state, e_src, e_dst, e_val, i0, i1, config: TSNEConfig,
+    block: int, rs: int, n_real: int, mesh, axis_name: str = "rows",
+):
+    """Mesh-sharded epochs [i0, i1): y replicated (re-gathered each
+    epoch), velocity/gains row-sharded, repulsion tiles and edge
+    attraction local to each device, Z and nothing else crossing ICI."""
+
+    from jax.sharding import PartitionSpec as P
+
+    ax = axis_name
+    dt = state[0].dtype
+
+    def run(es, ed, ev, y0, vel_sh, gains_sh):
+        d = jax.lax.axis_index(ax)
+        r0 = d * rs
+        es, ed, ev = es[0], ed[0], ev[0]
+        vel0, gains0 = vel_sh[0], gains_sh[0]
+        z = jnp.zeros((), r0.dtype)
+
+        def body(i, carry):
+            y, vel, gains = carry
+            exag = jnp.where(
+                i < config.exaggeration_epochs,
+                jnp.asarray(config.early_exaggeration, dt),
+                jnp.asarray(1.0, dt),
+            )
+            momentum = jnp.where(
+                i < config.exaggeration_epochs,
+                jnp.asarray(config.initial_momentum, dt),
+                jnp.asarray(config.final_momentum, dt),
+            )
+            y_sl = jax.lax.dynamic_slice(y, (r0, z), (rs, y.shape[1]))
+            g = _knn_grad_slab(
+                y, y_sl, r0, es, ed, ev, exag,
+                block=block, n_real=n_real, axis_name=ax,
+            )
+            same_sign = (g > 0) == (vel > 0)
+            gains = jnp.clip(
+                jnp.where(same_sign, gains * 0.8, gains + 0.2), 0.01, None
+            )
+            vel = momentum * vel - config.learning_rate * gains * g
+            y_sl = y_sl + vel
+            # centering needs the global mean over REAL rows
+            mean = jax.lax.psum(
+                jnp.sum(
+                    jnp.where(
+                        (r0 + jnp.arange(rs) < n_real)[:, None], y_sl, 0.0
+                    ),
+                    axis=0,
+                ),
+                ax,
+            ) / float(n_real)
+            y_sl = jnp.where(
+                (r0 + jnp.arange(rs) < n_real)[:, None], y_sl - mean, 0.0
+            )
+            y_new = jax.lax.all_gather(y_sl, ax).reshape(y.shape)
+            return y_new, vel, gains
+
+        y, vel, gains = jax.lax.fori_loop(i0, i1, body, (y0, vel0, gains0))
+        return y, vel[None], gains[None]
+
+    return jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(
+            P(ax, None), P(ax, None), P(ax, None),
+            P(), P(ax, None, None), P(ax, None, None),
+        ),
+        out_specs=(P(), P(ax, None, None), P(ax, None, None)),
+        check_vma=False,
+    )(e_src, e_dst, e_val, *state)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _knn_epoch_chunk(state, e_src, e_dst, e_val, i0, i1, config: TSNEConfig):
     """Run epochs [i0, i1) of the knn-mode descent — ONE device dispatch.
@@ -344,7 +485,7 @@ def _knn_epoch_chunk(state, e_src, e_dst, e_val, i0, i1, config: TSNEConfig):
     return jax.lax.fori_loop(i0, i1, body, state)
 
 
-def _run_knn(x, config: TSNEConfig) -> jnp.ndarray:
+def _run_knn(x, config: TSNEConfig, mesh=None) -> jnp.ndarray:
     from .umap import _knn_graph
 
     n = x.shape[0]
@@ -368,15 +509,45 @@ def _run_knn(x, config: TSNEConfig) -> jnp.ndarray:
 
     dt = val.dtype
     key = jax.random.PRNGKey(config.seed)
-    state = (
-        1e-4 * jax.random.normal(key, (n, config.output_dim), dt),
-        jnp.zeros((n, config.output_dim), dt),
-        jnp.ones((n, config.output_dim), dt),
-    )
+    y0 = 1e-4 * jax.random.normal(key, (n, config.output_dim), dt)
     # the chunk program does not read config.epochs — normalize it out of
     # the static key so changing the total never recompiles
     chunk_cfg = dataclasses.replace(config, epochs=0)
     c = max(int(config.dispatch_chunk), 1)
+
+    if mesh is not None:
+        from .draw_graph import partition_edges_by_slab
+
+        ax = mesh.axis_names[0]
+        ndev = mesh.shape[ax]
+        rs = max(-(-n // ndev), 8)
+        block = min(config.repulsion_block, max(rs // 8 // 8 * 8, 8))
+        rs = -(-rs // block) * block
+        npad = ndev * rs
+        es, ed, ev = partition_edges_by_slab(
+            _np.asarray(src), _np.asarray(dst),
+            _np.asarray(val), len(_np.asarray(src)), ndev, rs,
+        )
+        dimo = config.output_dim
+        state = (
+            jnp.pad(y0, ((0, npad - n), (0, 0))),
+            jnp.zeros((ndev, rs, dimo), dt),
+            jnp.ones((ndev, rs, dimo), dt),
+        )
+        for i0 in range(0, config.epochs, c):
+            state = _knn_epoch_chunk_mesh(
+                state, jnp.asarray(es), jnp.asarray(ed),
+                jnp.asarray(ev, dt),
+                jnp.int32(i0), jnp.int32(min(i0 + c, config.epochs)),
+                chunk_cfg, block, rs, n, mesh, ax,
+            )
+        return state[0][:n]
+
+    state = (
+        y0,
+        jnp.zeros((n, config.output_dim), dt),
+        jnp.ones((n, config.output_dim), dt),
+    )
     for i0 in range(0, config.epochs, c):
         state = _knn_epoch_chunk(
             state, src, dst, val,
@@ -386,12 +557,16 @@ def _run_knn(x, config: TSNEConfig) -> jnp.ndarray:
     return state[0]
 
 
-def run(x, config: TSNEConfig | None = None) -> jnp.ndarray:
+def run(x, config: TSNEConfig | None = None, *, mesh=None) -> jnp.ndarray:
     """Embed rows of ``x`` [n, d] into ``config.output_dim`` dimensions.
 
     ``config.mode``: 'exact' (n x n affinities), 'knn' (sparse attraction
     + blocked exact repulsion — the large-n mode), or 'auto' (exact while
-    ``n <= config.exact_max_n``)."""
+    ``n <= config.exact_max_n``).
+
+    ``mesh``: a ``jax.sharding.Mesh`` shards the knn-mode layout over row
+    slabs (repulsion tiles + src-local attraction per device, Z psum'd,
+    one [n, dim] all_gather per epoch) — forces 'knn' mode."""
 
     if config is None:
         config = TSNEConfig()
@@ -405,11 +580,13 @@ def run(x, config: TSNEConfig | None = None) -> jnp.ndarray:
     mode = config.mode
     if mode == "auto":
         mode = "exact" if x.shape[0] <= config.exact_max_n else "knn"
+    if mesh is not None:
+        mode = "knn"  # the sharded layout is the knn-mode formulation
     if mode == "exact":
         return _tsne_jit(x, config)
     if mode != "knn":
         raise ValueError(f"unknown t-SNE mode {config.mode!r}")
-    return _run_knn(x, config)
+    return _run_knn(x, config, mesh=mesh)
 
 
 def run_f32(x, config: TSNEConfig | None = None) -> jnp.ndarray:

@@ -179,3 +179,42 @@ def test_tsne_knn_mode_f64():
     cfg = tsne.TSNEConfig(perplexity=10.0, epochs=40, mode="knn")
     y = np.asarray(tsne.run_f64(x.astype(np.float64), cfg))
     assert y.dtype == np.float64 and np.isfinite(y).all()
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_knn_mode_mesh_matches_local(ndev):
+    from single_algebra_tpu.parallel import make_mesh
+    from single_algebra_tpu.models import tsne
+
+    rng = np.random.default_rng(31)
+    X = np.concatenate(
+        [rng.normal(c * 12, 1.0, size=(70, 6)) for c in range(3)]
+    ).astype(np.float32)
+    labels = np.repeat(np.arange(3), 70)
+    cfg = tsne.TSNEConfig(
+        mode="knn", perplexity=12.0, epochs=300,
+        exaggeration_epochs=40, dispatch_chunk=75,
+    )
+    y_local = np.asarray(tsne.run(X, cfg))
+    y_mesh = np.asarray(tsne.run(X, cfg, mesh=make_mesh(ndev)))
+    assert y_mesh.shape == y_local.shape
+    assert np.isfinite(y_mesh).all()
+
+    def separation(y):
+        cents = np.stack([y[labels == c].mean(0) for c in range(3)])
+        within = np.mean(
+            [np.linalg.norm(y[labels == c] - cents[c], axis=1).mean()
+             for c in range(3)]
+        )
+        d = np.linalg.norm(cents[:, None] - cents[None, :], axis=-1)
+        return d[np.triu_indices(3, 1)].min() / max(within, 1e-9)
+
+    assert separation(y_mesh) > 3.0
+    # short runs agree before f32 drift compounds
+    cfg5 = tsne.TSNEConfig(mode="knn", perplexity=12.0, epochs=5,
+                           exaggeration_epochs=40, dispatch_chunk=30)
+    np.testing.assert_allclose(
+        np.asarray(tsne.run(X, cfg5)),
+        np.asarray(tsne.run(X, cfg5, mesh=make_mesh(ndev))),
+        rtol=5e-3, atol=1e-5,
+    )
