@@ -162,7 +162,7 @@ def _smooth_knn(dists: jnp.ndarray, *, n_iter: int = 64):
 
 def fuzzy_connectivities(
     X, k: int, *, block: int = 2048, method: str = "auto",
-    metric: str = "euclidean",
+    metric: str = "euclidean", mesh=None,
 ):
     """Symmetric fuzzy-simplicial-set weights as scipy CSR [n, n].
 
@@ -188,6 +188,16 @@ def fuzzy_connectivities(
         from ..neighbors import ivf_knn
 
         dists, idx = ivf_knn(np.asarray(X), k)
+    elif mesh is not None:
+        from ..neighbors import _knn_graph_mesh
+
+        ax = mesh.axis_names[0]
+        rs = max(-(-n // mesh.shape[ax]), 8)
+        blk = min(block, max(rs // 8 // 8 * 8, 8))
+        rs = -(-rs // blk) * blk
+        dists, idx = _knn_graph_mesh(
+            X, k=k, block=blk, rs=rs, n=n, mesh=mesh, axis_name=ax
+        )
     else:
         dists, idx = _knn_graph(X, k=k, block=block)
     if metric == "cosine":

@@ -61,9 +61,75 @@ def _cross_knn(Q, R, *, k: int, block: int):
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "block", "rs", "n", "mesh", "axis_name"),
+)
+def _knn_graph_mesh(
+    X, *, k: int, block: int, rs: int, n: int, mesh, axis_name: str = "rows"
+):
+    """Mesh-sharded exact kNN: every device owns a row slab and scans its
+    [block, n] distance tiles against the replicated X — the O(n^2 d)
+    quadratic pass split over the mesh with zero collectives (results
+    come back row-sharded)."""
+
+    from jax.sharding import PartitionSpec as P
+
+    ax = axis_name
+    ndev = mesh.shape[ax]
+    npad = ndev * rs
+    Xp = jnp.pad(X, ((0, npad - n), (0, 0)))
+    sq = jnp.sum(X * X, axis=1)
+
+    def local(Xf, sqf):
+        d = jax.lax.axis_index(ax)
+        r0 = d * rs
+        z = jnp.zeros((), r0.dtype)
+
+        def body(b, acc):
+            d_all, i_all = acc
+            off = r0 + b * block
+            xb = jax.lax.dynamic_slice(Xp, (off, z), (block, X.shape[1]))
+            d2 = (
+                jnp.sum(xb * xb, axis=1)[:, None]
+                + sqf[None, :]
+                - 2.0
+                * jax.lax.dot_general(
+                    xb, Xf,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            rows = off + jnp.arange(block)
+            # mask self-matches; padded query rows return garbage that
+            # the [:n] slice drops
+            d2 = jnp.where(
+                rows[:, None] == jnp.arange(n)[None, :], jnp.inf, d2
+            )
+            nd, ni = jax.lax.top_k(-d2, k)
+            d_all = jax.lax.dynamic_update_slice(d_all, -nd, (b * block, 0))
+            i_all = jax.lax.dynamic_update_slice(
+                i_all, ni.astype(jnp.int32), (b * block, 0)
+            )
+            return d_all, i_all
+
+        d0 = jnp.zeros((rs, k), jnp.float32)
+        i0 = jnp.zeros((rs, k), jnp.int32)
+        return jax.lax.fori_loop(0, rs // block, body, (d0, i0))
+
+    d_all, i_all = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(ax, None), P(ax, None)),
+        check_vma=False,
+    )(X, sq)
+    return jnp.sqrt(jnp.maximum(d_all[:n], 0.0)), i_all[:n]
+
+
 def knn(
     X, k: int, *, block: int = 2048, return_distances: bool = True,
-    metric: str = "euclidean",
+    metric: str = "euclidean", mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray] | jnp.ndarray:
     """k nearest neighbors of every row of ``X`` (self excluded).
 
@@ -71,13 +137,25 @@ def knn(
     distance (``return_distances=False`` returns indices only).
     ``metric``: 'euclidean' or 'cosine' (normalized rows on the same MXU
     tiles; distances are true cosine distances ``1 - cos``).
+    ``mesh``: shard the O(n^2 d) scan over row slabs (X replicated,
+    results row-sharded; no collectives).
     """
 
     X = _metric_prep(jnp.asarray(X, jnp.float32), metric)
     n = X.shape[0]
     if k < 1 or k > n - 1:
         raise ValueError(f"k={k} must be in [1, n-1] (n={n})")
-    d, idx = _knn_graph(X, k=k, block=min(block, max(8, n)))
+    if mesh is not None:
+        ax = mesh.axis_names[0]
+        ndev = mesh.shape[ax]
+        rs = max(-(-n // ndev), 8)
+        blk = min(block, max(rs // 8 // 8 * 8, 8))
+        rs = -(-rs // blk) * blk
+        d, idx = _knn_graph_mesh(
+            X, k=k, block=blk, rs=rs, n=n, mesh=mesh, axis_name=ax
+        )
+    else:
+        d, idx = _knn_graph(X, k=k, block=min(block, max(8, n)))
     # top_k returns descending by -d^2 => ascending by distance already
     if metric == "cosine":
         d = _to_cosine_dist(d)
@@ -109,7 +187,7 @@ def cross_knn(X_query, X_ref, k: int, *, block: int = 2048,
 
 def connectivities(
     X, n_neighbors: int = 15, *, block: int = 2048, method: str = "auto",
-    metric: str = "euclidean",
+    metric: str = "euclidean", mesh=None,
 ):
     """Symmetric fuzzy kNN graph of an embedding, as scipy CSR [n, n].
 
@@ -126,7 +204,8 @@ def connectivities(
     if k < 1:
         raise ValueError("need at least 2 samples")
     return fuzzy_connectivities(
-        X, k, block=min(block, max(8, n)), method=method, metric=metric
+        X, k, block=min(block, max(8, n)), method=method, metric=metric,
+        mesh=mesh,
     )
 
 

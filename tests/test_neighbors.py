@@ -217,3 +217,36 @@ def test_connectivities_cosine_and_umap_metric():
         UMAP(metric="manhattan")
     with _pytest.raises(ValueError, match="metric"):
         connectivities(X.astype(np.float32), 5, metric="bogus")
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_knn_mesh_matches_local(ndev):
+    from single_algebra_tpu.neighbors import knn
+    from single_algebra_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(41)
+    X = rng.normal(size=(203, 9)).astype(np.float32)  # non-round n
+    d1, i1 = knn(X, 7)
+    d2, i2 = knn(X, 7, mesh=make_mesh(ndev))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-5)
+    # cosine metric composes with the mesh path
+    d3, i3 = knn(X, 7, metric="cosine")
+    d4, i4 = knn(X, 7, metric="cosine", mesh=make_mesh(ndev))
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d4),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_connectivities_mesh_matches_local():
+    from single_algebra_tpu.neighbors import connectivities
+    from single_algebra_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(42)
+    X = np.concatenate(
+        [rng.normal(c * 6, 1.0, size=(60, 5)) for c in range(2)]
+    ).astype(np.float32)
+    S1 = connectivities(X, 10)
+    S2 = connectivities(X, 10, mesh=make_mesh(8))
+    assert (S1 != S2).nnz == 0 or abs(S1 - S2).max() < 1e-5
