@@ -93,8 +93,78 @@ def _silhouette_device(X, labels, counts, *, k: int, block: int):
     return s.reshape(npad)[:n]
 
 
-def silhouette_samples(X, labels, *, block: int = 2048) -> jnp.ndarray:
-    """Per-point silhouette coefficients (exact, device-resident)."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block", "rs", "n", "mesh", "axis_name"),
+)
+def _silhouette_mesh(X, labels, counts, *, k: int, block: int, rs: int,
+                     n: int, mesh, axis_name: str = "rows"):
+    """Mesh-sharded exact silhouette: each device scans its row slab's
+    [block, n] distance tiles against the replicated X (no collectives;
+    per-point values come back row-sharded)."""
+
+    from jax.sharding import PartitionSpec as P
+
+    ax = axis_name
+    ndev = mesh.shape[ax]
+    npad = ndev * rs
+    Xp = jnp.pad(X, ((0, npad - n), (0, 0)))
+    lp = jnp.pad(labels, (0, npad - n))
+    x2 = jnp.sum(X * X, axis=1)
+    H = (labels[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+
+    def local(Xf, x2f):
+        d = jax.lax.axis_index(ax)
+        r0 = d * rs
+        z = jnp.zeros((), r0.dtype)
+
+        def body(b, s_all):
+            off = r0 + b * block
+            xb = jax.lax.dynamic_slice(Xp, (off, z), (block, X.shape[1]))
+            lb = jax.lax.dynamic_slice(lp, (off,), (block,))
+            d2 = jnp.maximum(
+                jnp.sum(xb * xb, axis=1)[:, None]
+                + x2f[None, :]
+                - 2.0 * (xb @ Xf.T),
+                0.0,
+            )
+            S = jnp.sqrt(d2) @ H
+            own = jnp.take_along_axis(S, lb[:, None], axis=1)[:, 0]
+            own_count = counts[lb]
+            a = own / jnp.maximum(own_count - 1.0, 1.0)
+            mean_other = S / jnp.maximum(counts, 1.0)[None, :]
+            mean_other = jnp.where(
+                (jnp.arange(k)[None, :] == lb[:, None])
+                | (counts[None, :] == 0),
+                jnp.inf,
+                mean_other,
+            )
+            bot = jnp.min(mean_other, axis=1)
+            s = jnp.where(
+                own_count > 1.0,
+                (bot - a) / jnp.maximum(jnp.maximum(a, bot), 1e-30),
+                0.0,
+            )
+            return jax.lax.dynamic_update_slice(s_all, s, (b * block,))
+
+        return jax.lax.fori_loop(
+            0, rs // block, body, jnp.zeros((rs,), jnp.float32)
+        )
+
+    s = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(ax),
+        check_vma=False,
+    )(X, x2)
+    return s[:n]
+
+
+def silhouette_samples(X, labels, *, block: int = 2048,
+                       mesh=None) -> jnp.ndarray:
+    """Per-point silhouette coefficients (exact, device-resident).
+    ``mesh`` shards the O(n^2) distance scan over row slabs."""
 
     X = jnp.asarray(X, jnp.float32)
     labels_np = np.asarray(labels)
@@ -106,8 +176,18 @@ def silhouette_samples(X, labels, *, block: int = 2048) -> jnp.ndarray:
         raise ValueError("silhouette requires n_samples > n_clusters")
     counts = jnp.asarray(np.bincount(inv, minlength=k).astype(np.float32))
     lab = jnp.asarray(inv.astype(np.int32))
+    n = X.shape[0]
+    if mesh is not None:
+        ax = mesh.axis_names[0]
+        rs = max(-(-n // mesh.shape[ax]), 8)
+        blk = min(block, max(rs // 8 // 8 * 8, 8))
+        rs = -(-rs // blk) * blk
+        return _silhouette_mesh(
+            X, lab, counts, k=k, block=blk, rs=rs, n=n, mesh=mesh,
+            axis_name=ax,
+        )
     return _silhouette_device(
-        X, lab, counts, k=k, block=min(block, max(8, X.shape[0]))
+        X, lab, counts, k=k, block=min(block, max(8, n))
     )
 
 

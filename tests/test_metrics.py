@@ -181,3 +181,20 @@ def test_embedding_density():
 
     with _pytest.raises(ValueError, match="groups length"):
         embedding_density(Y, groups=np.ones(3))
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_silhouette_mesh_matches_local(ndev):
+    from single_algebra_tpu.metrics import silhouette_samples
+    from single_algebra_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(51)
+    X = np.concatenate(
+        [rng.normal(c * 4, 1.0, size=(67, 5)) for c in range(3)]
+    ).astype(np.float32)  # n=201, non-round
+    labels = np.repeat(np.arange(3), 67)
+    s_local = np.asarray(silhouette_samples(X, labels))
+    s_mesh = np.asarray(
+        silhouette_samples(X, labels, mesh=make_mesh(ndev))
+    )
+    np.testing.assert_allclose(s_mesh, s_local, rtol=1e-4, atol=1e-5)
