@@ -75,7 +75,14 @@ class HVGResult:
 def _col_moments(x, assume_logged: bool):
     """Device-side per-gene (mean, Bessel var over all rows)."""
 
-    xe = x._with_data(jnp.expm1(x.ell_data)) if assume_logged else x
+    if assume_logged:
+        # materialize the parent's column layout FIRST so map_stored
+        # propagates it as a twin (one cached transpose on x, reused by
+        # every call, instead of one per mapped copy)
+        x._layout_for("col")
+        xe = x.map_stored(lambda v, r, c: jnp.expm1(v))
+    else:
+        xe = x
     n = xe.nrows
     mean = xe.sum_col() / n
     var = xe.var_col()
@@ -86,7 +93,11 @@ def _batch_col_moments(x, batches: Sequence, assume_logged: bool):
     """Per-batch per-gene (mean, Bessel var incl. zeros) via the grouped
     SpMM stats (one device pass per moment for ALL batches)."""
 
-    xe = x._with_data(jnp.expm1(x.ell_data)) if assume_logged else x
+    if assume_logged:
+        x._layout_for("col")
+        xe = x.map_stored(lambda v, r, c: jnp.expm1(v))
+    else:
+        xe = x
     labels, codes = xe._batch_codes(batches, xe.nrows, "row")
     sums = np.asarray(xe._batch_spmm("col", codes, "sum"))
     sumsq = np.asarray(xe._batch_spmm("col", codes, "sumsq"))
@@ -98,6 +109,199 @@ def _batch_col_moments(x, batches: Sequence, assume_logged: bool):
         var = (sumsq[:, i] / nb - mean * mean) * (nb / max(nb - 1.0, 1.0))
         out.append((b, mean, np.maximum(var, 0.0)))
     return out
+
+
+def _loess_fit(
+    x: np.ndarray, y: np.ndarray, *, frac: float = 0.3, degree: int = 2
+) -> np.ndarray:
+    """Local polynomial regression (loess, gaussian family, no robustness
+    iterations — the configuration scanpy's seurat_v3 uses via skmisc).
+
+    For each point, the ``ceil(frac*n)`` nearest neighbors in x (a
+    contiguous window in sorted order) are tricube-weighted and a
+    degree-``degree`` weighted polynomial is solved; the fit at the point
+    is the local intercept (x is centered per window). Vectorized in
+    blocks: windows are contiguous spans of sorted x, so they gather from
+    a sliding-window view; the per-point normal equations solve as one
+    batched [B, d+1, d+1] ``np.linalg.solve``. O(n * window) host work on
+    p-length gene vectors.
+    """
+
+    x = np.asarray(x, np.float64).ravel()
+    y = np.asarray(y, np.float64).ravel()
+    n = x.size
+    if n == 0:
+        return np.empty(0, np.float64)
+    q = int(np.ceil(frac * n))
+    q = max(min(q, n), min(degree + 1, n))
+    order = np.argsort(x, kind="stable")
+    xs, ys = x[order], y[order]
+
+    # leftmost window start per point: slide right while the entering
+    # point is closer than the leaving one (classic lowess two-pointer)
+    starts = np.empty(n, np.int64)
+    lo = 0
+    for i in range(n):
+        while lo + q < n and xs[i] - xs[lo] > xs[lo + q] - xs[i]:
+            lo += 1
+        starts[i] = lo
+
+    xw = np.lib.stride_tricks.sliding_window_view(xs, q)
+    yw = np.lib.stride_tricks.sliding_window_view(ys, q)
+    fitted_s = np.empty(n, np.float64)
+    d1 = degree + 1
+    for b0 in range(0, n, 512):
+        b1 = min(n, b0 + 512)
+        s = starts[b0:b1]
+        Xc = xw[s] - xs[b0:b1, None]  # centered [B, q]
+        Y = yw[s]
+        dist = np.abs(Xc)
+        dmax = dist.max(axis=1, keepdims=True)
+        flat = dmax == 0  # all-identical x: uniform weights
+        dmax = np.where(flat, 1.0, dmax)
+        w = (1.0 - np.minimum(dist / dmax, 1.0) ** 3) ** 3
+        w = np.where(flat, 1.0, w)
+        # powers of the centered x, weighted moments S_k = sum w x^k
+        pw = [np.ones_like(Xc)]
+        for _ in range(2 * degree):
+            pw.append(pw[-1] * Xc)
+        S = np.stack([(w * p).sum(axis=1) for p in pw], axis=1)
+        A = np.empty((b1 - b0, d1, d1))
+        for k in range(d1):
+            for l in range(d1):
+                A[:, k, l] = S[:, k + l]
+        rhs = np.stack(
+            [(w * pw[k] * Y).sum(axis=1) for k in range(d1)], axis=1
+        )
+        # tiny scale-aware ridge keeps degenerate windows solvable
+        eps = 1e-12 * np.maximum(
+            A.reshape(b1 - b0, -1).max(axis=1), 1.0
+        )
+        A[:, np.arange(d1), np.arange(d1)] += eps[:, None]
+        beta = np.linalg.solve(A, rhs[..., None])[..., 0]
+        fitted_s[b0:b1] = beta[:, 0]  # value at the (centered) point
+
+    fitted = np.empty(n, np.float64)
+    fitted[order] = fitted_s
+    return fitted
+
+
+@jax.jit
+def _clipped_col_sums_graph(ed, ei, nz, clip_pad):
+    """Per-gene sum and sum-of-squares of ``min(x, clip_g)`` over stored
+    entries, on the column-major ELL payload (major lines = genes).
+    Implicit zeros clip to zero (clip >= 0), so stored entries suffice."""
+
+    rank = jax.lax.broadcasted_iota(jnp.int32, ed.shape, 1)
+    valid = rank < nz[:, None]
+    v = jnp.where(valid, jnp.minimum(ed, clip_pad[:, None]), 0.0)
+    return v.sum(axis=1), (v * v).sum(axis=1)
+
+
+def _seurat_v3_norm_var(x) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, raw gene variance, clipped standardized variance) for one
+    batch — the seurat_v3 variance-stabilizing score (Stuart et al. 2019;
+    scanpy ``_highly_variable_genes_seurat_v3``).
+
+    Per-gene loess (span 0.3, degree 2) of log10(var) on log10(mean)
+    regularizes the standard deviation; counts are clipped at
+    ``mean + reg_std * sqrt(n)`` and the variance of the clipped,
+    standardized counts is computed from clipped column sums — two fused
+    device passes over the gene-major payload, p-length host loess.
+    """
+
+    n, p = x.nrows, x.ncols
+    mean = np.asarray(x.sum_col(), np.float64) / max(n, 1)
+    var = np.asarray(x.var_col(), np.float64)
+    not_const = (var > 0) & (mean > 0)
+    est = np.zeros(p, np.float64)
+    if not_const.any():
+        est[not_const] = _loess_fit(
+            np.log10(mean[not_const]), np.log10(var[not_const])
+        )
+    reg_std = np.sqrt(np.power(10.0, est))
+
+    clip = mean + reg_std * np.sqrt(n)
+    mc = x._layout_for("col")
+    R = mc.ell_data.shape[0]
+    clip_pad = jnp.asarray(np.pad(clip, (0, R - p)), mc.ell_data.dtype)
+    s1, s2 = _clipped_col_sums_graph(
+        mc.ell_data, mc.ell_ids, mc.row_nnz, clip_pad
+    )
+    s1 = np.asarray(s1, np.float64)[:p]
+    s2 = np.asarray(s2, np.float64)[:p]
+    denom = max(n - 1, 1) * np.square(reg_std)
+    norm_var = np.where(
+        not_const,
+        (n * np.square(mean) + s2 - 2.0 * s1 * mean) / denom,
+        0.0,
+    )
+    return mean, var, norm_var
+
+
+def _hvg_seurat_v3(
+    x, *, n_top_genes: Optional[int], batches: Optional[Sequence],
+    assume_logged: Optional[bool],
+) -> HVGResult:
+    """flavor='seurat_v3': variance-stabilized ranking on RAW counts.
+
+    Batch mode follows scanpy's rule: per-batch normalized variances are
+    rank-transformed, ranks past n_top_genes are dropped, and genes sort
+    by (number of batches ranking them, median in-top rank); the reported
+    score is the mean normalized variance across batches.
+    """
+
+    if n_top_genes is None:
+        raise ValueError(
+            "flavor='seurat_v3' requires n_top_genes (scanpy rule)"
+        )
+    if not 1 <= n_top_genes <= x.ncols:
+        raise ValueError(
+            f"n_top_genes={n_top_genes} out of range [1, {x.ncols}]"
+        )
+    if assume_logged:
+        raise ValueError(
+            "flavor='seurat_v3' expects RAW counts "
+            "(assume_logged must be False/None)"
+        )
+    p = x.ncols
+    if batches is None:
+        mean, var, norm_var = _seurat_v3_norm_var(x)
+        order = np.argsort(-norm_var, kind="stable")
+        mask = np.zeros(p, dtype=bool)
+        mask[order[:n_top_genes]] = True
+        return HVGResult(
+            mask=mask, means=mean, dispersions=var,
+            dispersions_norm=norm_var,
+        )
+
+    labels, codes = x._batch_codes(list(batches), x.nrows, "row")
+    ranks = []  # per-batch in-top-n rank, NaN outside the top n
+    norm_vars = []
+    for b in range(len(labels)):
+        sub = x.select_rows(np.where(codes == b)[0])
+        _, _, nv_b = _seurat_v3_norm_var(sub)
+        norm_vars.append(nv_b)
+        r = np.full(p, np.nan)
+        order_b = np.argsort(-nv_b, kind="stable")
+        r[order_b[:n_top_genes]] = np.arange(n_top_genes, dtype=np.float64)
+        ranks.append(r)
+    ranks = np.stack(ranks)
+    votes = np.sum(~np.isnan(ranks), axis=0).astype(np.int64)
+    med_rank = np.full(p, np.inf)
+    any_rank = votes > 0  # all-NaN columns stay +inf (sort last)
+    if any_rank.any():
+        med_rank[any_rank] = np.nanmedian(ranks[:, any_rank], axis=0)
+    sel = np.lexsort((med_rank, -votes))
+    mask = np.zeros(p, dtype=bool)
+    mask[sel[:n_top_genes]] = True
+    mean = np.asarray(x.sum_col(), np.float64) / max(x.nrows, 1)
+    var = np.asarray(x.var_col(), np.float64)
+    return HVGResult(
+        mask=mask, means=mean, dispersions=var,
+        dispersions_norm=np.mean(np.stack(norm_vars), axis=0),
+        n_batches_selected=votes,
+    )
 
 
 def _normalized_dispersion(
@@ -152,7 +356,8 @@ def _normalized_dispersion(
         return disp, norm
 
     raise ValueError(
-        f"Unknown flavor {flavor!r}; expected 'seurat' or 'cell_ranger'"
+        f"Unknown flavor {flavor!r}; expected 'seurat', 'cell_ranger', "
+        "'seurat_v3', or 'pearson_residuals'"
     )
 
 
@@ -385,6 +590,13 @@ def highly_variable_genes(
     defaults. ``assume_logged`` defaults to True for 'seurat' (expm1 is
     applied on device before the moments) and False for 'cell_ranger'.
 
+    ``flavor='seurat_v3'`` (Stuart et al. 2019; scanpy's default for raw
+    counts) ranks genes by the variance of clipped standardized counts
+    under a loess-regularized standard deviation (span 0.3, degree 2 of
+    log10 var on log10 mean — see ``_loess_fit``). It expects RAW counts
+    and requires ``n_top_genes``; the raw gene variance is reported in
+    ``dispersions`` and the normalized variance in ``dispersions_norm``.
+
     ``flavor='pearson_residuals'`` (scanpy ``experimental.pp``; Lause et
     al. 2021) ranks genes by the variance of their clipped analytic
     Pearson residuals, computed in device tiles without materializing
@@ -410,6 +622,13 @@ def highly_variable_genes(
             clip=clip,
             assume_logged=assume_logged,
             batches=batches,
+        )
+    if flavor == "seurat_v3":
+        return _hvg_seurat_v3(
+            x,
+            n_top_genes=n_top_genes,
+            batches=batches,
+            assume_logged=assume_logged,
         )
     if assume_logged is None:
         assume_logged = flavor == "seurat"

@@ -68,21 +68,18 @@ def normalize_total(
     return out, sums / target_sum
 
 
-@partial(jax.jit, static_argnames=("major_is_tf",))
-def _tfidf_data(data, ids, major_fac, minor_fac, sf, log_tf, log_tfidf,
-                major_is_tf: bool):
-    """Per-stored-entry TF-IDF on the major-axis ELL payload: the major
-    factor broadcasts per line, the minor factor is gathered by ``ids``;
-    ``major_is_tf`` says which one is the 1/rowsum TF factor (csr major)
-    vs the IDF factor (csc major). All branches map 0 -> 0, so sparsity
-    is preserved."""
+def _tfidf_fn(row_fac, col_fac, sf, log_tf, log_tfidf):
+    """Stored-entry TF-IDF map for ``SparseMatrix.map_stored``: the
+    1/rowsum TF factor gathers by row id, the IDF factor by column id.
+    All branches map 0 -> 0, so sparsity is preserved."""
 
-    mj = major_fac[: data.shape[0], None]  # [R, 1]
-    mn = jnp.take(minor_fac, ids, axis=0, mode="clip")  # [R, W]
-    tf = data * (mj if major_is_tf else mn)
-    tf = jnp.where(log_tf, jnp.log1p(tf * sf), tf)
-    out = tf * (mn if major_is_tf else mj)
-    return jnp.where(log_tfidf, jnp.log1p(out * sf), out)
+    def fn(v, r, c):
+        tf = v * jnp.take(row_fac, r, axis=0, mode="clip")
+        tf = jnp.where(log_tf, jnp.log1p(tf * sf), tf)
+        out = tf * jnp.take(col_fac, c, axis=0, mode="clip")
+        return jnp.where(log_tfidf, jnp.log1p(out * sf), out)
+
+    return fn
 
 
 def tfidf(
@@ -119,21 +116,15 @@ def tfidf(
     idf = np.where(cs > 0, n / np.where(cs > 0, cs, 1.0), 0.0)
     if log_idf:
         idf = np.log1p(idf)
-    major_is_tf = m.format == "csr"
-    major_fac, minor_fac = (inv_rs, idf) if major_is_tf else (idf, inv_rs)
-    R = m.ell_data.shape[0]
-    major_fac = np.pad(major_fac, (0, R - len(major_fac)))
-    new = _tfidf_data(
-        m.ell_data,
-        m.ell_ids,
-        jnp.asarray(major_fac, m.dtype),
-        jnp.asarray(minor_fac, m.dtype),
-        jnp.asarray(scale_factor, m.dtype),
-        jnp.asarray(log_tf),
-        jnp.asarray(log_tfidf),
-        major_is_tf,
+    return m.map_stored(
+        _tfidf_fn(
+            jnp.asarray(inv_rs, m.dtype),
+            jnp.asarray(idf, m.dtype),
+            jnp.asarray(scale_factor, m.dtype),
+            jnp.asarray(log_tf),
+            jnp.asarray(log_tfidf),
+        )
     )
-    return m._with_data(new)
 
 
 @partial(jax.jit, static_argnames=("ncols", "nrows"))
@@ -289,17 +280,16 @@ def scale(
 
     if isinstance(X, SparseMatrix):
         if not zero_center:
-            if X.format == "csr":  # ids are column indices: gather
-                factor = jnp.take(inv_std, X.ell_ids, axis=0, mode="clip")
-                new = X.ell_data * factor
-            else:  # col-major: ELL rows ARE columns: broadcast
-                padded = jnp.pad(
-                    inv_std, (0, X.ell_data.shape[0] - X.ncols)
-                )
-                new = X.ell_data * padded[:, None]
-            if max_value is not None:
-                new = jnp.minimum(new, jnp.asarray(max_value, new.dtype))
-            return X._with_data(new)
+
+            def fn(v, r, c):
+                new = v * jnp.take(inv_std, c, axis=0, mode="clip")
+                if max_value is not None:
+                    new = jnp.minimum(
+                        new, jnp.asarray(max_value, new.dtype)
+                    )
+                return new
+
+            return X.map_stored(fn)
         mr = X._layout_for("row")
         dense = _ell_densify(mr.ell_data, mr.ell_ids, mr.row_nnz, X.ncols)
         dense = dense[: X.nrows]

@@ -362,31 +362,77 @@ class SparseMatrix:
 
         if self._transpose_cache is None:
             self._require_host_structure()
-            data = self._csr_data_host()
-            t_indptr, t_indices, t_data = _cv.csr_transpose_numpy(
-                self._h_indptr,
-                self._h_indices,
-                data,
-                self.n_major,
-                self.n_minor,
-            )
-            ell_data, ell_ids, row_nnz = _cv.csr_to_ell_numpy(
-                t_indptr, t_indices, t_data, self.n_minor
-            )
-            other = SparseMatrix(
-                jnp.asarray(ell_data),
-                jnp.asarray(ell_ids),
-                jnp.asarray(row_nnz),
-                self.shape,
-                self.nnz,
-                "csc" if self.format == "csr" else "csr",
-                h_indptr=t_indptr,
-                h_indices=t_indices,
-                h_data=t_data,
-            )
+            if self._h_data is None:
+                other = self._transpose_structural()
+            else:
+                data = self._csr_data_host()
+                t_indptr, t_indices, t_data = _cv.csr_transpose_numpy(
+                    self._h_indptr,
+                    self._h_indices,
+                    data,
+                    self.n_major,
+                    self.n_minor,
+                )
+                ell_data, ell_ids, row_nnz = _cv.csr_to_ell_numpy(
+                    t_indptr, t_indices, t_data, self.n_minor
+                )
+                other = SparseMatrix(
+                    jnp.asarray(ell_data),
+                    jnp.asarray(ell_ids),
+                    jnp.asarray(row_nnz),
+                    self.shape,
+                    self.nnz,
+                    "csc" if self.format == "csr" else "csr",
+                    h_indptr=t_indptr,
+                    h_indices=t_indices,
+                    h_data=t_data,
+                )
             other._transpose_cache = self
             self._transpose_cache = other
         return self._transpose_cache
+
+    def _transpose_structural(self) -> "SparseMatrix":
+        """Transpose a matrix whose values live only on device.
+
+        The host still has the STRUCTURE (indptr/indices survive value
+        maps), so the transposed geometry and an entry-level gather map
+        into the flattened source payload are computed host-side with the
+        same converters the value path uses (f64 'data' = flat source ELL
+        slots, exact to 2^53), and the values move with ONE device gather
+        — no device->host value pull (through the TPU tunnel that pull
+        cost ~20 s at 32M nnz; the gather is a memory-bound device op).
+        """
+
+        W = self.ell_data.shape[1]
+        indptr = self._h_indptr
+        row_nnz = np.diff(indptr)
+        rows = np.repeat(
+            np.arange(self.n_major, dtype=np.int64), row_nnz
+        )
+        j = np.arange(len(self._h_indices), dtype=np.int64)
+        pos = (rows * W + (j - indptr[rows])).astype(np.float64)
+        t_indptr, t_indices, t_pos = _cv.csr_transpose_numpy(
+            indptr, self._h_indices, pos, self.n_major, self.n_minor
+        )
+        ell_pos, ell_ids, t_row_nnz = _cv.csr_to_ell_numpy(
+            t_indptr, t_indices, t_pos, self.n_minor
+        )
+        tmap = jnp.asarray(ell_pos.astype(np.int64))
+        t_nnz = jnp.asarray(t_row_nnz)
+        ell_data = _gather_transpose_values(
+            self.ell_data, tmap, t_nnz
+        )
+        return SparseMatrix(
+            ell_data,
+            jnp.asarray(ell_ids),
+            t_nnz,
+            self.shape,
+            self.nnz,
+            "csc" if self.format == "csr" else "csr",
+            h_indptr=t_indptr,
+            h_indices=t_indices,
+            h_data=None,
+        )
 
     # ------------------------------------------------------------------
     # internal helpers: map row/col endpoint -> major/minor layout
@@ -691,21 +737,18 @@ class SparseMatrix:
             )
         scale = jnp.where(sums > 0, jnp.asarray(target, self.dtype) / sums, 0)
 
-        major_axis = "row" if self.format == "csr" else "col"
-        if axis == major_axis:
-            pad = self.ell_data.shape[0] - n_axis
-            scale_p = jnp.pad(scale, (0, pad))
-            factor = scale_p[:, None]
-        else:
-            factor = jnp.take(scale, self.ell_ids, axis=0, mode="clip")
-        new_data = jnp.where(factor > 0, self.ell_data * factor, self.ell_data)
-        return self._with_data(new_data)
+        def fn(v, r, c):
+            ids = r if axis == "row" else c
+            factor = jnp.take(scale, ids, axis=0, mode="clip")
+            return jnp.where(factor > 0, v * factor, v)
+
+        return self.map_stored(fn)
 
     def log1p_normalize(self) -> "SparseMatrix":
         """ln(1 + v) on stored values; implicit zeros stay zero
         (reference csr.rs:1070-1079)."""
 
-        return self._with_data(jnp.log1p(self.ell_data))
+        return self.map_stored(lambda v, r, c: jnp.log1p(v))
 
     def _with_data(self, new_ell_data: jnp.ndarray) -> "SparseMatrix":
         out = SparseMatrix(
@@ -719,6 +762,49 @@ class SparseMatrix:
             h_indices=self._h_indices,
             h_data=None,  # values changed on device; host copy is stale
         )
+        return out
+
+    def map_stored(self, fn) -> "SparseMatrix":
+        """Elementwise map over stored entries, preserving BOTH layouts.
+
+        ``fn(values, row_ids, col_ids) -> values`` runs on device over the
+        ELL payload (padded slots are masked back to zero). Elementwise
+        maps commute with transposition, so when the transpose layout is
+        already cached the same map is applied to its payload directly and
+        the two results are linked as transpose twins — no host rebuild,
+        no tunnel round-trip. (``_with_data`` alone drops the transpose
+        cache, which made every ``expm1``/``log1p``/``normalize`` followed
+        by a minor-axis stat pay a full host transpose + re-transfer.)
+        """
+
+        def apply(m):
+            iota = jax.lax.broadcasted_iota(jnp.int32, m.ell_ids.shape, 0)
+            rank = jax.lax.broadcasted_iota(jnp.int32, m.ell_ids.shape, 1)
+            valid = rank < m.row_nnz[:, None]
+            if m.format == "csr":
+                r, c = iota, m.ell_ids
+            else:
+                r, c = m.ell_ids, iota
+            return jnp.where(
+                valid, fn(m.ell_data, r, c), jnp.zeros_like(m.ell_data)
+            )
+
+        out = self._with_data(apply(self))
+        tc = self._transpose_cache
+        if tc is not None:
+            twin = SparseMatrix(
+                apply(tc),
+                tc.ell_ids,
+                tc.row_nnz,
+                tc.shape,
+                tc.nnz,
+                tc.format,
+                h_indptr=tc._h_indptr,
+                h_indices=tc._h_indices,
+                h_data=None,
+            )
+            twin._transpose_cache = out
+            out._transpose_cache = twin
         return out
 
     # ------------------------------------------------------------------
@@ -760,6 +846,17 @@ jax.tree_util.register_pytree_node(
 # ---------------------------------------------------------------------------
 # chunk helpers (functional versions of the reference's in-place streams)
 # ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _gather_transpose_values(ell_data, tmap, t_row_nnz):
+    """Materialize a transposed ELL payload by gathering the flattened
+    source payload; padded slots (tmap 0) are masked back to zero."""
+
+    rank = jax.lax.broadcasted_iota(jnp.int32, tmap.shape, 1)
+    valid = rank < t_row_nnz[:, None]
+    vals = jnp.take(ell_data.reshape(-1), tmap, axis=0, mode="clip")
+    return jnp.where(valid, vals, jnp.zeros_like(vals))
 
 
 def _accumulate_chunk(acc, stat: np.ndarray) -> np.ndarray:

@@ -475,3 +475,85 @@ def test_fill_class_payload_native_matches_numpy():
     # stale plan: a class width below the true max must raise, not drop
     with pytest.raises(RuntimeError, match="stale"):
         fill_class_payload(indptr, indices, data, rows, 200, ct, 8, rc)
+
+
+def test_map_stored_preserves_transpose_cache():
+    """Elementwise maps (log1p/normalize/expm1) must keep BOTH cached
+    layouts device-side: rebuilding the transpose after a value map costs
+    a host round-trip per call (measured 20 s at 50k x 5k through the
+    TPU tunnel — the r3 pipeline-on-chip regression)."""
+
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from single_algebra_tpu import SparseMatrix
+    from single_algebra_tpu.types import Direction
+
+    rng = np.random.default_rng(0)
+    A = sp.random(40, 30, density=0.2, random_state=1, format="csr")
+    A.data = rng.uniform(0.5, 2.0, A.nnz)
+    m = SparseMatrix.from_scipy(A)
+    m.sum_col()  # materialize + cache the column-major layout
+    assert m._transpose_cache is not None
+
+    # log1p: twin present, no host structure consulted, values correct
+    ml = m.log1p_normalize()
+    assert ml._transpose_cache is not None
+    np.testing.assert_allclose(
+        np.asarray(ml.sum_col()),
+        np.asarray(np.log1p(A.toarray()).sum(axis=0)).ravel(),
+        rtol=1e-6,
+    )
+    # twin round-trips: transpose of the twin IS the mapped matrix
+    assert ml._transpose_cache._transpose_cache is ml
+
+    # normalize (minor-axis gather path) keeps the twin too
+    sums = np.asarray(m.sum_row())
+    mn = m.normalize(jnp.asarray(sums, m.dtype), 100.0, Direction.ROW)
+    assert mn._transpose_cache is not None
+    np.testing.assert_allclose(
+        np.asarray(mn.sum_row()),
+        np.where(sums > 0, 100.0, 0.0),
+        rtol=1e-5,
+    )
+    # column stat on the twin matches a from-scratch build
+    ref = SparseMatrix.from_scipy(
+        sp.csr_matrix(
+            A.multiply(np.where(sums > 0, 100.0 / sums, 1.0)[:, None])
+        )
+    )
+    np.testing.assert_allclose(
+        np.asarray(mn.sum_col()), np.asarray(ref.sum_col()), rtol=1e-5
+    )
+
+    # map_stored with row+col dependence (the tfidf shape)
+    rfac = jnp.asarray(rng.uniform(0.5, 1.5, 40), m.dtype)
+    cfac = jnp.asarray(rng.uniform(0.5, 1.5, 30), m.dtype)
+    mt = m.map_stored(
+        lambda v, r, c: v * jnp.take(rfac, r) * jnp.take(cfac, c)
+    )
+    dense = A.toarray() * np.asarray(rfac)[:, None] * np.asarray(cfac)
+    np.testing.assert_allclose(
+        np.asarray(mt.sum_col()), dense.sum(axis=0), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mt.sum_row()), dense.sum(axis=1), rtol=1e-5
+    )
+
+
+def test_map_stored_without_cached_transpose():
+    """No twin cached: map_stored still works and later transposes are
+    built lazily from host structure."""
+
+    import scipy.sparse as sp
+    from single_algebra_tpu import SparseMatrix
+
+    A = sp.random(20, 15, density=0.3, random_state=2, format="csr")
+    m = SparseMatrix.from_scipy(A)
+    assert m._transpose_cache is None
+    ml = m.log1p_normalize()
+    assert ml._transpose_cache is None
+    np.testing.assert_allclose(
+        np.asarray(ml.sum_col()),
+        np.log1p(A.toarray()).sum(axis=0),
+        rtol=1e-6,
+    )
