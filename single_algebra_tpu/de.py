@@ -222,41 +222,77 @@ def _welch(m1, v1, n1, m2, v2, n2, overestim: bool):
 # ----------------------------------------------------------------------
 
 
-from .ops.spmm import ell_scatter_densify as _densify_block  # noqa: E402
+@partial(jax.jit, static_argnames=("n_out",))
+def _rank_block_sparse(ed, ei, nz, member, col_map, n1, n_member,
+                       n_out: int):
+    """Tie-averaged rank sums per (gene, group) for one gene block,
+    computed on the STORED entries only.
 
+    ``ed``/``ei``/``nz``: gene-major ELL block [B, W] + per-gene stored
+    counts; ``member`` [n] bool; ``col_map`` [n] int32 output column per
+    cell (``n_out`` = dropped); ``n1`` [n_out] member count per group;
+    ``n_member`` scalar member count.
 
-@jax.jit
-def _rank_block(dense, member, onehot):
-    """Tie-averaged rank sums per (gene, group) for one gene block.
+    The member zeros — implicit AND stored 0.0s — form one analytic tie
+    group, so the sort runs over W = max stored-per-gene slots instead
+    of n cells (the dense formulation sorted [B, n]: ~10-20x more sort
+    work at scRNA sparsity, and it needed the densify pass first).
+    Negative stored values rank below the zero group correctly.
 
-    dense   [B, n]  — gene block, cells on lanes
-    member  [n]     — bool, cells participating in this ranking
-                      (all-True for reference='rest'; group|ref pair
-                      otherwise). Non-members rank as +inf.
-    onehot  [n, G]  — group indicators (zero rows for non-members)
-
-    Returns (ranksum [B, G], tie_term [B]) where tie_term = sum over
-    tie groups of t^3 - t among members.
+    Returns (ranksum [B, n_out], tie_term [B]) with tie_term =
+    sum over tie groups of t^3 - t among members.
     """
 
-    big = jnp.asarray(jnp.inf, dense.dtype)
-    x = jnp.where(member[None, :], dense, big)
+    B, W = ed.shape
+    dt = ed.dtype
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    valid = w_iota < nz[:, None]
+    mem_slot = valid & jnp.take(member, ei, axis=0, mode="clip")
+    big = jnp.asarray(jnp.inf, dt)
+    x = jnp.where(mem_slot, ed, big)
     s = jnp.sort(x, axis=1)
 
-    def _ranks(srow, xrow):
-        left = jnp.searchsorted(srow, xrow, side="left")
-        right = jnp.searchsorted(srow, xrow, side="right")
-        return left, right
+    def _search(srow, xrow):
+        return (
+            jnp.searchsorted(srow, xrow, side="left"),
+            jnp.searchsorted(srow, xrow, side="right"),
+        )
 
-    left, right = jax.vmap(_ranks)(s, x)
-    ranks = 0.5 * (left + right + 1).astype(dense.dtype)
-    # non-member slots get rank 0 so the matmul ignores them anyway
-    ranks = jnp.where(member[None, :], ranks, 0.0)
-    # each member element reports its tie-group size t; summing t^2 - 1
-    # over elements gives sum over groups of t^3 - t exactly once
-    t = (right - left).astype(dense.dtype)
-    tsq = jnp.where(member[None, :], t * t - 1.0, 0.0)
-    return ranks @ onehot, jnp.sum(tsq, axis=1)
+    left_s, right_s = jax.vmap(_search)(s, x)
+    s_cnt = jnp.sum(mem_slot, axis=1)
+    z_impl = (n_member - s_cnt).astype(dt)  # implicit member zeros
+    left = left_s.astype(dt) + z_impl[:, None] * (x > 0)
+    right = right_s.astype(dt) + z_impl[:, None] * (x >= 0)
+    ranks = jnp.where(mem_slot, 0.5 * (left + right + 1.0), 0.0)
+
+    # zero tie group (stored member 0.0s merge with the implicit zeros)
+    zero = jnp.zeros((B,), dt)
+    l0 = jax.vmap(
+        lambda srow, q: jnp.searchsorted(srow, q, side="left")
+    )(s, zero).astype(dt)
+    r0 = jax.vmap(
+        lambda srow, q: jnp.searchsorted(srow, q, side="right")
+    )(s, zero).astype(dt) + z_impl
+    rank0 = 0.5 * (l0 + r0 + 1.0)
+    t0 = r0 - l0
+
+    t = right - left
+    tie = jnp.sum(
+        jnp.where(mem_slot, t * t - 1.0, 0.0), axis=1
+    ) + z_impl * (t0 * t0 - 1.0)
+
+    # per-(gene, group) sums via scatter-add (no [B, W, G] gather)
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
+    tgt = jnp.where(mem_slot, jnp.take(col_map, ei, axis=0, mode="clip"),
+                    n_out)
+    ranksum_stored = jnp.zeros((B, n_out), dt).at[b_iota, tgt].add(
+        ranks, mode="drop"
+    )
+    cnt = jnp.zeros((B, n_out), dt).at[b_iota, tgt].add(
+        jnp.where(mem_slot, 1.0, 0.0), mode="drop"
+    )
+    ranksum = ranksum_stored + rank0[:, None] * (n1[None, :] - cnt)
+    return ranksum, tie
 
 
 def _wilcoxon_scores(
@@ -267,7 +303,7 @@ def _wilcoxon_scores(
     n_groups: int,
     *,
     tie_correct: bool,
-    block: int,
+    block: Optional[int],
 ):
     """z-scores [p, len(group_ids)] for wilcoxon, blocked over genes."""
 
@@ -275,42 +311,44 @@ def _wilcoxon_scores(
 
     n, p = m.shape
     mc = m._layout_for("col")  # gene-major ELL
-    dtype = np.dtype(mc.ell_data.dtype)
-    codes_d = jnp.asarray(codes)
+    W = mc.ell_data.shape[1]
+    if block is None:
+        # sort/search buffers are [B, W] now — budget ~2 GB over ~8 of
+        # them; W is the max stored-per-gene count, not n
+        block = int(
+            max(16, min(4096, (2 * 1024**3) // (8 * 4 * max(W, 1))))
+        )
 
     if ref_id is None:  # vs rest: one ranking over ALL cells
-        members = [np.ones(n, bool)]
-        onehots = [np.eye(n_groups, dtype=dtype)[codes][:, list(group_ids)]]
-        cols = [list(range(len(group_ids)))]
+        col_of = np.full(n_groups, len(group_ids), np.int32)
+        for j, g in enumerate(group_ids):
+            col_of[g] = j
+        plans = [(np.ones(n, bool), col_of[codes], list(range(len(group_ids))))]
     else:  # vs a reference group: one ranking per (group, ref) pair
-        members, onehots, cols = [], [], []
+        plans = []
         for j, g in enumerate(group_ids):
             mask = (codes == g) | (codes == ref_id)
-            oh = np.zeros((n, 1), dtype)
-            oh[codes == g, 0] = 1.0
-            members.append(mask)
-            onehots.append(oh)
-            cols.append([j])
+            cmap = np.where(codes == g, 0, 1).astype(np.int32)
+            plans.append((mask, cmap, [j]))
 
     z = np.zeros((p, len(group_ids)), np.float64)
-    for mask, oh, outcols in zip(members, onehots, cols):
+    for mask, cmap, outcols in plans:
         mask_d = jnp.asarray(mask)
-        oh_d = jnp.asarray(oh)
+        cmap_d = jnp.asarray(cmap)
         n_sub = float(mask.sum())
         n1 = np.asarray(
             [float(((codes == group_ids[c]) & mask).sum()) for c in outcols]
         )
         n2 = n_sub - n1
+        n1_d = jnp.asarray(n1, mc.ell_data.dtype)
+        n_mem_d = jnp.asarray(n_sub, mc.ell_data.dtype)
         rsums = np.zeros((p, len(outcols)), np.float64)
         ties = np.zeros(p, np.float64)
         for j0 in range(0, p, block):
             j1 = min(j0 + block, p)
-            rs, tt = _rank_block(
-                _densify_block(
-                    mc.ell_data[j0:j1], mc.ell_ids[j0:j1], mc.row_nnz[j0:j1], n
-                ),
-                mask_d,
-                oh_d,
+            rs, tt = _rank_block_sparse(
+                mc.ell_data[j0:j1], mc.ell_ids[j0:j1], mc.row_nnz[j0:j1],
+                mask_d, cmap_d, n1_d, n_mem_d, len(outcols),
             )
             rsums[j0:j1] = np.asarray(rs, np.float64)
             ties[j0:j1] = np.asarray(tt, np.float64)
@@ -422,8 +460,9 @@ def rank_genes_groups(
         in the rest (scanpy's pts/pts_rest; one grouped count SpMM) —
         required by :meth:`DEResult.filter`.
     block : genes per device dispatch in the wilcoxon rank kernel;
-        ``None`` sizes it so the ~6 [block, n] f32 work buffers stay
-        within ~2 GB of device memory (min 16, max 512).
+        ``None`` sizes it so the ~8 [block, W] f32 work buffers (W = max
+        stored entries per gene — the rank kernel sorts stored entries
+        only) stay within ~2 GB of device memory (min 16, max 4096).
     """
 
     if method not in (
@@ -462,9 +501,6 @@ def rank_genes_groups(
     k = p if n_genes is None else min(int(n_genes), p)
 
     if method == "wilcoxon":
-        if block is None:
-            budget = 2 * 1024**3
-            block = int(max(16, min(512, budget // (6 * 4 * max(n, 1)))))
         scores, pvals = _wilcoxon_scores(
             m, codes, group_ids, ref_id, n_groups,
             tie_correct=tie_correct, block=block,

@@ -102,19 +102,36 @@ def scrublet(
     pair_b = rng.integers(0, n, n_sim)
     X_sim = X[pair_a] + X[pair_b]
 
-    # --- shared preprocessing: normalize + log1p, observed-fit HVG -----
-    def prep(Xc):
-        mm = SparseMatrix.from_scipy(Xc.tocsr())
-        sums = np.asarray(mm.sum_row())
-        return mm.normalize(sums, 1e4, Direction.ROW).log1p_normalize()
+    # --- preprocessing: normalize + log1p, observed-fit HVG ------------
+    # Column selection happens on the RAW host CSR and the row scaling
+    # (which commutes with it — the sums stay full-gene, scrublet
+    # semantics) is applied after: selecting on the normalized matrices
+    # means extracting from device-resident values, a full payload pull
+    # per matrix (measured 423 s of a 570 s scrublet run at n=30k
+    # through the tunneled chip).
+    def norm(mm, sums):
+        return mm.normalize(
+            np.asarray(sums, np.float32), 1e4, Direction.ROW
+        ).log1p_normalize()
 
-    obs = prep(X)
-    sim = prep(X_sim)
+    sums_obs = np.asarray(X.sum(axis=1), np.float64).ravel()
+    sums_sim = np.asarray(X_sim.sum(axis=1), np.float64).ravel()
+    obs = norm(m, sums_obs)
     hvg = fs.highly_variable_genes(
         obs, n_top_genes=min(n_top_genes, p)
     )
-    obs_h = obs.select_cols(hvg.mask)
-    sim_h = sim.select_cols(hvg.mask)
+    if hvg.mask.all():
+        obs_h = obs
+        sim_h = norm(SparseMatrix.from_scipy(X_sim), sums_sim)
+    else:
+        cols = np.flatnonzero(hvg.mask)
+        obs_h = norm(
+            SparseMatrix.from_scipy(X.tocsc()[:, cols].tocsr()), sums_obs
+        )
+        sim_h = norm(
+            SparseMatrix.from_scipy(X_sim.tocsc()[:, cols].tocsr()),
+            sums_sim,
+        )
 
     # --- PCA fit on observed, project simulated -------------------------
     n_comps = min(n_comps, obs_h.shape[1] - 1, n - 1)
@@ -133,20 +150,22 @@ def scrublet(
     ])
 
     def scores_of(E_query, exclude_self_block: Optional[int]):
-        # +1 neighbor when the query is part of the union (self hit)
+        # +1 neighbor when the query is part of the union (self hit).
+        # approx top-k: at this k (~0.5 sqrt(n) (1+r)) the exact top_k
+        # lowers to a full-width sort per distance tile and dominates the
+        # whole scrublet run; recall ~0.95 is well inside the noise of
+        # the neighbor-fraction statistic (original scrublet uses annoy)
         extra = 1 if exclude_self_block is not None else 0
-        d, idx = cross_knn(E_query, union, k_adj + extra)
+        d, idx = cross_knn(E_query, union, k_adj + extra, approx=True)
         idx = np.asarray(idx)
         if exclude_self_block is not None:
-            # drop each row's self column (distance 0 -> first column)
+            # drop each row's self column, keep ascending order (stable
+            # argsort of the drop mask partitions kept entries first)
             rows = np.arange(idx.shape[0])
             self_ids = rows + exclude_self_block
             keep = idx != self_ids[:, None]
-            # keep exactly k_adj per row
-            out = np.empty((idx.shape[0], k_adj), idx.dtype)
-            for i in rows:
-                out[i] = idx[i][keep[i]][:k_adj]
-            idx = out
+            order = np.argsort(~keep, axis=1, kind="stable")
+            idx = np.take_along_axis(idx, order[:, :k_adj], axis=1)
         n_sim_neigh = is_sim[idx].sum(axis=1)
         q = (n_sim_neigh + 1.0) / (idx.shape[1] + 2.0)
         ld = q / r

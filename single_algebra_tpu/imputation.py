@@ -64,7 +64,25 @@ def magic(
     M = sp.diags(1.0 / np.maximum(rs, 1e-30)) @ W  # row-stochastic
     Md = SparseMatrix.from_scipy(M.astype(np.float32).tocsr())
 
+    from .linalg.operators import DensifiedOperator
     from .ops.spmm import ell_scatter_densify
+
+    # kNN-graph diffusion against a WIDE dense operand is a gather-bound
+    # worst case for the ELL SpMM (the [rows, W, k] gather budget forces
+    # ~100-row blocks -> hundreds of sequential steps; measured 51 s warm
+    # at n=30k). When the [n, n] bf16 hi/lo densification fits HBM, the
+    # MXU runs each diffusion step as 4 dense passes (~read-bound ms);
+    # densified ON DEVICE from the tiny graph payload.
+    dense_ok = DensifiedOperator.fits(
+        (n, n),
+        budget_bytes=int(DensifiedOperator.hbm_budget_bytes() * 1.2),
+        needs_lo=True,
+    )
+    if dense_ok:
+        Mop = DensifiedOperator.from_matrix(Md, device=True)
+        step = Mop.mv_precise
+    else:
+        step = Md.matmul_dense
 
     mc = X._layout_for("col") if is_sparse else None  # gene-major ELL
     out = np.empty((n, p), np.float32)
@@ -80,6 +98,6 @@ def magic(
         else:
             blk = jnp.asarray(np.asarray(X)[:, j0:j1], jnp.float32)
         for _ in range(t):
-            blk = Md.matmul_dense(blk)
+            blk = step(blk)
         out[:, j0:j1] = np.asarray(blk)
     return out

@@ -212,6 +212,46 @@ class CenteredOperator:
 
 
 
+def _densify_split_device(ed, ei, nz, n: int, p: int, blk: int):
+    """Row-blocked device densify + barriered bf16 hi/lo split of an ELL
+    payload whose values live only on device. Returns (hi [n, p] bf16,
+    lo [n, p] bf16, exact flag). Peak memory = hi + lo + one [blk, p]
+    f32 block; the last block clamps its start (overlap rewrites the
+    same values)."""
+
+    from functools import partial as _partial
+
+    from ..ops.spmm import ell_scatter_densify
+
+    @_partial(jax.jit, static_argnames=("n", "p", "blk"))
+    def run(ed, ei, nz, n, p, blk):
+        W = ed.shape[1]
+        nb = -(-n // blk)
+
+        def body(b, carry):
+            hi, lo = carry
+            start = jnp.minimum(b * blk, n - blk)
+            z = jnp.zeros((), start.dtype)
+            d = jax.lax.dynamic_slice(ed, (start, z), (blk, W))
+            i = jax.lax.dynamic_slice(ei, (start, z), (blk, W))
+            c = jax.lax.dynamic_slice(nz, (start,), (blk,))
+            dense = ell_scatter_densify(d, i, c, p)
+            # barrier the hi cast: XLA:TPU folds f32->bf16->f32 round
+            # trips to identity otherwise (see _split below)
+            h = jax.lax.optimization_barrier(dense.astype(jnp.bfloat16))
+            l = (dense - h.astype(dense.dtype)).astype(jnp.bfloat16)
+            hi = jax.lax.dynamic_update_slice(hi, h, (start, z))
+            lo = jax.lax.dynamic_update_slice(lo, l, (start, z))
+            return hi, lo
+
+        hi0 = jnp.zeros((n, p), jnp.bfloat16)
+        lo0 = jnp.zeros((n, p), jnp.bfloat16)
+        hi, lo = jax.lax.fori_loop(0, nb, body, (hi0, lo0))
+        return hi, lo, jnp.logical_not(jnp.any(lo != 0))
+
+    return run(ed, ei, nz, n, p, min(blk, n))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DensifiedOperator:
@@ -286,13 +326,33 @@ class DensifiedOperator:
         return hi, lo
 
     @classmethod
-    def from_matrix(cls, m) -> "DensifiedOperator":
+    def from_matrix(cls, m, *, device: bool = False) -> "DensifiedOperator":
+        if device or getattr(m, "_h_data", None) is None:
+            # values live only on device (post value-map matrices):
+            # densify + split there — to_scipy() would pull the full
+            # payload through the host link (measured ~10-20 s/pull on
+            # the tunneled chip; the r3 lsi/pipeline-PCA warm cost)
+            return cls._from_matrix_device(m)
         hi, lo = cls.densify_host(m)
         return cls(
             jnp.asarray(hi),
             None if lo is None else jnp.asarray(lo),
             m.shape,
         )
+
+    @classmethod
+    def _from_matrix_device(cls, m) -> "DensifiedOperator":
+        """Densify + barriered bf16 hi/lo split on DEVICE, in row blocks
+        (peak = hi + lo + one [blk, p] f32 block). ``lo`` is dropped when
+        a device reduction confirms the values are bf16-exact."""
+
+        mr = m._layout_for("row")
+        n, p = m.shape
+        hi, lo, exact = _densify_split_device(
+            mr.ell_data, mr.ell_ids, mr.row_nnz, n, p,
+            min(max((256 << 20) // max(4 * p, 1) // 8 * 8, 8), n),
+        )
+        return cls(hi, None if bool(exact) else lo, m.shape)
 
     @staticmethod
     def hbm_budget_bytes() -> int:

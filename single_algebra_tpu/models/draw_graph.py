@@ -119,6 +119,13 @@ def _forces(y, mass, e_src, e_dst, e_val, *, scaling, gravity,
                 yb, yp,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=dt,
+                # HIGHEST is load-bearing: the default bf16 passes leave
+                # O(1e-3 * |y|^2) error in d2, and 1/max(d2, eps) turns
+                # that into ~1e9x repulsion spikes on whole tiles of
+                # nearby points (observed as radius -> NaN on silicon;
+                # the t-SNE tile survives bf16 only because its kernel
+                # 1/(1+d2) is bounded)
+                precision=MATMUL_PRECISION,
             ),
             1e-9,
         )
@@ -188,6 +195,7 @@ def _forces_slab(y, mass_pad, y_sl, m_sl, r0, e_src, e_dst, e_val, *,
                 yb, y,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=dt,
+                precision=MATMUL_PRECISION,  # see _forces: 1/d2 vs bf16
             ),
             1e-9,
         )

@@ -68,6 +68,44 @@ def _objective(Zc, Y, R, O, E, sigma, theta):
     return err + ent + div
 
 
+@partial(jax.jit, static_argnames=("sigma", "theta"))
+def _kmeans_sweep(Zc, phi, R, O, E, nb_frac, blocks, sigma: float,
+                  theta: float):
+    """One diversity-kmeans iteration as ONE device graph.
+
+    Centroid update + the full permuted block sweep ride a
+    ``lax.fori_loop`` over ``blocks`` ([n_blocks, blk] permuted cell ids,
+    padded with ``n`` — out-of-range scatter rows are dropped, gathers
+    clamp and are masked). A per-block Python loop costs ~8 host
+    dispatches per block (measured 103 s at n=50k through the TPU
+    tunnel); this is one dispatch per iteration.
+    """
+
+    n = Zc.shape[0]
+    Y0 = _l2n(R.T @ Zc)
+
+    def body(bi, carry):
+        R, O, E = carry
+        idx = blocks[bi]
+        valid = (idx < n)[:, None].astype(R.dtype)
+        Rb = jnp.take(R, idx, axis=0, mode="clip") * valid
+        phib = jnp.take(phi, idx, axis=0, mode="clip") * valid
+        O1 = O - phib.T @ Rb
+        E1 = E - jnp.outer(nb_frac, Rb.sum(0))
+        Rb_new = _assign_block(
+            jnp.take(Zc, idx, axis=0, mode="clip"), phib, Y0, O1, E1,
+            sigma, theta,
+        ).astype(R.dtype) * valid
+        R = R.at[idx].set(Rb_new, mode="drop")
+        O = O1 + phib.T @ Rb_new
+        E = E1 + jnp.outer(nb_frac, Rb_new.sum(0))
+        return R, O, E
+
+    R, O, E = jax.lax.fori_loop(0, blocks.shape[0], body, (R, O, E))
+    obj = _objective(Zc, Y0, R, O, E, sigma, theta)
+    return R, O, E, obj
+
+
 @partial(jax.jit, static_argnames=("lam",))
 def _correct(Z, R, phi_star, lam: float):
     """Per-cluster ridge removal of batch effects.
@@ -172,23 +210,13 @@ def harmony(
         # -- (a) diversity-penalized spherical kmeans ------------------
         prev_obj = None
         for _ in range(max_kmeans_iters):
-            Y = _l2n(R.T @ Zc)
-            order = rng.permutation(n)
-            for bi in range(n_blocks):
-                idx = jnp.asarray(order[bi * blk: (bi + 1) * blk])
-                Rb = R[idx]
-                phib = phi[idx]
-                # remove the block from the co-occurrence bookkeeping,
-                # reassign it against the remainder, add it back
-                O = O - phib.T @ Rb
-                E = E - jnp.outer(nb_frac, Rb.sum(0))
-                Rb_new = _assign_block(
-                    Zc[idx], phib, Y, O, E, sigma, theta
-                ).astype(R.dtype)
-                R = R.at[idx].set(Rb_new)
-                O = O + phib.T @ Rb_new
-                E = E + jnp.outer(nb_frac, Rb_new.sum(0))
-            obj = float(_objective(Zc, Y, R, O, E, sigma, theta))
+            order = np.full(n_blocks * blk, n, np.int32)
+            order[:n] = rng.permutation(n).astype(np.int32)
+            R, O, E, obj = _kmeans_sweep(
+                Zc, phi, R, O, E, nb_frac,
+                jnp.asarray(order.reshape(n_blocks, blk)), sigma, theta,
+            )
+            obj = float(obj)
             if prev_obj is not None and abs(prev_obj - obj) < eps_kmeans * abs(
                 prev_obj
             ):

@@ -262,6 +262,13 @@ class SparseMatrix:
         cached = getattr(self, "_bf16_exact_cache", None)
         if cached is not None:
             return cached
+        if self._h_data is None:
+            # values live only on device (post value-map): one jitted
+            # reduction — _csr_data_host() here would pull the payload
+            # through the host link (padding slots are zero, bf16-exact)
+            out = bool(_bf16_exact_device(self.ell_data))
+            self._bf16_exact_cache = out
+            return out
         v = np.ascontiguousarray(self._csr_data_host(), np.float32)
         from ..native import build as _native
 
@@ -846,6 +853,15 @@ jax.tree_util.register_pytree_node(
 # ---------------------------------------------------------------------------
 # chunk helpers (functional versions of the reference's in-place streams)
 # ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _bf16_exact_device(ell_data):
+    """True when every stored value survives f32 -> bf16 round-tripping,
+    computed on device (the barrier stops XLA folding the round trip)."""
+
+    hi = jax.lax.optimization_barrier(ell_data.astype(jnp.bfloat16))
+    return jnp.all(hi.astype(ell_data.dtype) == ell_data)
 
 
 @jax.jit

@@ -317,3 +317,38 @@ def test_marker_gene_overlap():
         marker_gene_overlap(res, {})
     with pytest.raises(ValueError, match="empty"):
         marker_gene_overlap(res, {"t": []})
+
+
+def test_wilcoxon_negative_and_stored_zero_values():
+    """Scaled inputs carry negative stored values, and value maps can
+    leave explicit stored zeros; the sparse rank kernel's analytic zero
+    tie group must merge stored and implicit zeros and sit ABOVE the
+    negatives. Parity vs scipy on the dense columns."""
+
+    from scipy import stats
+
+    rng = np.random.default_rng(7)
+    n, p = 120, 30
+    X = sp.random(n, p, density=0.4, random_state=3, format="csr")
+    X.data = rng.normal(0, 1.0, X.nnz)  # mixed sign
+    X.data[:: 7] = 0.0  # explicit stored zeros (NOT eliminated)
+    labels = np.where(rng.random(n) < 0.5, "a", "b")
+    m = SparseMatrix.from_scipy(X)
+    assert m.nnz == X.nnz  # stored zeros preserved
+    res = rank_genes_groups(
+        m, labels, method="wilcoxon", log1p_input=False, block=8
+    )
+    Xd = X.toarray().astype(np.float64)
+    for g in ("a", "b"):
+        got = _cols(res, g)
+        p_ref = np.array([
+            stats.mannwhitneyu(
+                Xd[labels == g, j], Xd[labels != g, j],
+                alternative="two-sided", use_continuity=False,
+                method="asymptotic",
+            ).pvalue
+            for j in range(p)
+        ])
+        np.testing.assert_allclose(
+            got["pvals"], p_ref, rtol=1e-6, atol=1e-12
+        )

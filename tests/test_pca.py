@@ -401,3 +401,75 @@ def test_masked_inverse_transform(data):
     np.testing.assert_allclose(
         R[:, mask], R_sk, atol=5e-3 * np.abs(dense).max()
     )
+
+
+def test_dense_engine_on_value_mapped_matrix():
+    """A matrix whose values live only on device (map_stored output)
+    must feed the densified engine through the DEVICE densify+split
+    path (host densify would pull the payload through the host link)
+    and produce the same fit as the host-built equivalent."""
+
+    from single_algebra_tpu import SparseMatrix
+    from single_algebra_tpu.linalg.operators import DensifiedOperator
+
+    X = cluster_counts(3000, 400, seed=11)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    logged = m.log1p_normalize()
+    assert logged._h_data is None  # device-only values
+
+    op = DensifiedOperator.from_matrix(logged)
+    assert op.lo is not None  # log1p output is not bf16-exact
+    ref = SparseMatrix.from_scipy(sp.csr_matrix(np.log1p(X)))
+    op_ref = DensifiedOperator.from_matrix(ref)
+    np.testing.assert_allclose(
+        np.asarray(op.hi, np.float32),
+        np.asarray(op_ref.hi, np.float32),
+        rtol=0,
+        atol=0,
+    )
+    s1, q1 = [np.asarray(a) for a in op.col_stats()]
+    s2, q2 = [np.asarray(a) for a in op_ref.col_stats()]
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(q1, q2, rtol=1e-6, atol=1e-4)
+
+    fit1 = (
+        SparsePCABuilder()
+        .n_components(8)
+        .svd_method(SVDMethod.random(10, 7))
+        .engine("dense")
+        .build()
+        .fit(logged)
+    )
+    fit2 = (
+        SparsePCABuilder()
+        .n_components(8)
+        .svd_method(SVDMethod.random(10, 7))
+        .engine("dense")
+        .build()
+        .fit(ref)
+    )
+    np.testing.assert_allclose(
+        fit1.explained_variance_,
+        fit2.explained_variance_,
+        rtol=1e-5,
+    )
+
+
+def test_dense_engine_device_path_bf16_exact_drops_lo():
+    """Raw counts survive bf16; the device path must detect that with
+    its on-device reduction and drop lo, matching the host path."""
+
+    from single_algebra_tpu import SparseMatrix
+    from single_algebra_tpu.linalg.operators import DensifiedOperator
+
+    X = cluster_counts(500, 200, seed=3)
+    m = SparseMatrix.from_scipy(sp.csr_matrix(X))
+    # identity map: values unchanged (ints), but host copy is dropped
+    mapped = m.map_stored(lambda v, r, c: v * 1.0)
+    assert mapped._h_data is None
+    op = DensifiedOperator.from_matrix(mapped)
+    assert op.lo is None
+    op_ref = DensifiedOperator.from_matrix(m)
+    np.testing.assert_array_equal(
+        np.asarray(op.hi, np.float32), np.asarray(op_ref.hi, np.float32)
+    )
