@@ -361,10 +361,15 @@ def main():
 
     # ---- magic ----------------------------------------------------------------
     t0 = time.perf_counter()
-    Xm = sat.magic(mn, embedding=E, n_neighbors=15, t=3)
+    Xm = sat.magic(mn, embedding=E, n_neighbors=15, t=3, device_out=True)
+    jax.block_until_ready(Xm)
     t = time.perf_counter() - t0
-    row("imputation.magic", t, "imputed_mean", round(float(np.mean(Xm)), 4))
-    del Xm
+    t0 = time.perf_counter()
+    Xmh = np.asarray(Xm)
+    pull = time.perf_counter() - t0
+    row("imputation.magic", t, "imputed_mean", round(float(np.mean(Xmh)), 4),
+        host_pull_s=round(pull, 3))
+    del Xm, Xmh
 
     # ---- scrublet ---------------------------------------------------------------
     t0 = time.perf_counter()

@@ -26,6 +26,7 @@ def magic(
     t: int = 3,
     self_weight: float = 1.0,
     block: int = 1024,
+    device_out: bool = False,
 ) -> np.ndarray:
     """Impute/denoise expression by graph diffusion.
 
@@ -36,7 +37,12 @@ def magic(
     t : diffusion steps (MAGIC's default neighborhood scale is ~3).
     self_weight : weight of the added self-loop before row
         normalization (keeps each cell anchored to its own profile).
-    Returns a dense [n, p] float32 host array.
+    device_out : return a device array instead of host numpy — the
+        downstream consumer (DE, scoring, plotting subsets) often needs
+        only slices, and the full [n, p] host pull dominates wall time
+        on slow host links.
+    Returns a dense [n, p] float32 array (host numpy unless
+    ``device_out``).
     """
 
     from .neighbors import connectivities
@@ -85,7 +91,7 @@ def magic(
         step = Md.matmul_dense
 
     mc = X._layout_for("col") if is_sparse else None  # gene-major ELL
-    out = np.empty((n, p), np.float32)
+    blocks = []
     for j0 in range(0, p, block):
         j1 = min(j0 + block, p)
         if is_sparse:
@@ -99,5 +105,6 @@ def magic(
             blk = jnp.asarray(np.asarray(X)[:, j0:j1], jnp.float32)
         for _ in range(t):
             blk = step(blk)
-        out[:, j0:j1] = np.asarray(blk)
-    return out
+        blocks.append(blk)
+    full = jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
+    return full if device_out else np.asarray(full)
