@@ -63,11 +63,18 @@ def _mu_loop(op, W0, H0, x_sq, tol, max_iter: int):
     the same compiled program serves the local ELL payloads and the
     row-sharded mesh operator (whose products are shard_map + psum)."""
 
+    # prefer the compensated products where the operator has them (the
+    # densified-bf16 engine): MU tolerates small product error, but the
+    # precise form costs only 2-4 MXU passes and keeps the sklearn loss
+    # parity tight
+    op_mv = getattr(op, "mv_precise", op.mv)
+    op_rmv = getattr(op, "rmv_precise", op.rmv)
+
     def xh(Ht):  # X @ H^T : [n, k]
-        return op.mv(Ht)
+        return op_mv(Ht)
 
     def xtw(W):  # X^T @ W : [p, k]
-        return op.rmv(W)
+        return op_rmv(W)
 
     def loss_from_xht(W, H, XHt):
         # <W^T X, H> = sum(W * (X H^T)) — reuses the SpMM the W update
@@ -231,11 +238,27 @@ class NMF:
 
             op = ShardedSpMM.from_matrix(m, self.mesh)
         else:
-            mr = m._layout_for("row")
-            mc = m._layout_for("col")
-            op = _LocalEllOp(
-                mr.ell_data, mr.ell_ids, mc.ell_data, mc.ell_ids, (n, p)
-            )
+            from ..linalg.operators import DensifiedOperator
+            from .pca import _needs_lo
+
+            if (
+                jax.default_backend() == "tpu"
+                and m.dtype == jnp.float32
+                and DensifiedOperator.fits(m.shape, needs_lo=_needs_lo(m))
+            ):
+                # MU runs ~4 wide products per iteration; the gather
+                # SpMM's [rows, W, k] budget makes those sequential
+                # micro-blocks (measured 25 s / 22 iters at 50k x 5k),
+                # while the bf16 densified payload runs them as single
+                # MXU passes
+                op = DensifiedOperator.from_matrix(m)
+            else:
+                mr = m._layout_for("row")
+                mc = m._layout_for("col")
+                op = _LocalEllOp(
+                    mr.ell_data, mr.ell_ids, mc.ell_data, mc.ell_ids,
+                    (n, p),
+                )
         W0, H0 = self._init_wh(m, dt, op if self.mesh is not None else None)
         x_sq = jnp.asarray(
             float(np.asarray(m.sum_row_squared(), np.float64).sum()), dt
