@@ -318,7 +318,10 @@ class SparseMatrix:
         """New matrix keeping the given rows (bool mask or index array,
         in the given order). The post-QC filtering op: row extraction is
         one native O(selected nnz) pass on the host CSR structure
-        (``extract_rows_csr``), then a fresh device ELL build.
+        (``extract_rows_csr``), then a fresh device ELL build. When the
+        values live only on device (post value-map), the geometry is
+        still extracted host-side and the values move with ONE device
+        gather — no host-link payload pull.
         """
 
         rows = self._as_selection(sel, self.nrows, "rows")
@@ -328,6 +331,9 @@ class SparseMatrix:
 
         base = self if self.format == "csr" else self.transpose()
         base._require_host_structure()
+        if base._h_data is None:
+            out = base._select_major_structural(rows)
+            return out if self.format == "csr" else out.transpose()
         indptr, indices, data = extract_rows_csr(
             base._h_indptr, base._h_indices, base._csr_data_host(), rows
         )
@@ -341,7 +347,8 @@ class SparseMatrix:
     def select_cols(self, sel) -> "SparseMatrix":
         """New matrix keeping the given columns (bool mask or index
         array, in the given order) — e.g. an HVG mask. Runs the row
-        extraction on the transposed (column-major) structure."""
+        extraction on the transposed (column-major) structure; device-
+        resident values move by gather (see :meth:`select_rows`)."""
 
         cols = self._as_selection(sel, self.ncols, "columns")
         import scipy.sparse as sp
@@ -350,6 +357,9 @@ class SparseMatrix:
 
         base = self if self.format == "csc" else self.transpose()
         base._require_host_structure()
+        if base._h_data is None:
+            out = base._select_major_structural(cols)
+            return out if self.format == "csc" else out.transpose()
         indptr, indices, data = extract_rows_csr(
             base._h_indptr, base._h_indices, base._csr_data_host(), cols
         )
@@ -359,6 +369,50 @@ class SparseMatrix:
         if self.format == "csr":
             out = out.tocsr()
         return SparseMatrix.from_scipy(out)
+
+    def _select_major_structural(self, idx: np.ndarray) -> "SparseMatrix":
+        """Select along the MAJOR axis of a matrix whose values live only
+        on device: the sub-structure and an entry-level gather map into
+        the flattened source ELL payload are computed host-side (f64
+        'data' = flat slot positions, exact to 2^53), then the values
+        move with one device gather — same machinery as
+        :meth:`_transpose_structural`."""
+
+        from . import convert as _cv
+
+        W = self.ell_data.shape[1]
+        indptr = self._h_indptr
+        line_nnz = np.diff(indptr)
+        lines = np.repeat(
+            np.arange(self.n_major, dtype=np.int64), line_nnz
+        )
+        j = np.arange(len(self._h_indices), dtype=np.int64)
+        pos = (lines * W + (j - indptr[lines])).astype(np.float64)
+        s_indptr, s_indices, s_pos = _cv.extract_rows_csr(
+            indptr, self._h_indices, pos, idx
+        )
+        ell_pos, ell_ids, s_nnz = _cv.csr_to_ell_numpy(
+            s_indptr, s_indices, s_pos, len(idx)
+        )
+        tmap = jnp.asarray(ell_pos.astype(np.int64))
+        nnz_d = jnp.asarray(s_nnz)
+        ell_data = _gather_transpose_values(self.ell_data, tmap, nnz_d)
+        shape = (
+            (len(idx), self.shape[1])
+            if self.format == "csr"
+            else (self.shape[0], len(idx))
+        )
+        return SparseMatrix(
+            ell_data,
+            jnp.asarray(ell_ids),
+            nnz_d,
+            shape,
+            int(s_indptr[-1]),
+            self.format,
+            h_indptr=s_indptr,
+            h_indices=s_indices,
+            h_data=None,
+        )
 
     def transpose(self) -> "SparseMatrix":
         """Matrix with major/minor layouts swapped (cached; host O(nnz)).

@@ -557,3 +557,46 @@ def test_map_stored_without_cached_transpose():
         np.log1p(A.toarray()).sum(axis=0),
         rtol=1e-6,
     )
+
+
+def test_select_on_device_valued_matrix():
+    """select_rows/select_cols on a value-mapped matrix (h_data=None)
+    must route through the structural gather and match selection on the
+    equivalent host-built matrix, for both formats and both bool/index
+    selections."""
+
+    import scipy.sparse as sp
+    from single_algebra_tpu import SparseMatrix
+
+    rng = np.random.default_rng(5)
+    A = sp.random(60, 45, density=0.25, random_state=4, format="csr")
+    A.data = rng.uniform(0.5, 2.0, A.nnz)
+    L = np.log1p(A.toarray())
+
+    for fmt in ("csr", "csc"):
+        base = A.tocsr() if fmt == "csr" else A.tocsc()
+        m = SparseMatrix.from_scipy(base)
+        ml = m.log1p_normalize()
+        assert ml._h_data is None
+
+        rows = np.asarray([3, 0, 17, 44, 59])
+        mr = ml.select_rows(rows)
+        assert mr.format == fmt and mr.shape == (5, 45)
+        np.testing.assert_allclose(
+            np.asarray(mr.to_dense()), L[rows], rtol=1e-6
+        )
+        # column bool mask
+        cmask = np.zeros(45, bool)
+        cmask[[1, 7, 8, 30, 44]] = True
+        mc = ml.select_cols(cmask)
+        assert mc.format == fmt and mc.shape == (60, 5)
+        np.testing.assert_allclose(
+            np.asarray(mc.to_dense()), L[:, cmask], rtol=1e-6
+        )
+        # stats on the selected matrices agree with dense truth
+        np.testing.assert_allclose(
+            np.asarray(mc.sum_col()), L[:, cmask].sum(0), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(mr.sum_row()), L[rows].sum(1), rtol=1e-5
+        )
