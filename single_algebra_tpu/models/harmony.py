@@ -106,6 +106,39 @@ def _kmeans_sweep(Zc, phi, R, O, E, nb_frac, blocks, sigma: float,
     return R, O, E, obj
 
 
+@partial(jax.jit, static_argnames=("sigma", "theta", "eps"))
+def _kmeans_rounds(Zc, phi, R, O, E, nb_frac, perms, sigma: float,
+                   theta: float, eps: float):
+    """A full diversity-kmeans phase — up to ``perms.shape[0]``
+    iterations with the relative-objective stopping rule — as ONE device
+    graph (``perms`` [max_iters, n_blocks, blk] pre-generated permuted
+    cell ids). One dispatch + one scalar pull per harmony ROUND instead
+    of one per kmeans iteration."""
+
+    max_iters = perms.shape[0]
+
+    def cond(state):
+        it, prev, obj, _ = state
+        done = jnp.abs(prev - obj) < eps * jnp.abs(prev)
+        return jnp.logical_and(it < max_iters,
+                               jnp.logical_or(it < 2, ~done))
+
+    def body(state):
+        it, _, obj, (R, O, E) = state
+        R, O, E, new_obj = _kmeans_sweep(
+            Zc, phi, R, O, E, nb_frac, perms[it], sigma, theta
+        )
+        return it + 1, obj, new_obj, (R, O, E)
+
+    _, _, obj, (R, O, E) = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, Zc.dtype),
+         jnp.asarray(jnp.inf, Zc.dtype), (R, O, E)),
+    )
+    return R, O, E, obj
+
+
 @partial(jax.jit, static_argnames=("lam",))
 def _correct(Z, R, phi_star, lam: float):
     """Per-cluster ridge removal of batch effects.
@@ -208,20 +241,17 @@ def harmony(
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         # -- (a) diversity-penalized spherical kmeans ------------------
-        prev_obj = None
-        for _ in range(max_kmeans_iters):
-            order = np.full(n_blocks * blk, n, np.int32)
-            order[:n] = rng.permutation(n).astype(np.int32)
-            R, O, E, obj = _kmeans_sweep(
-                Zc, phi, R, O, E, nb_frac,
-                jnp.asarray(order.reshape(n_blocks, blk)), sigma, theta,
-            )
-            obj = float(obj)
-            if prev_obj is not None and abs(prev_obj - obj) < eps_kmeans * abs(
-                prev_obj
-            ):
-                break
-            prev_obj = obj
+        # whole phase = one dispatch: pre-generate every iteration's
+        # permutation and run the stopping rule on device
+        perms = np.full((max_kmeans_iters, n_blocks * blk), n, np.int32)
+        for i in range(max_kmeans_iters):
+            perms[i, :n] = rng.permutation(n).astype(np.int32)
+        R, O, E, obj = _kmeans_rounds(
+            Zc, phi, R, O, E, nb_frac,
+            jnp.asarray(perms.reshape(max_kmeans_iters, n_blocks, blk)),
+            sigma, theta, eps_kmeans,
+        )
+        obj = float(obj)
         objective.append(obj)
 
         # -- (b) ridge correction --------------------------------------
