@@ -250,29 +250,43 @@ def _rank_block_sparse(ed, ei, nz, member, col_map, n1, n_member,
     mem_slot = valid & jnp.take(member, ei, axis=0, mode="clip")
     big = jnp.asarray(jnp.inf, dt)
     x = jnp.where(mem_slot, ed, big)
-    s = jnp.sort(x, axis=1)
 
-    def _search(srow, xrow):
-        return (
-            jnp.searchsorted(srow, xrow, side="left"),
-            jnp.searchsorted(srow, xrow, side="right"),
-        )
+    # per-element tie-run bounds from ONE key-value sort + cumulative
+    # scans, scattered back by the carried slot index. (A vmapped
+    # searchsorted pair computes the same bounds but lowers to
+    # binary-search gather loops — measured as ~the entire wilcoxon
+    # cost at [4096, 15k]: 42 s/call against ~0.2 s for the sort.)
+    s, si = jax.lax.sort_key_val(x, w_iota, dimension=-1)
+    jpos = w_iota  # [B, W] position index, reused
+    newrun = jnp.concatenate(
+        [jnp.ones((B, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
+    )
+    left_sorted = jax.lax.cummax(
+        jnp.where(newrun, jpos, 0), axis=1
+    ).astype(dt)
+    endrun = jnp.concatenate(
+        [s[:, 1:] != s[:, :-1], jnp.ones((B, 1), bool)], axis=1
+    )
+    right_sorted = jnp.flip(
+        jax.lax.cummin(
+            jnp.flip(jnp.where(endrun, jpos + 1, W), axis=1), axis=1
+        ),
+        axis=1,
+    ).astype(dt)
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
+    left_s = jnp.zeros((B, W), dt).at[b_iota, si].set(left_sorted)
+    right_s = jnp.zeros((B, W), dt).at[b_iota, si].set(right_sorted)
 
-    left_s, right_s = jax.vmap(_search)(s, x)
     s_cnt = jnp.sum(mem_slot, axis=1)
     z_impl = (n_member - s_cnt).astype(dt)  # implicit member zeros
-    left = left_s.astype(dt) + z_impl[:, None] * (x > 0)
-    right = right_s.astype(dt) + z_impl[:, None] * (x >= 0)
+    left = left_s + z_impl[:, None] * (x > 0)
+    right = right_s + z_impl[:, None] * (x >= 0)
     ranks = jnp.where(mem_slot, 0.5 * (left + right + 1.0), 0.0)
 
-    # zero tie group (stored member 0.0s merge with the implicit zeros)
-    zero = jnp.zeros((B,), dt)
-    l0 = jax.vmap(
-        lambda srow, q: jnp.searchsorted(srow, q, side="left")
-    )(s, zero).astype(dt)
-    r0 = jax.vmap(
-        lambda srow, q: jnp.searchsorted(srow, q, side="right")
-    )(s, zero).astype(dt) + z_impl
+    # zero tie group (stored member 0.0s merge with the implicit zeros):
+    # bounds are plain mask counts — x is +inf on non-member slots
+    l0 = jnp.sum(x < 0, axis=1).astype(dt)
+    r0 = jnp.sum(x <= 0, axis=1).astype(dt) + z_impl
     rank0 = 0.5 * (l0 + r0 + 1.0)
     t0 = r0 - l0
 
