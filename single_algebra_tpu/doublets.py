@@ -72,6 +72,7 @@ def scrublet(
     k: Optional[int] = None,
     threshold: Optional[float] = None,
     seed: int = 0,
+    verbose: bool = False,
 ) -> ScrubletResult:
     """Score each cell's probability of being a doublet.
 
@@ -81,11 +82,24 @@ def scrublet(
     the simulated-score distribution.
     """
 
+    import time as _time
+
     from . import feature_selection as fs
     from .models import SparsePCABuilder
     from .neighbors import cross_knn
     from .sparse.matrix import SparseMatrix
     from .types import Direction
+
+    _t0 = _time.perf_counter()
+
+    def _stage(name):
+        nonlocal _t0
+        if verbose:
+            import sys as _sys
+
+            now = _time.perf_counter()
+            print(f"[scrublet] {name}: {now - _t0:.2f}s", file=_sys.stderr)
+            _t0 = now
 
     n, p = m.shape
     if n < 10:
@@ -101,6 +115,7 @@ def scrublet(
     pair_a = rng.integers(0, n, n_sim)
     pair_b = rng.integers(0, n, n_sim)
     X_sim = X[pair_a] + X[pair_b]
+    _stage("simulate (host CSR add)")
 
     # --- preprocessing: normalize + log1p, observed-fit HVG ------------
     # Column selection happens on the RAW host CSR and the row scaling
@@ -120,6 +135,7 @@ def scrublet(
     hvg = fs.highly_variable_genes(
         obs, n_top_genes=min(n_top_genes, p)
     )
+    _stage("normalize + HVG fit")
     if hvg.mask.all():
         obs_h = obs
         sim_h = norm(SparseMatrix.from_scipy(X_sim), sums_sim)
@@ -132,12 +148,15 @@ def scrublet(
             SparseMatrix.from_scipy(X_sim.tocsc()[:, cols].tocsr()),
             sums_sim,
         )
+    _stage("HVG column select + device payloads")
 
     # --- PCA fit on observed, project simulated -------------------------
     n_comps = min(n_comps, obs_h.shape[1] - 1, n - 1)
     pca = SparsePCABuilder().n_components(n_comps).verbose(False).build()
     E_obs = np.asarray(pca.fit_transform(obs_h), np.float32)
+    _stage("PCA fit_transform (observed)")
     E_sim = np.asarray(pca.transform(sim_h), np.float32)
+    _stage("PCA transform (simulated)")
 
     # --- union kNN + posterior scores -----------------------------------
     if k is None:
@@ -174,7 +193,9 @@ def scrublet(
         return rho * ld / (rho * ld + (1.0 - rho) * ls)
 
     doublet_scores = scores_of(E_obs, exclude_self_block=0)
+    _stage("union kNN + scores (observed)")
     sim_scores = scores_of(E_sim, exclude_self_block=n)
+    _stage("union kNN + scores (simulated)")
 
     thr = threshold if threshold is not None else _auto_threshold(sim_scores)
     return ScrubletResult(
