@@ -53,6 +53,12 @@ SHAPES = {
     "wide": dict(
         n=400_000, p=30_000, density=0.01, k=50, seed=7, n_clusters=64
     ),
+    # the metric's OWN shape (BASELINE.json: "1M x 30k CSR, 50 comps") —
+    # until round 4 every flagship number was at a different shape and
+    # the 1M x 30k figure was an extrapolation (VERDICT r3 missing #1)
+    "northstar": dict(
+        n=1_000_000, p=30_000, density=0.01, k=50, seed=7, n_clusters=64
+    ),
 }
 
 
@@ -68,6 +74,33 @@ def cluster_counts_big(n, p, n_clusters=16, seed=0, density=0.01):
     return _gen(
         n, p, n_clusters=n_clusters, seed=seed, density=density, log=_log
     )
+
+
+def matrix_cached(name, cfg):
+    """Disk-cached planted matrix: generation at 300M nnz is minutes of
+    single-core work, and the CPU-baseline prep and the TPU run happen in
+    separate processes."""
+
+    import scipy.sparse as sp_io
+
+    os.makedirs(TRUTH_CACHE, exist_ok=True)
+    path = os.path.join(
+        TRUTH_CACHE,
+        f"{name}_{cfg['n']}x{cfg['p']}_s{cfg['seed']}"
+        f"_c{cfg.get('n_clusters', 16)}.npz",
+    )
+    if os.path.exists(path):
+        t0 = time.time()
+        X = sp_io.load_npz(path)
+        _log(f"loaded cached matrix {path} in {time.time() - t0:.0f}s")
+        return X
+    X = cluster_counts_big(
+        cfg["n"], cfg["p"], seed=cfg["seed"], density=cfg["density"],
+        n_clusters=cfg.get("n_clusters", 16),
+    )
+    if cfg["n"] * cfg["p"] >= 1e10:  # cache only the expensive ones
+        sp_io.save_npz(path, X, compressed=False)
+    return X
 
 
 def host_truth_ev(X, k, name):
@@ -174,18 +207,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", nargs="*", default=list(SHAPES))
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument(
+        "--prep-only", action="store_true",
+        help="build + cache the matrix, f64 truth, and 1-core CPU "
+        "baseline, then exit without touching the TPU (the CPU-bound "
+        "half, runnable in the background on this 1-core host)",
+    )
     args = ap.parse_args()
 
     rows = []
     for name in args.shapes:
         cfg = SHAPES[name]
         _log(f"=== {name}: {cfg}")
-        X = cluster_counts_big(
-            cfg["n"], cfg["p"], seed=cfg["seed"], density=cfg["density"],
-            n_clusters=cfg.get("n_clusters", 16),
-        )
+        X = matrix_cached(name, cfg)
         _log(f"{name}: nnz={X.nnz} ({X.nnz / cfg['n'] / cfg['p']:.4f})")
         ev_ref = host_truth_ev(X, cfg["k"], name)
+        if args.prep_only:
+            key = (
+                f"planted:{name}:{cfg['n']}x{cfg['p']}x{cfg['seed']}"
+                f":{X.nnz}"
+            )
+            cpu = cpu_reference(X, cfg["k"], key)
+            _log(f"{name}: prep done, cpu={json.dumps(cpu)}")
+            del X
+            continue
 
         r = tpu_fit(X, cfg["k"], cfg["seed"])
         ev = r.pop("ev")[: len(ev_ref)]
@@ -216,6 +261,10 @@ def main():
         rows.append(row)
         _log(json.dumps(row))
         del X
+
+    if args.prep_only:
+        print(json.dumps({"prep_done": args.shapes}))
+        return
 
     path = os.path.join(HERE, "results_large_tpu.json")
     if os.path.exists(path):  # merge: keep rows for shapes not re-run

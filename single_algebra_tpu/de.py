@@ -12,10 +12,10 @@ The post-clustering step every scRNA pipeline runs (scanpy's
   consumer those ops exist for.
 * **wilcoxon** — rank-sum z-scores with exact tie correction. Genes are
   processed in column blocks: each block is scatter-densified to
-  ``[B, n]`` on device, sorted along cells (XLA sort), average ranks
-  computed by two vmapped ``searchsorted`` passes, and per-group rank
-  sums reduced with one one-hot matmul on the MXU. No [n, n] anything;
-  peak memory is a few ``[B, n]`` f32 buffers.
+  ``[B, n]`` on device, tie-run bounds come from ONE key-value sort plus
+  cumulative scans (scattered back through the carried slot index), and
+  per-group rank sums reduce with one one-hot matmul on the MXU. No
+  [n, n] anything; peak memory is a few ``[B, n]`` f32 buffers.
 
 Only p-length statistics reach the host; p-value transforms (Student-t /
 normal survival functions, Benjamini-Hochberg) are p-length host work.

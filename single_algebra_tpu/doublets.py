@@ -97,6 +97,15 @@ def scrublet(
         if verbose:
             import sys as _sys
 
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            # drain the device queue before sampling the clock: TPU/CPU
+            # streams execute enqueued programs in order, so a trivial op
+            # submitted now completes only after everything this stage
+            # dispatched — otherwise async work gets billed to whichever
+            # LATER stage first materializes it (advisor r3)
+            _jax.block_until_ready(_jnp.zeros(()) + 0)
             now = _time.perf_counter()
             print(f"[scrublet] {name}: {now - _t0:.2f}s", file=_sys.stderr)
             _t0 = now

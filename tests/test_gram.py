@@ -33,6 +33,32 @@ def test_gram_matrix_matches_dense(counts):
     assert not G[p:].any() and not G[:, p:].any()
 
 
+@pytest.mark.parametrize("exact_vals", [True, False])
+def test_gram_symmetric_blocked_matches_full(exact_vals):
+    # pp > 4096 engages the symmetric-half blocked contraction (2048-row
+    # blocks, lower-triangular pairs + mirror); small shapes take the
+    # single full dot, so this wide fixture is the only coverage it gets
+    rng = np.random.default_rng(11)
+    X = sp.random(
+        1500, 4500, density=0.01, format="csr", dtype=np.float64,
+        random_state=rng,
+    )
+    if exact_vals:
+        X.data = np.round(X.data * 7)  # small ints: bf16-exact path
+    X = X.astype(np.float32)
+    m = SparseMatrix.from_scipy(X)
+    eng = GramPCAEngine.from_matrix(m)
+    assert eng.p_padded > 4096  # guard: the sym path is actually engaged
+    G_sym = np.asarray(gram_matrix(eng))
+    G_full = np.asarray(gram_matrix(eng, sym=False))
+    scale = max(np.abs(G_full).max(), 1e-30)
+    assert np.abs(G_sym - G_full).max() / scale < 1e-6
+    assert np.abs(G_sym - G_sym.T).max() / scale < 1e-6
+    p = X.shape[1]
+    ref = (X.T @ X).toarray()
+    assert np.abs(G_sym[:p, :p] - ref).max() / scale < 1e-5
+
+
 def test_gram_products(counts):
     X, m = counts
     eng = GramPCAEngine.from_matrix(m)
