@@ -193,11 +193,43 @@ def tpu_fit(X, k, seed):
         fulls.append(dt)
     warm_full_s = min(fulls)
     engine = type(op).__name__ if op is not None else "?"
-    return dict(
+
+    # per-fit device cost under pipelined dispatch (same protocol as
+    # bench.py's headline): enqueue several solve graphs back-to-back and
+    # sync once — tunnel RTTs + state pulls amortize away, leaving what a
+    # production host sees across refits/seed sweeps
+    pipelined_s = None
+    if type(op).__name__ == "GramPCAEngine":
+        from single_algebra_tpu.linalg.gram import gram_pca_graph
+
+        G = op.gram_cached()
+        reps = 4
+
+        def enqueue():
+            return [
+                gram_pca_graph(
+                    op, G, pca.mean_, seed + 1 + i, k=k,
+                    center_svd=True, center_T=True, want_transform=False,
+                )
+                for i in range(reps)
+            ]
+
+        outs = enqueue()
+        jax.block_until_ready([o[0] for o in outs])  # compile
+        t1 = time.perf_counter()
+        outs = enqueue()
+        jax.block_until_ready([o[0] for o in outs])
+        pipelined_s = (time.perf_counter() - t1) / reps
+        _log(f"pipelined device graph: {pipelined_s:.3f}s/fit (x{reps})")
+
+    out = dict(
         load_s=load_s, cold_s=cold_s, warm_fit_s=warm_fit_s,
         warm_full_s=warm_full_s,
         ev=np.asarray(pca.explained_variance_, np.float64), engine=engine,
     )
+    if pipelined_s is not None:
+        out["warm_fit_pipelined_s"] = pipelined_s
+    return out
 
 
 def main():
@@ -258,6 +290,10 @@ def main():
                 vs_64core=round(p64 / r["warm_fit_s"], 2),
                 vs_64core_full=round(p64 / r["warm_full_s"], 2),
             )
+            if "warm_fit_pipelined_s" in r:
+                row["vs_64core_pipelined"] = round(
+                    p64 / r["warm_fit_pipelined_s"], 2
+                )
         rows.append(row)
         _log(json.dumps(row))
         del X

@@ -162,9 +162,14 @@ def main():
     }
 
     # -- #4 MaskedSparsePCA Lanczos k=30, 30% HVG mask on 50k x 10k -------
-    X4 = _cluster_counts(50_000, 10_000, seed=6, density=0.03).astype(
-        np.float32
-    )
+    # 48 planted directions for k=30: with the old default (16 clusters)
+    # ranks 18-30 sat in the near-degenerate noise bulk, which no
+    # iterative solver resolves past ~1e-6 — the r3 row's 3.1e-6 was this
+    # measurement artifact (the same trap sharded_on_tpu.py and
+    # accuracy_at_scale.py document), not a masked-Lanczos defect
+    X4 = _cluster_counts(
+        50_000, 10_000, n_clusters=48, seed=6, density=0.03
+    ).astype(np.float32)
     m4 = SparseMatrix.from_scipy(X4)
     # "HVG" mask: top-30% variance columns (the reference workload shape)
     var = np.asarray(m4.var_col(), np.float64)

@@ -242,9 +242,45 @@ class GramPCAEngine:
             rc = round_up(len(rows), slab)
             plan.append((int(c), rows))
             total += ntiles * int(c) * rc * 8
-        total += pp * pp * 4 + pp * slab * 4 * 2
+        # G + two slab-dense workspace buffers; bf16-exact payloads
+        # densify to bf16 (half the f32 workspace the old plan charged —
+        # the overcount alone pushed the 1M x 30k north-star shape out of
+        # budget and off this engine)
+        try:
+            ws_item = 2 if m.values_bf16_exact() else 4
+        except Exception:
+            ws_item = 4
+        total += pp * pp * 4 + pp * slab * ws_item * 2
+        rb = _gram_block(pp)
+        if rb is not None and pp % rb:
+            # symmetric-path mirror ends with a [ppb, ppb] -> [pp, pp]
+            # slice; both Grams coexist transiently (measured OOM at
+            # 1M x 30k ct=512 where this was uncharged)
+            total += pp * pp * 4
         cache[col_tile] = (plan, total, slab, ntiles)
         return cache[col_tile]
+
+    @staticmethod
+    def hbm_budget_bytes() -> int:
+        """Usable HBM for the bucketed Gram plan. The plan already
+        accounts for every large resident buffer (payload + G + the two
+        slab workspaces), so only genuine XLA temporaries need headroom —
+        a 0.8 fraction, unlike :meth:`DensifiedOperator.hbm_budget_bytes`
+        whose 0.6 reserves the randomized solve's [n, k]-class sketch
+        workspace on top of a payload-only estimate."""
+
+        import jax as _jax
+
+        try:
+            stats = _jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit"
+            )
+            if limit:
+                return int(limit * 0.8)
+        except Exception:
+            pass
+        return 12 << 30
 
     @classmethod
     def choose_col_tile(cls, m, budget_bytes: int | None = None):
@@ -252,10 +288,8 @@ class GramPCAEngine:
         Returns ``(col_tile, payload_bytes)`` — the cheapest candidate even
         when none fits, so callers decide via ``fits()``."""
 
-        from .operators import DensifiedOperator
-
         if budget_bytes is None:
-            budget_bytes = DensifiedOperator.hbm_budget_bytes()
+            budget_bytes = cls.hbm_budget_bytes()
         best = None
         for ct in cls.COL_TILES:
             _, b, _, _ = cls._bucket_plan(m, ct)
@@ -271,13 +305,11 @@ class GramPCAEngine:
 
     @classmethod
     def fits(cls, m, budget_bytes: int | None = None) -> bool:
-        from .operators import DensifiedOperator
-
         n, p = m.shape
         if p > 40960:  # G itself would crowd out HBM
             return False
         if budget_bytes is None:
-            budget_bytes = DensifiedOperator.hbm_budget_bytes()
+            budget_bytes = cls.hbm_budget_bytes()
         return cls.choose_col_tile(m, budget_bytes)[1] <= budget_bytes
 
     # -- construction ------------------------------------------------------
@@ -452,16 +484,19 @@ class GramPCAEngine:
         return g
 
 
-_GRAM_SYM_RB = 2048  # row-block of the symmetric-half contraction
-
-
 def _gram_block(pp: int) -> int | None:
     """Row-block size for the symmetric-half contraction, or ``None`` for
     one full dot (the 2x flop saving is noise below ~4k width, and the
     blocked graph costs ~nb^2/2 extra ops to compile). The slab is padded
-    up to a block multiple — zero rows contribute exact zeros to G."""
+    up to a block multiple — zero rows contribute exact zeros to G.
 
-    return _GRAM_SYM_RB if pp > 4096 else None
+    Block size measured on v5e at 400k x 30720 (independent pair
+    carries): rb=2048 -> 2.55 s, rb=6144 -> 3.03 s — the larger block's
+    ~13% extra flops (pairs cover (ppb^2 + ppb*rb)/2) and coarser
+    pipelining beat its ~2.7x lower operand re-read traffic, so HBM
+    re-reads are NOT the bottleneck at this shape. 2048 stands."""
+
+    return 2048 if pp > 4096 else None
 
 
 @partial(jax.jit, static_argnames=("sym",))
@@ -529,9 +564,20 @@ def gram_matrix(eng: GramPCAEngine, *, sym: bool = True) -> jnp.ndarray:
     ppb = -(-pp // rb) * rb
     nb = ppb // rb
     prec = None if exact else jax.lax.Precision.HIGHEST
-    G = jnp.zeros((ppb, ppb), jnp.float32)
+    pairs = [(r, c) for r in range(nb) for c in range(r + 1)]
+
+    # each lower-triangular block pair accumulates in its OWN carry: with
+    # a single [pp, pp] carry the per-pair dynamic_update_slice chain
+    # SERIALIZES all nb(nb+1)/2 dots through one buffer (measured 3.08 s
+    # at 400k x 30720 — barely better than the 2x-flops naive dot); with
+    # independent carries each dot fuses with its own add and the MXU
+    # pipeline stays fed. The pair carries total ~0.53 pp^2 f32 — LESS
+    # than one padded G
+    S = tuple(
+        jnp.zeros((rb, rb), jnp.float32) for _ in range(len(pairs))
+    )
     for b, (_, rc) in enumerate(eng.bwidths):
-        def body(i, G, b=b):
+        def body(i, S, b=b):
             D = slab_dense(b, i)
             if ppb != pp:
                 D = jnp.pad(D, ((0, ppb - pp), (0, 0)))
@@ -539,31 +585,27 @@ def gram_matrix(eng: GramPCAEngine, *, sym: bool = True) -> jnp.ndarray:
                 jax.lax.dynamic_slice(D, (r * rb, 0), (rb, slab))
                 for r in range(nb)
             ]
-            for r in range(nb):
-                for c in range(r + 1):
-                    prod = jax.lax.dot_general(
-                        blocks[r], blocks[c],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )
-                    cur = jax.lax.dynamic_slice(
-                        G, (r * rb, c * rb), (rb, rb)
-                    )
-                    G = jax.lax.dynamic_update_slice(
-                        G, cur + prod, (r * rb, c * rb)
-                    )
-            return G
+            out = []
+            for idx, (r, c) in enumerate(pairs):
+                prod = jax.lax.dot_general(
+                    blocks[r], blocks[c],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+                out.append(S[idx] + prod)
+            return tuple(out)
 
-        G = jax.lax.fori_loop(0, rc // slab, body, G)
+        S = jax.lax.fori_loop(0, rc // slab, body, S)
 
-    # mirror the strict-lower blocks into the (all-zero) upper triangle —
-    # block-sized temps only; a whole-G tril/transpose would need two more
-    # [pp, pp] buffers (OOM headroom at pp = 30,720)
-    for r in range(nb):
-        for c in range(r + 1, nb):
-            blk = jax.lax.dynamic_slice(G, (c * rb, r * rb), (rb, rb))
-            G = jax.lax.dynamic_update_slice(G, blk.T, (r * rb, c * rb))
+    # assemble: scatter the pair blocks into G and mirror the strict-lower
+    # ones — one pass of block-sized copies (a whole-G tril/transpose
+    # would need two more [pp, pp] buffers; OOM headroom at pp = 30,720)
+    G = jnp.zeros((ppb, ppb), jnp.float32)
+    for idx, (r, c) in enumerate(pairs):
+        G = jax.lax.dynamic_update_slice(G, S[idx], (r * rb, c * rb))
+        if r != c:
+            G = jax.lax.dynamic_update_slice(G, S[idx].T, (c * rb, r * rb))
     return G[:pp, :pp] if ppb != pp else G
 
 

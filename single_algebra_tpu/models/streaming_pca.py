@@ -58,10 +58,20 @@ def _bf16_exact(data: np.ndarray) -> bool:
     return not np.any(v - v.astype(ml_dtypes.bfloat16).astype(np.float32))
 
 
-def _slab_payload(indptr, indices, data, n_rows, p, col_tile):
+def _slab_payload(indptr, indices, data, n_rows, p, col_tile, exact=False):
     """Host-side: one 8192-row slab -> overflow-free tiled payload with
     wt rounded up to a multiple of 8 (few distinct widths -> few compiled
-    accumulate variants)."""
+    accumulate variants).
+
+    The returned arrays are in WIRE format: local ids as int16 (within-
+    tile ids < col_tile <= 1024) and, when ``exact``, values as bf16 —
+    the streaming path re-transfers the payload every pass (out-of-core
+    contract), and through the tunneled TPU that ingest is the
+    bottleneck, so the narrow dtypes cut the bytes ~55%. The device
+    graphs cast ids back to int32 (and densify bf16 -> f32 where
+    needed) after the transfer."""
+
+    import ml_dtypes
 
     from ..sparse.convert import csr_to_tiled_ell_split_numpy
 
@@ -70,7 +80,9 @@ def _slab_payload(indptr, indices, data, n_rows, p, col_tile):
         col_tile=col_tile, rows_padded_to=_SLAB, quantile=1.0,
     )
     assert ovw == 0
-    return td, tl, wt, nt
+    if exact:
+        td = td.astype(ml_dtypes.bfloat16)
+    return td, tl.astype(np.int16), wt, nt
 
 
 @partial(
@@ -86,6 +98,7 @@ def _accum_graph(G, td, tl, *, wt, ntiles, ct, exact):
 
     interpret = jax.default_backend() != "tpu"
     block_rows = min(1024, _SLAB)
+    tl = tl.astype(jnp.int32)  # wire format is int16; kernels want i32
     if exact:
         D = tiled_ell_densify_t(
             td, tl, wt=wt, ntiles=ntiles, col_tile=ct,
@@ -119,8 +132,10 @@ def _project_graph(td, tl, Vp, corr, *, wt, ntiles, ct):
     from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
 
     interpret = jax.default_backend() != "tpu"
+    # bf16 wire payloads are bf16-EXACT by construction, so the bf16
+    # intermediate loses nothing; the contraction accumulates in f32
     D = tiled_ell_densify_t(
-        td, tl, wt=wt, ntiles=ntiles, col_tile=ct,
+        td, tl.astype(jnp.int32), wt=wt, ntiles=ntiles, col_tile=ct,
         block_rows=min(1024, _SLAB), out_dtype=jnp.float32,
         interpret=interpret,
     )
@@ -151,8 +166,8 @@ def _accum_graph_mesh(G, td, tl, *, wt, ntiles, ct, exact, mesh, ax):
 
     def local(G, td, tl):
         D = tiled_ell_densify_t(
-            td[0], tl[0], wt=wt, ntiles=ntiles, col_tile=ct,
-            block_rows=block_rows,
+            td[0], tl[0].astype(jnp.int32), wt=wt, ntiles=ntiles,
+            col_tile=ct, block_rows=block_rows,
             out_dtype=jnp.bfloat16 if exact else jnp.float32,
             interpret=interpret,
         )
@@ -196,9 +211,9 @@ def _project_graph_mesh(td, tl, Vp, corr, *, wt, ntiles, ct, mesh, ax):
 
     def local(td, tl, Vp, corr):
         D = tiled_ell_densify_t(
-            td[0], tl[0], wt=wt, ntiles=ntiles, col_tile=ct,
-            block_rows=min(1024, _SLAB), out_dtype=jnp.float32,
-            interpret=interpret,
+            td[0], tl[0].astype(jnp.int32), wt=wt, ntiles=ntiles,
+            col_tile=ct, block_rows=min(1024, _SLAB),
+            out_dtype=jnp.float32, interpret=interpret,
         )
         T = jax.lax.dot_general(
             D, Vp, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -252,6 +267,9 @@ class StreamingSparsePCA:
                 "streaming Gram PCA needs the p x p Gram on device; "
                 f"p={n_features} > 40960"
             )
+        if not 8 <= col_tile <= 32767:
+            # wire-format local ids are int16 (see _slab_payload)
+            raise ValueError(f"col_tile={col_tile} out of range [8, 32767]")
         self.n_components = n_components
         self.n_features = n_features
         self.center = center
@@ -362,20 +380,22 @@ class StreamingSparsePCA:
         slabs = list(self._iter_slabs(chunk))
         for g0 in range(0, len(slabs), ndev):
             group = slabs[g0 : g0 + ndev]
+            # exactness decided for the whole group FIRST: the stacked
+            # wire payload needs one dtype across devices
+            exact = all(_bf16_exact(data) for _, _, data, _ in group)
             parts, wt = [], 8
-            exact = True
             n_rows = 0
             for indptr, indices, data, nr in group:
                 td, tl, wt_d, nt = _slab_payload(
-                    indptr, indices, data, nr, self.n_features, self.ct
+                    indptr, indices, data, nr, self.n_features, self.ct,
+                    exact=exact,
                 )
-                exact = exact and _bf16_exact(data)
                 parts.append((td, tl, wt_d, nt))
                 wt = max(wt, wt_d)
                 n_rows += nr
             nt = parts[0][3]
-            std = np.zeros((ndev, nt * wt, _SLAB), np.float32)
-            stl = np.zeros((ndev, nt * wt, _SLAB), np.int32)
+            std = np.zeros((ndev, nt * wt, _SLAB), parts[0][0].dtype)
+            stl = np.zeros((ndev, nt * wt, _SLAB), np.int16)
             for d, (td, tl, wt_d, _) in enumerate(parts):
                 std[d] = np.pad(
                     td.reshape(nt, wt_d, _SLAB),
@@ -419,10 +439,11 @@ class StreamingSparsePCA:
             return self
 
         for indptr, indices, data, n_rows in self._iter_slabs(chunk):
-            td, tl, wt, nt = _slab_payload(
-                indptr, indices, data, n_rows, self.n_features, self.ct
-            )
             exact = _bf16_exact(data)
+            td, tl, wt, nt = _slab_payload(
+                indptr, indices, data, n_rows, self.n_features, self.ct,
+                exact=exact,
+            )
             self._G, s, sq = _accum_graph(
                 self._G, jnp.asarray(td), jnp.asarray(tl),
                 wt=wt, ntiles=nt, ct=self.ct, exact=exact,
@@ -546,7 +567,8 @@ class StreamingSparsePCA:
         else:
             for indptr, indices, data, n_rows in self._iter_slabs(chunk):
                 td, tl, wt, nt = _slab_payload(
-                    indptr, indices, data, n_rows, self.n_features, self.ct
+                    indptr, indices, data, n_rows, self.n_features, self.ct,
+                    exact=_bf16_exact(data),
                 )
                 T = _project_graph(
                     jnp.asarray(td), jnp.asarray(tl), Vp, corr,
