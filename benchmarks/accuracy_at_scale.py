@@ -184,7 +184,10 @@ def tpu_fit(X, k, seed):
     warms = [one_fit()[0] for _ in range(3)]
     warm_fit_s = min(warms)
     # warm INCLUDING the Gram/data pass: drop the per-matrix Gram cache
-    op = next(iter(getattr(m, "_operator_cache", {}).values()), None)
+    # (with first-fit promotion the cache may lead with the tiled op —
+    # the Gram drop must target the gram engine itself)
+    ops_cache = getattr(m, "_operator_cache", {})
+    op = ops_cache.get("gram") or next(iter(ops_cache.values()), None)
     fulls = []
     for _ in range(2):
         if op is not None and hasattr(op, "_gram_cache"):
@@ -229,6 +232,57 @@ def tpu_fit(X, k, seed):
     )
     if pipelined_s is not None:
         out["warm_fit_pipelined_s"] = pipelined_s
+
+    # high-accuracy solve probe (gram engines): if the EV error shrinks
+    # with a larger sketch/power budget, the default-row error is solve
+    # CONVERGENCE on the planted spectrum's near-degenerate tail, not an
+    # f32 floor — and the row can say so with numbers
+    if type(op).__name__ == "GramPCAEngine":
+        def hi_fit():
+            p_hi = (
+                SparsePCABuilder()
+                .n_components(k)
+                .svd_method(
+                    SVDMethod.random(100, 12, PowerIterationNormalizer.QR)
+                )
+                .random_seed(seed)
+                .engine("gram")
+                .build()
+            )
+            t1 = time.perf_counter()
+            p_hi.fit(m)
+            jax.device_get(p_hi.explained_variance_)
+            return time.perf_counter() - t1, p_hi
+
+        _, p_hi = hi_fit()  # compile
+        hi_s, p_hi = hi_fit()
+        out["warm_fit_hiacc_s"] = hi_s
+        out["ev_hiacc"] = np.asarray(p_hi.explained_variance_, np.float64)
+
+    # first-fit path: 'auto' promotes a fresh matrix's first randomized
+    # fit to the tiled sketch engine (make_engine_operator docs). Reset
+    # the tiering state (built payloads stay cached, graphs compiled)
+    # and measure what a new user's ONE fit costs warm.
+    from single_algebra_tpu.linalg.operators import TiledSparseOperator
+
+    cache = getattr(m, "_operator_cache", None)
+    if cache is not None and TiledSparseOperator.fits(m):
+        cache.pop("auto", None)
+        cache.pop("gram", None)
+        m._auto_fit_count = 0
+        firsts = []
+        for _ in range(2):
+            m._auto_fit_count = 0
+            cache.pop("auto", None)
+            cache.pop("gram", None)
+            dt, pca_f = one_fit()
+            firsts.append(dt)
+        out["warm_first_s"] = min(firsts)
+        out["engine_first"] = (
+            "TiledSparseOperator" if "auto" not in cache
+            else type(cache["auto"]).__name__
+        )
+        out["ev_first"] = np.asarray(pca_f.explained_variance_, np.float64)
     return out
 
 
@@ -267,6 +321,16 @@ def main():
         r = tpu_fit(X, cfg["k"], cfg["seed"])
         ev = r.pop("ev")[: len(ev_ref)]
         ev_rel_err = float(np.abs(ev - ev_ref).max() / ev_ref[0])
+        ev_first = r.pop("ev_first", None)
+        if ev_first is not None:
+            r["ev_rel_err_first"] = float(
+                np.abs(ev_first[: len(ev_ref)] - ev_ref).max() / ev_ref[0]
+            )
+        ev_hi = r.pop("ev_hiacc", None)
+        if ev_hi is not None:
+            r["ev_rel_err_hiacc"] = float(
+                np.abs(ev_hi[: len(ev_ref)] - ev_ref).max() / ev_ref[0]
+            )
 
         row = dict(
             shape=name, n=cfg["n"], p=cfg["p"], nnz=int(X.nnz),
@@ -294,6 +358,8 @@ def main():
                 row["vs_64core_pipelined"] = round(
                     p64 / r["warm_fit_pipelined_s"], 2
                 )
+            if "warm_first_s" in r:
+                row["vs_64core_first"] = round(p64 / r["warm_first_s"], 2)
         rows.append(row)
         _log(json.dumps(row))
         del X

@@ -68,6 +68,76 @@ def test_gram_rejects_very_wide_matrices():
     assert not GramPCAEngine.fits(wide, budget_bytes=1 << 50)
 
 
+def test_first_fit_sketch_promotion(monkeypatch):
+    """auto + first_fit_sketch: gram-class matrices run their FIRST
+    randomized fit on the tiled sketch engine (one-shot ~2-3x cheaper
+    than the exact Gram build, measured at 400k x 30k); the promotion is
+    not cached under 'auto', so the second fit resolves to gram and
+    stays there."""
+
+    import jax
+
+    import single_algebra_tpu.models.pca as pca_mod
+
+    m = _m(n=500, p=200)
+    m._operator_cache = {}
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        pca_mod.DensifiedOperator, "fits",
+        classmethod(lambda cls, *a, **k: False),
+    )
+    monkeypatch.setattr(
+        pca_mod.GramPCAEngine, "fits", classmethod(lambda cls, *a, **k: True)
+    )
+    monkeypatch.setattr(
+        pca_mod.TiledSparseOperator, "fits",
+        classmethod(lambda cls, *a, **k: True),
+    )
+    monkeypatch.setattr(
+        pca_mod.GramPCAEngine, "from_matrix",
+        classmethod(lambda cls, mm: "GRAM"),
+    )
+    monkeypatch.setattr(
+        pca_mod.TiledSparseOperator, "from_matrix",
+        classmethod(lambda cls, mm: "TILED"),
+    )
+    op1 = make_engine_operator(m, "auto", first_fit_sketch=True)
+    assert op1 == "TILED"
+    assert "auto" not in m._operator_cache
+    op2 = make_engine_operator(m, "auto")
+    assert op2 == "GRAM"
+    assert m._operator_cache["auto"] == "GRAM"
+    # once the gram op exists, first_fit_sketch never demotes again
+    assert make_engine_operator(m, "auto", first_fit_sketch=True) == "GRAM"
+
+
+def test_first_fit_sketch_needs_tiled_to_fit(monkeypatch):
+    import jax
+
+    import single_algebra_tpu.models.pca as pca_mod
+
+    m = _m(n=500, p=200)
+    m._operator_cache = {}
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        pca_mod.DensifiedOperator, "fits",
+        classmethod(lambda cls, *a, **k: False),
+    )
+    monkeypatch.setattr(
+        pca_mod.GramPCAEngine, "fits", classmethod(lambda cls, *a, **k: True)
+    )
+    monkeypatch.setattr(
+        pca_mod.TiledSparseOperator, "fits",
+        classmethod(lambda cls, *a, **k: False),
+    )
+    monkeypatch.setattr(
+        pca_mod.GramPCAEngine, "from_matrix",
+        classmethod(lambda cls, mm: "GRAM"),
+    )
+    # tiled payload too big (e.g. the 1M x 30k north-star): stay on gram
+    assert make_engine_operator(m, "auto", first_fit_sketch=True) == "GRAM"
+
+
 def test_operator_cache_shared_between_auto_and_named():
     m = _m(n=500, p=200)
     m._operator_cache = {}
