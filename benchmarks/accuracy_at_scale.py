@@ -184,8 +184,6 @@ def tpu_fit(X, k, seed):
     warms = [one_fit()[0] for _ in range(3)]
     warm_fit_s = min(warms)
     # warm INCLUDING the Gram/data pass: drop the per-matrix Gram cache
-    # (with first-fit promotion the cache may lead with the tiled op —
-    # the Gram drop must target the gram engine itself)
     ops_cache = getattr(m, "_operator_cache", {})
     op = ops_cache.get("gram") or next(iter(ops_cache.values()), None)
     fulls = []
@@ -224,6 +222,7 @@ def tpu_fit(X, k, seed):
         jax.block_until_ready([o[0] for o in outs])
         pipelined_s = (time.perf_counter() - t1) / reps
         _log(f"pipelined device graph: {pipelined_s:.3f}s/fit (x{reps})")
+        del outs, G  # free the device refs before later engine builds
 
     out = dict(
         load_s=load_s, cold_s=cold_s, warm_fit_s=warm_fit_s,
@@ -259,30 +258,13 @@ def tpu_fit(X, k, seed):
         out["warm_fit_hiacc_s"] = hi_s
         out["ev_hiacc"] = np.asarray(p_hi.explained_variance_, np.float64)
 
-    # first-fit path: 'auto' promotes a fresh matrix's first randomized
-    # fit to the tiled sketch engine (make_engine_operator docs). Reset
-    # the tiering state (built payloads stay cached, graphs compiled)
-    # and measure what a new user's ONE fit costs warm.
-    from single_algebra_tpu.linalg.operators import TiledSparseOperator
-
-    cache = getattr(m, "_operator_cache", None)
-    if cache is not None and TiledSparseOperator.fits(m):
-        cache.pop("auto", None)
-        cache.pop("gram", None)
-        m._auto_fit_count = 0
-        firsts = []
-        for _ in range(2):
-            m._auto_fit_count = 0
-            cache.pop("auto", None)
-            cache.pop("gram", None)
-            dt, pca_f = one_fit()
-            firsts.append(dt)
-        out["warm_first_s"] = min(firsts)
-        out["engine_first"] = (
-            "TiledSparseOperator" if "auto" not in cache
-            else type(cache["auto"]).__name__
-        )
-        out["ev_first"] = np.asarray(pca_f.explained_variance_, np.float64)
+    # NOTE (round 4): a "first-fit promotion" measurement block lived
+    # here while 'auto' promoted a fresh gram-class matrix's first
+    # randomized fit to the tiled sketch engine. The measurements it
+    # produced (warm_first 103 s incl. payload rebuild, EV rel err
+    # 1.2e-3 vs the Gram's 2.1e-6, ~500 s tiled-fit-graph compile) are
+    # what got the promotion REMOVED — for gram-class matrices the
+    # first fit IS warm_full_s (one exact data pass + solve).
     return out
 
 
@@ -321,11 +303,6 @@ def main():
         r = tpu_fit(X, cfg["k"], cfg["seed"])
         ev = r.pop("ev")[: len(ev_ref)]
         ev_rel_err = float(np.abs(ev - ev_ref).max() / ev_ref[0])
-        ev_first = r.pop("ev_first", None)
-        if ev_first is not None:
-            r["ev_rel_err_first"] = float(
-                np.abs(ev_first[: len(ev_ref)] - ev_ref).max() / ev_ref[0]
-            )
         ev_hi = r.pop("ev_hiacc", None)
         if ev_hi is not None:
             r["ev_rel_err_hiacc"] = float(
@@ -358,8 +335,6 @@ def main():
                 row["vs_64core_pipelined"] = round(
                     p64 / r["warm_fit_pipelined_s"], 2
                 )
-            if "warm_first_s" in r:
-                row["vs_64core_first"] = round(p64 / r["warm_first_s"], 2)
         rows.append(row)
         _log(json.dumps(row))
         del X

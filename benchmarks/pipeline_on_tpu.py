@@ -494,4 +494,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--scrublet" in _sys.argv:
+        scrublet_bench()
+    else:
+        main()

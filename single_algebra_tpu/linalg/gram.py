@@ -494,13 +494,22 @@ def _gram_block(pp: int) -> int | None:
     carries): rb=2048 -> 2.55 s, rb=6144 -> 3.03 s — the larger block's
     ~13% extra flops (pairs cover (ppb^2 + ppb*rb)/2) and coarser
     pipelining beat its ~2.7x lower operand re-read traffic, so HBM
-    re-reads are NOT the bottleneck at this shape. 2048 stands."""
+    re-reads are NOT the bottleneck at this shape. Going SMALLER was
+    also tried (round 4, ``benchmarks/sweep_gram_block.py``): rb=1024
+    and rb=1536 both RESOURCE_EXHAUST 16 GB HBM at pp=30,720 (finer
+    blocks keep the same ~0.53 pp^2 carry total but XLA's buffer
+    assignment for the larger pair count no longer fits alongside the
+    [ppb, ppb] assembly). At 2.55 s the pass runs at ~80% of the chip's
+    bf16 MXU peak (2 * n * ppb^2 * 0.53 flops) — flops-bound, so 2048
+    stands as effectively optimal."""
 
     return 2048 if pp > 4096 else None
 
 
-@partial(jax.jit, static_argnames=("sym",))
-def gram_matrix(eng: GramPCAEngine, *, sym: bool = True) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("sym", "rb"))
+def gram_matrix(
+    eng: GramPCAEngine, *, sym: bool = True, rb: int | None = None
+) -> jnp.ndarray:
     """``A^T A`` as ``[Pp, Pp]`` f32 — slab densify + MXU contraction.
 
     Row-order invariant, so bucketing needs no permutation here. bf16
@@ -551,7 +560,10 @@ def gram_matrix(eng: GramPCAEngine, *, sym: bool = True) -> jnp.ndarray:
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    rb = _gram_block(pp) if sym else None
+    if rb is None:
+        rb = _gram_block(pp) if sym else None
+    elif not sym:
+        rb = None
     if rb is None:
         G = jnp.zeros((pp, pp), jnp.float32)
         for b, (_, rc) in enumerate(eng.bwidths):

@@ -164,27 +164,29 @@ def _needs_lo(m: SparseMatrix) -> bool:
         return True  # conservative
 
 
-def make_engine_operator(
-    m: SparseMatrix, engine: str = "auto", *, first_fit_sketch: bool = False
-):
+def make_engine_operator(m: SparseMatrix, engine: str = "auto"):
     """Select + build the compute engine for a matrix (cached per matrix).
 
     'auto' on TPU picks, in order: the densified-bf16 MXU engine when the
-    dense form fits the HBM budget; the Pallas 'tiled' engine when its
-    ~(2-3x nnz) single-orientation payload fits (the window between
-    dense-fits-HBM and multi-chip scale — e.g. the reference's 10M x 2500
-    stress shape); else the padded-ELL gather path ('sparse'). Off-TPU,
-    always 'sparse' (the XLA path; Pallas runs interpret-mode there).
+    dense form fits the HBM budget; the exact two-pass Gram engine when
+    the p x p Gram fits (tall-skinny beyond dense-fits — e.g. the
+    reference's 10M x 2500 stress shape); the Pallas 'tiled' engine when
+    its ~(2-3x nnz) single-orientation payload fits; else the padded-ELL
+    gather path ('sparse'). Off-TPU, always 'sparse' (the XLA path;
+    Pallas runs interpret-mode there).
 
-    ``first_fit_sketch=True`` (set by :meth:`SparsePCA.fit` for the first
-    randomized fit on a fresh matrix): when 'auto' would pick 'gram' but
-    no Gram is cached yet, run THIS fit on the tiled sketch engine
-    instead — a one-shot randomized fit over the tiled payload is ~2-3x
-    cheaper than the exact Gram build (measured at 400k x 30k: tiled
-    ~1.2 s vs Gram full pass ~3.0 s), and most scanpy-role users fit
-    once per matrix. The promotion is NOT cached under 'auto', so the
-    second fit re-resolves to 'gram' and every later refit rides the
-    cached exact Gram (~0.36 s) — JIT-tiering for engines.
+    A round-4 "first-fit promotion" (run a fresh gram-class matrix's
+    first randomized fit on the tiled sketch engine) was built, measured
+    at the 400k x 30k flagship shape, and REMOVED on the evidence: the
+    tiled randomized solve recorded EV rel err 1.2e-3 where the exact
+    Gram records 2.1e-6 (same data, same solver parameters — the A-space
+    sketch at q=7 resolves the planted tail far worse than the G-space
+    solve, and its power iterations ride the hi-only bf16 products); the
+    warm saving was only 1.9 s vs 2.9 s while the tiled fit graph costs
+    ~500 s to compile (~110 s to reload) through the remote-compile
+    tunnel; and holding both payloads transiently OOMs 16 GB HBM at
+    p = 30k (RESOURCE_EXHAUSTED observed). The exact Gram full pass IS
+    the first-fit path for gram-class matrices.
     """
 
     import jax
@@ -196,7 +198,6 @@ def make_engine_operator(
     requested = engine
     if cache is not None and requested in cache:
         return cache[requested]
-    promoted = False
     if engine == "auto":
         if jax.default_backend() == "tpu" and m.dtype == jnp.float32:
             # cheap shape-only check first: the O(nnz) bf16-exactness scan
@@ -209,13 +210,6 @@ def make_engine_operator(
                 # tall-skinny beyond dense-fits (e.g. the reference's
                 # 10M x 2500 stress shape): exact two-pass Gram PCA
                 engine = "gram"
-                if (
-                    first_fit_sketch
-                    and (cache is None or "gram" not in cache)
-                    and TiledSparseOperator.fits(m)
-                ):
-                    engine = "tiled"
-                    promoted = True
             elif TiledSparseOperator.fits(m):
                 engine = "tiled"
             else:
@@ -223,8 +217,7 @@ def make_engine_operator(
         else:
             engine = "sparse"
     if cache is not None and engine in cache:
-        if not promoted:
-            cache[requested] = cache[engine]
+        cache[requested] = cache[engine]
         return cache[engine]
     if engine == "dense":
         op = DensifiedOperator.from_matrix(m)
@@ -238,8 +231,7 @@ def make_engine_operator(
         raise ValueError(f"unknown engine {engine!r}")
     if cache is not None:
         cache[engine] = op
-        if not promoted:
-            cache[requested] = op
+        cache[requested] = op
     return op
 
 
@@ -318,16 +310,7 @@ class SparsePCA:
         k = self.n_components
         t0 = time.perf_counter()
 
-        # first randomized 'auto' fit on a fresh matrix may promote to
-        # the tiled sketch engine (see make_engine_operator docs)
-        first_fit = (
-            self.engine == "auto"
-            and self.svd_method.is_random
-            and getattr(m, "_auto_fit_count", 0) == 0
-        )
-        op = self._make_operator(m, first_fit_sketch=first_fit)
-        if self.engine == "auto":
-            m._auto_fit_count = getattr(m, "_auto_fit_count", 0) + 1
+        op = self._make_operator(m)
         t_op = time.perf_counter() - t0
 
         # Column statistics and all scalar bookkeeping happen in NUMPY:
@@ -449,15 +432,12 @@ class SparsePCA:
 
     # -- inference -----------------------------------------------------
 
-    def _make_operator(self, m, *, first_fit_sketch: bool = False):
-        return make_engine_operator(
-            m, self.engine, first_fit_sketch=first_fit_sketch
-        )
+    def _make_operator(self, m):
+        return make_engine_operator(m, self.engine)
 
     def _operator_for_transform(self, m):
-        """Any cached operator projects (mv is universal); don't build a
-        fresh Gram engine just for a projection after a promoted
-        first-fit left only 'tiled' in the cache."""
+        """Any cached operator projects (mv is universal); never build a
+        fresh Gram engine just for a projection."""
 
         cache = getattr(m, "_operator_cache", None)
         if self.engine == "auto" and cache:

@@ -43,6 +43,47 @@ __all__ = ["StreamingSparsePCA"]
 _SLAB = 8192
 
 
+def _prefetch(gen, depth: int = 2):
+    """Run a payload-building generator on a worker thread, staying up to
+    ``depth`` items ahead of the consumer.
+
+    The slab payload build (native converter + padding copies) and the
+    host->device transfer + dispatch are both seconds-scale at flagship
+    shapes, and on the main thread they serialize: build slab i+1 only
+    starts after slab i's ``device_put`` returns. The converter is a
+    ctypes call (GIL released) and the transfer lives in the JAX runtime
+    (GIL released), so one worker thread genuinely overlaps them —
+    wall ~ max(build, transfer) instead of build + transfer per slab
+    (VERDICT r3 #7). The bounded queue is the backpressure: at most
+    ``depth`` built payloads (+1 in the consumer's hands) exist at once.
+    """
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err: list = []
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer thread
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def _bf16_exact(data: np.ndarray) -> bool:
     """bf16-round-trip exactness of a value slab (native early-exit pass;
     numpy fallback)."""
@@ -421,7 +462,7 @@ class StreamingSparsePCA:
             sh = NamedSharding(self.mesh, P(self.axis_name, None, None))
             for (
                 std, stl, wt, nt, n_rows, exact, n_real
-            ) in self._iter_super_slabs(chunk):
+            ) in _prefetch(self._iter_super_slabs(chunk)):
                 self._G, s, sq = _accum_graph_mesh(
                     self._G,
                     jax.device_put(std, sh),
@@ -438,12 +479,16 @@ class StreamingSparsePCA:
                 self._drain_moments(self._pipeline_depth)
             return self
 
-        for indptr, indices, data, n_rows in self._iter_slabs(chunk):
-            exact = _bf16_exact(data)
-            td, tl, wt, nt = _slab_payload(
-                indptr, indices, data, n_rows, self.n_features, self.ct,
-                exact=exact,
-            )
+        def built():
+            for indptr, indices, data, n_rows in self._iter_slabs(chunk):
+                exact = _bf16_exact(data)
+                td, tl, wt, nt = _slab_payload(
+                    indptr, indices, data, n_rows, self.n_features,
+                    self.ct, exact=exact,
+                )
+                yield td, tl, wt, nt, n_rows, exact
+
+        for td, tl, wt, nt, n_rows, exact in _prefetch(built()):
             self._G, s, sq = _accum_graph(
                 self._G, jnp.asarray(td), jnp.asarray(tl),
                 wt=wt, ntiles=nt, ct=self.ct, exact=exact,
@@ -554,7 +599,7 @@ class StreamingSparsePCA:
             sh = NamedSharding(self.mesh, P(self.axis_name, None, None))
             for (
                 std, stl, wt, nt, n_rows, _, _nr
-            ) in self._iter_super_slabs(chunk):
+            ) in _prefetch(self._iter_super_slabs(chunk)):
                 T = _project_graph_mesh(
                     jax.device_put(std, sh),
                     jax.device_put(stl, sh),
@@ -565,11 +610,18 @@ class StreamingSparsePCA:
                 handles.append((T, n_rows))
                 drain(self._pipeline_depth)
         else:
-            for indptr, indices, data, n_rows in self._iter_slabs(chunk):
-                td, tl, wt, nt = _slab_payload(
-                    indptr, indices, data, n_rows, self.n_features, self.ct,
-                    exact=_bf16_exact(data),
-                )
+
+            def built():
+                for indptr, indices, data, n_rows in self._iter_slabs(
+                    chunk
+                ):
+                    td, tl, wt, nt = _slab_payload(
+                        indptr, indices, data, n_rows, self.n_features,
+                        self.ct, exact=_bf16_exact(data),
+                    )
+                    yield td, tl, wt, nt, n_rows
+
+            for td, tl, wt, nt, n_rows in _prefetch(built()):
                 T = _project_graph(
                     jnp.asarray(td), jnp.asarray(tl), Vp, corr,
                     wt=wt, ntiles=nt, ct=self.ct,
