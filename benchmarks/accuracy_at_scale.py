@@ -313,7 +313,13 @@ def main():
             shape=name, n=cfg["n"], p=cfg["p"], nnz=int(X.nnz),
             k=cfg["k"], backend=str(jax.devices()[0].device_kind),
             planted_spectrum=True, ev_rel_err=ev_rel_err, **{
-                k2: (round(v, 4) if isinstance(v, float) else v)
+                # never round error figures — a 4-dp round turns a
+                # ~1e-6-class ev_rel_err into a meaningless 0.0
+                k2: (
+                    round(v, 4)
+                    if isinstance(v, float) and not k2.startswith("ev_")
+                    else v
+                )
                 for k2, v in r.items()
             },
         )

@@ -80,7 +80,8 @@ def _col_moments(x, assume_logged: bool):
         # propagates it as a twin (one cached transpose on x, reused by
         # every call, instead of one per mapped copy)
         x._layout_for("col")
-        xe = x.map_stored(lambda v, r, c: jnp.expm1(v))
+        from .sparse.matrix import _expm1_fn
+        xe = x.map_stored(_expm1_fn)
     else:
         xe = x
     n = xe.nrows
@@ -95,7 +96,8 @@ def _batch_col_moments(x, batches: Sequence, assume_logged: bool):
 
     if assume_logged:
         x._layout_for("col")
-        xe = x.map_stored(lambda v, r, c: jnp.expm1(v))
+        from .sparse.matrix import _expm1_fn
+        xe = x.map_stored(_expm1_fn)
     else:
         xe = x
     labels, codes = xe._batch_codes(batches, xe.nrows, "row")

@@ -68,18 +68,26 @@ def normalize_total(
     return out, sums / target_sum
 
 
-def _tfidf_fn(row_fac, col_fac, sf, log_tf, log_tfidf):
+def _tfidf_fn(v, r, c, row_fac, col_fac, sf, log_tf, log_tfidf):
     """Stored-entry TF-IDF map for ``SparseMatrix.map_stored``: the
     1/rowsum TF factor gathers by row id, the IDF factor by column id.
-    All branches map 0 -> 0, so sparsity is preserved."""
+    All branches map 0 -> 0, so sparsity is preserved. Module-level with
+    traced operands so the jitted map-graph caches on the fn identity."""
 
-    def fn(v, r, c):
-        tf = v * jnp.take(row_fac, r, axis=0, mode="clip")
-        tf = jnp.where(log_tf, jnp.log1p(tf * sf), tf)
-        out = tf * jnp.take(col_fac, c, axis=0, mode="clip")
-        return jnp.where(log_tfidf, jnp.log1p(out * sf), out)
+    tf = v * jnp.take(row_fac, r, axis=0, mode="clip")
+    tf = jnp.where(log_tf, jnp.log1p(tf * sf), tf)
+    out = tf * jnp.take(col_fac, c, axis=0, mode="clip")
+    return jnp.where(log_tfidf, jnp.log1p(out * sf), out)
 
-    return fn
+
+def _scale_cols_fn(v, r, c, inv_std):
+    """Per-column scaling map (``scale(zero_center=False)``); 0 -> 0."""
+
+    return v * jnp.take(inv_std, c, axis=0, mode="clip")
+
+
+def _scale_cols_clip_fn(v, r, c, inv_std, maxv):
+    return jnp.minimum(v * jnp.take(inv_std, c, axis=0, mode="clip"), maxv)
 
 
 def tfidf(
@@ -117,13 +125,12 @@ def tfidf(
     if log_idf:
         idf = np.log1p(idf)
     return m.map_stored(
-        _tfidf_fn(
-            jnp.asarray(inv_rs, m.dtype),
-            jnp.asarray(idf, m.dtype),
-            jnp.asarray(scale_factor, m.dtype),
-            jnp.asarray(log_tf),
-            jnp.asarray(log_tfidf),
-        )
+        _tfidf_fn,
+        jnp.asarray(inv_rs, m.dtype),
+        jnp.asarray(idf, m.dtype),
+        jnp.asarray(scale_factor, m.dtype),
+        jnp.asarray(log_tf),
+        jnp.asarray(log_tfidf),
     )
 
 
@@ -280,16 +287,13 @@ def scale(
 
     if isinstance(X, SparseMatrix):
         if not zero_center:
-
-            def fn(v, r, c):
-                new = v * jnp.take(inv_std, c, axis=0, mode="clip")
-                if max_value is not None:
-                    new = jnp.minimum(
-                        new, jnp.asarray(max_value, new.dtype)
-                    )
-                return new
-
-            return X.map_stored(fn)
+            if max_value is not None:
+                return X.map_stored(
+                    _scale_cols_clip_fn,
+                    jnp.asarray(inv_std),
+                    jnp.asarray(max_value, X.dtype),
+                )
+            return X.map_stored(_scale_cols_fn, jnp.asarray(inv_std))
         mr = X._layout_for("row")
         dense = _ell_densify(mr.ell_data, mr.ell_ids, mr.row_nnz, X.ncols)
         dense = dense[: X.nrows]

@@ -47,6 +47,42 @@ from . import convert as _cv
 
 __all__ = ["SparseMatrix", "csr_matrix", "csc_matrix", "random_sparse"]
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("fn", "is_csr"))
+def _stored_map_graph(ell_data, ell_ids, row_nnz, operands, *, fn, is_csr):
+    """One fused dispatch for ``SparseMatrix.map_stored``: index
+    synthesis, the user map, and the padded-slot re-zeroing compile into
+    a single executable (``fn`` is a static jit key — module-level fns
+    hit the trace cache, per-call lambdas retrace)."""
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, ell_ids.shape, 0)
+    rank = jax.lax.broadcasted_iota(jnp.int32, ell_ids.shape, 1)
+    valid = rank < row_nnz[:, None]
+    r, c = (iota, ell_ids) if is_csr else (ell_ids, iota)
+    return jnp.where(
+        valid, fn(ell_data, r, c, *operands), jnp.zeros_like(ell_data)
+    )
+
+
+def _scale_by_row_fn(v, r, c, scale):
+    factor = jnp.take(scale, r, axis=0, mode="clip")
+    return jnp.where(factor > 0, v * factor, v)
+
+
+def _scale_by_col_fn(v, r, c, scale):
+    factor = jnp.take(scale, c, axis=0, mode="clip")
+    return jnp.where(factor > 0, v * factor, v)
+
+
+def _log1p_fn(v, r, c):
+    return jnp.log1p(v)
+
+
+def _expm1_fn(v, r, c):
+    return jnp.expm1(v)
+
 
 class SparseMatrix:
     """Sparse matrix in padded-ELL layout (CSR- or CSC-major)."""
@@ -797,19 +833,14 @@ class SparseMatrix:
                 f"{axis}s ({n_axis})"
             )
         scale = jnp.where(sums > 0, jnp.asarray(target, self.dtype) / sums, 0)
-
-        def fn(v, r, c):
-            ids = r if axis == "row" else c
-            factor = jnp.take(scale, ids, axis=0, mode="clip")
-            return jnp.where(factor > 0, v * factor, v)
-
-        return self.map_stored(fn)
+        fn = _scale_by_row_fn if axis == "row" else _scale_by_col_fn
+        return self.map_stored(fn, scale)
 
     def log1p_normalize(self) -> "SparseMatrix":
         """ln(1 + v) on stored values; implicit zeros stay zero
         (reference csr.rs:1070-1079)."""
 
-        return self.map_stored(lambda v, r, c: jnp.log1p(v))
+        return self.map_stored(_log1p_fn)
 
     def _with_data(self, new_ell_data: jnp.ndarray) -> "SparseMatrix":
         out = SparseMatrix(
@@ -825,29 +856,33 @@ class SparseMatrix:
         )
         return out
 
-    def map_stored(self, fn) -> "SparseMatrix":
+    def map_stored(self, fn, *operands) -> "SparseMatrix":
         """Elementwise map over stored entries, preserving BOTH layouts.
 
-        ``fn(values, row_ids, col_ids) -> values`` runs on device over the
-        ELL payload (padded slots are masked back to zero). Elementwise
-        maps commute with transposition, so when the transpose layout is
-        already cached the same map is applied to its payload directly and
-        the two results are linked as transpose twins — no host rebuild,
-        no tunnel round-trip. (``_with_data`` alone drops the transpose
-        cache, which made every ``expm1``/``log1p``/``normalize`` followed
-        by a minor-axis stat pay a full host transpose + re-transfer.)
+        ``fn(values, row_ids, col_ids, *operands) -> values`` runs on
+        device over the ELL payload (padded slots are masked back to
+        zero) as ONE jitted dispatch per resident layout — running the
+        index/mask machinery eagerly costs ~8 dispatched primitives per
+        map, which on a tunneled chip is ~0.5 s of pure round-trip
+        latency for a normalize+log1p pair vs ~0.1 s fused (measured,
+        round 4). ``fn`` is a STATIC jit key: pass a stable module-level
+        function (with data via ``*operands``, which are traced) for
+        compile-cache hits; a per-call lambda works but retraces every
+        call. Elementwise maps commute with transposition, so when the
+        transpose layout is already cached the same map is applied to
+        its payload directly and the two results are linked as transpose
+        twins — no host rebuild, no tunnel round-trip. (``_with_data``
+        alone drops the transpose cache, which made every ``expm1``/
+        ``log1p``/``normalize`` followed by a minor-axis stat pay a full
+        host transpose + re-transfer.)
         """
 
+        operands = tuple(jnp.asarray(o) for o in operands)
+
         def apply(m):
-            iota = jax.lax.broadcasted_iota(jnp.int32, m.ell_ids.shape, 0)
-            rank = jax.lax.broadcasted_iota(jnp.int32, m.ell_ids.shape, 1)
-            valid = rank < m.row_nnz[:, None]
-            if m.format == "csr":
-                r, c = iota, m.ell_ids
-            else:
-                r, c = m.ell_ids, iota
-            return jnp.where(
-                valid, fn(m.ell_data, r, c), jnp.zeros_like(m.ell_data)
+            return _stored_map_graph(
+                m.ell_data, m.ell_ids, m.row_nnz, operands,
+                fn=fn, is_csr=(m.format == "csr"),
             )
 
         out = self._with_data(apply(self))
