@@ -102,7 +102,10 @@ def main():
         data_rvs=lambda s: (rng.poisson(1.5, s) + 1).astype(np.float64),
     ).astype(np.float32)
     m = SparseMatrix.from_scipy(X)
-    sums = np.asarray(m.sum_row())
+    # device-resident sums: the idiomatic TPU workflow (a numpy sums
+    # vector works too but pays a per-call host->device transfer, which
+    # on the tunneled chip costs ~0.5 s — probe_config2.py, round 4)
+    sums = m.sum_row()
 
     def pipe():
         out = m.normalize(sums, 1e4, Direction.ROW).log1p_normalize()

@@ -114,6 +114,24 @@ def main():
         rows.append(row)
         print(f"[sharded-tpu] {json.dumps(row)}", file=sys.stderr)
 
+    # Accuracy attribution for the randomized engines: the 32 planted
+    # directions decay geometrically over [8, 1] → adjacent gaps ~7%, so
+    # at the DEFAULT sketch budget (oversamples=10, q=7) the subspace
+    # error floor is ~(1/1.07^10)^(2q+1) ≈ 1e-5 — solver convergence on
+    # this spectrum, not engine error. A second fit at a converged budget
+    # (oversamples=30, q=12: buffer gap 1.07^30 ≈ 7.6 → < f32 floor)
+    # is recorded per row as ev_rel_err_hibudget to prove it.
+    from single_algebra_tpu.types import PowerIterationNormalizer, SVDMethod
+
+    HIBUDGET = SVDMethod.random(30, 12, PowerIterationNormalizer.QR)
+
+    def hibudget_probe(engine):
+        r = sharded_pca_fit_transform(
+            m, K, mesh=mesh, engine=engine, seed=SEED, svd_method=HIBUDGET
+        )
+        np.asarray(r.transformed[:1])
+        return ev_rel_err(r.explained_variance, ev_ref)
+
     # 1. ShardedDensified: dense bf16 hi/lo engine under shard_map
     cold, warm, r = timed(
         lambda: sharded_pca_fit_transform(
@@ -122,6 +140,7 @@ def main():
         lambda r: np.asarray(r.transformed[:1]),
     )
     record("sharded_densified", cold, warm, r.explained_variance)
+    rows[-1]["ev_rel_err_hibudget"] = hibudget_probe("dense")
 
     # 2. ShardedSpMM: Mosaic Pallas gather-SpMM inside shard_map
     cold, warm, r = timed(
@@ -131,6 +150,7 @@ def main():
         lambda r: np.asarray(r.transformed[:1]),
     )
     record("sharded_spmm_pallas", cold, warm, r.explained_variance)
+    rows[-1]["ev_rel_err_hibudget"] = hibudget_probe("sparse")
 
     # 2b. ShardedTiled: Pallas densify-then-contract kernels per slab —
     # the r3 fast path for the sparse fallback band (ROADMAP #4)
@@ -141,6 +161,7 @@ def main():
         lambda r: np.asarray(r.transformed[:1]),
     )
     record("sharded_tiled_pallas", cold, warm, r.explained_variance)
+    rows[-1]["ev_rel_err_hibudget"] = hibudget_probe("tiled")
 
     # 3. Sharded Gram: Pallas one-hot densify + MXU contraction + psum
     cold, warm, r = timed(

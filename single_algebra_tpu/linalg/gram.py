@@ -395,20 +395,24 @@ class GramPCAEngine:
         exact = self.meta[3]
         dims = (((0,), (0,)) if not transposed else ((1,), (0,)))
         if exact:
+            from .operators import OPERAND_TERMS, bf16_terms
+
             D = self._densify(b, i, jnp.bfloat16)
-            # the barrier hides the rounding from the simplifier: without
-            # it XLA:TPU folds the f32->bf16->f32 round trip to identity
-            # and m_lo becomes literally zero (measured on-chip: device
-            # split lo == 0, collapsing hi+lo to hi-only 1.9e-3 accuracy;
-            # with the barrier: 2.4e-6)
-            m_hi = jax.lax.optimization_barrier(M.astype(jnp.bfloat16))
-            m_lo = (M - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # 3-term operand split (2-term's ~2^-17 dropped residual is a
+            # first-order sigma error — see DensifiedOperator._precise);
+            # the barriers inside bf16_terms hide the rounding from the
+            # simplifier, which otherwise folds f32->bf16->f32 to
+            # identity and zeroes the residual terms (measured on-chip)
             dot = lambda v: jax.lax.dot_general(
                 D, v,
                 dimension_numbers=(dims, ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return dot(m_hi) + dot(m_lo)
+            out = None
+            for t in bf16_terms(M, OPERAND_TERMS):
+                d = dot(t)
+                out = d if out is None else out + d
+            return out
         D = self._densify(b, i, jnp.float32)
         return jax.lax.dot_general(
             D, M,

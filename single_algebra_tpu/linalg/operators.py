@@ -31,6 +31,31 @@ import numpy as np
 from ..ops.spmm import ell_spmm
 from ..types import MATMUL_PRECISION
 
+# term count for the OPERAND split in the *_precise product paths: each
+# bf16 term captures 8 mantissa bits, so the dropped residual is
+# ~2^-(8*terms) relative. 2 terms floored explained variance at a
+# measured ~1.5e-5 (sigma^2 doubles the 2^-17 residual; every A-space
+# randomized engine hit it — benchmarks/results_sharded_tpu.json r3/r4);
+# 3 terms put the residual (~2^-26) under the f32 accumulation noise.
+OPERAND_TERMS = 3
+
+
+def bf16_terms(B: jnp.ndarray, terms: int = OPERAND_TERMS) -> list:
+    """Split f32 ``B`` into ``terms`` bf16 arrays summing to ``B`` with a
+    ~2^-(8*terms) relative residual. Each cast is barriered: XLA:TPU
+    otherwise folds the f32->bf16->f32 round trip to identity, zeroing
+    every residual term (measured on-chip, see
+    :meth:`DensifiedOperator._split`)."""
+
+    out = []
+    r = B
+    for _ in range(terms - 1):
+        h = jax.lax.optimization_barrier(r.astype(jnp.bfloat16))
+        out.append(h)
+        r = r - h.astype(B.dtype)
+    out.append(r.astype(jnp.bfloat16))
+    return out
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -401,11 +426,16 @@ class DensifiedOperator:
         ).astype(C.dtype)
 
     # precise path: both the matrix AND the dense operand are split into
-    # bf16 hi+lo halves (2-4 bf16 MXU passes with f32 accumulation) — each
-    # elementwise product is computed exactly, so the result carries full
-    # f32-class accuracy. Splitting only the matrix is NOT enough: rounding
-    # the operand (e.g. the orthonormal Q of the final projection) injects
-    # first-order error into the singular values.
+    # bf16 terms (f32-accumulated bf16 MXU passes) — splitting only the
+    # matrix is NOT enough: rounding the operand (e.g. the orthonormal Q
+    # of the final projection) injects FIRST-order error into the
+    # singular values. Term count matters the same way: a 2-term operand
+    # split drops a ~2^-17 relative residual, which surfaced as a
+    # measured ~1.5e-5 explained-variance floor on every A-space
+    # randomized engine (sigma^2 doubles the relative error;
+    # benchmarks/probe_sharded_acc.py, round 4). The precise paths use
+    # OPERAND_TERMS=3 (~2^-26 residual, below the f32 accumulation
+    # noise) — one extra MXU pass on the final projection only.
     @staticmethod
     def _split(B):
         # barrier the hi cast: XLA:TPU otherwise folds the
@@ -417,7 +447,7 @@ class DensifiedOperator:
         return hi, lo
 
     def _precise(self, B, dims):
-        b_hi, b_lo = self._split(B)
+        b_terms = bf16_terms(B, OPERAND_TERMS)
         parts = [self.hi]
         if self.lo is not None:
             parts.append(self.lo)
@@ -430,7 +460,7 @@ class DensifiedOperator:
 
         out = None
         for a in parts:
-            term = dot(a, b_hi) + dot(a, b_lo)
+            term = sum(dot(a, bt) for bt in b_terms)
             out = term if out is None else out + term
         return out.astype(B.dtype)
 
@@ -654,20 +684,36 @@ class TiledSparseOperator:
 
     @staticmethod
     def _stack_split(M, width, transpose=True):
-        """hi/lo-split ``M`` [r, k] into one [2*kp, width] bf16 operand —
-        the two halves ride the SAME kernel call stacked on the k axis
-        (kernel cost is linear in kp, so this is exactly the two-pass
-        compensated contraction with none of the densify work repeated).
-        Shared by the single-chip operator and :class:`ShardedTiled`."""
+        """Split ``M`` [r, k] into :data:`OPERAND_TERMS` bf16 terms stacked
+        on the k axis as one [terms*kp, width] operand — every term rides
+        the SAME kernel call (kernel cost is linear in kp, so this is
+        exactly the multi-pass compensated contraction with none of the
+        densify work repeated). Shared by the single-chip operator and
+        :class:`ShardedTiled`."""
 
         k = M.shape[1]
         kp = max(-(-k // 8) * 8, 8)
-        m_hi, m_lo = DensifiedOperator._split(M)
-        Mt = jnp.zeros((2 * kp, width), jnp.bfloat16)
-        src = (m_hi.T, m_lo.T) if transpose else (m_hi, m_lo)
-        Mt = jax.lax.dynamic_update_slice(Mt, src[0], (0, 0))
-        Mt = jax.lax.dynamic_update_slice(Mt, src[1], (kp, 0))
+        terms = bf16_terms(M, OPERAND_TERMS)
+        Mt = jnp.zeros((OPERAND_TERMS * kp, width), jnp.bfloat16)
+        for i, t in enumerate(terms):
+            Mt = jax.lax.dynamic_update_slice(
+                Mt, t.T if transpose else t, (i * kp, 0)
+            )
         return Mt, kp
+
+    @staticmethod
+    def _unstack_sum(out, kp, k, axis=0):
+        """Sum the :data:`OPERAND_TERMS` stacked result slices back."""
+
+        sl = (
+            (lambda i: out[i * kp : i * kp + k])
+            if axis == 0
+            else (lambda i: out[:, i * kp : i * kp + k])
+        )
+        acc = sl(0)
+        for i in range(1, OPERAND_TERMS):
+            acc = acc + sl(i)
+        return acc
 
     def mv(self, B):
         """A @ B at f32-class accuracy (compensated bf16 on f32 payloads)."""
@@ -681,10 +727,10 @@ class TiledSparseOperator:
         else:
             Bt, kp = self._stack_split(B, nt * ct, transpose=True)
             out = self._mv_kernel(self.tdata, Bt)
-            acc = out[:k] + out[kp : kp + k]
+            acc = self._unstack_sum(out, kp, k, axis=0)
             if self.tdata_lo is not None:
                 out_lo = self._mv_kernel(self.tdata_lo, Bt)
-                acc = acc + out_lo[:k] + out_lo[kp : kp + k]
+                acc = acc + self._unstack_sum(out_lo, kp, k, axis=0)
             result = acc[:, :n].T
         if ovw > 0:  # static: baked into the jitted graph at trace time
             result = result + ell_spmm(self.ov_data, self.ov_ids, B)[:n]
@@ -724,10 +770,10 @@ class TiledSparseOperator:
             Cp = jax.lax.dynamic_update_slice(Cp, C, (0, 0))
             Ct, kp = self._stack_split(Cp, R, transpose=True)
             out = self._rmv_kernel(self.tdata, Ct)
-            acc = out[:, :k] + out[:, kp : kp + k]
+            acc = self._unstack_sum(out, kp, k, axis=1)
             if self.tdata_lo is not None:
                 out_lo = self._rmv_kernel(self.tdata_lo, Ct)
-                acc = acc + out_lo[:, :k] + out_lo[:, kp : kp + k]
+                acc = acc + self._unstack_sum(out_lo, kp, k, axis=1)
             result = acc[:p]
         if ovtw > 0:
             result = result + ell_spmm(self.ovt_data, self.ovt_ids, C)[:p]

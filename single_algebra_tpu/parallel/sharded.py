@@ -430,7 +430,7 @@ class ShardedTiled:
                 Bt, B.T.astype(jnp.bfloat16), (0, 0)
             )
         else:
-            # hi/lo operand halves stacked on the k axis: the compensated
+            # bf16 operand terms stacked on the k axis: the compensated
             # product rides the SAME kernel call (cost linear in kp)
             from ..linalg.operators import TiledSparseOperator
 
@@ -439,6 +439,8 @@ class ShardedTiled:
         interpret = jax.default_backend() != "tpu"
 
         def local(tl, ovd, ovi, Btf, Bf, *tds):
+            from ..linalg.operators import TiledSparseOperator as _T
+
             acc = None
             for td in tds:
                 out = tiled_ell_spmm_t(
@@ -448,7 +450,7 @@ class ShardedTiled:
                     interpret=interpret,
                 )
                 part = out[:k] if (fast or not bf16) else (
-                    out[:k] + out[kp : kp + k]
+                    _T._unstack_sum(out, kp, k, axis=0)
                 )
                 acc = part if acc is None else acc + part
             res = acc.T  # [Rsp, k]
@@ -525,7 +527,9 @@ class ShardedTiled:
                     interpret=interpret,
                 )
                 part = out[:p, :k] if not split else (
-                    out[:p, :k] + out[:p, kp : kp + k]
+                    TiledSparseOperator._unstack_sum(
+                        out[:p], kp, k, axis=1
+                    )
                 )
                 acc = part if acc is None else acc + part
             if ovtw > 0:
@@ -705,37 +709,44 @@ class ShardedDensified:
         return out.astype(C.dtype)
 
     def _precise(self, B, dims, mv_like):
+        from ..linalg.operators import OPERAND_TERMS, bf16_terms
+
         ax = self.axis_name
         parts = [self.hi] + ([self.lo] if self.lo is not None else [])
-        # barrier the hi cast: XLA:TPU folds the f32->bf16->f32 round trip
-        # to identity otherwise, zeroing the compensation term (see
-        # DensifiedOperator._split)
-        b_hi = jax.lax.optimization_barrier(B.astype(jnp.bfloat16))
-        b_lo = (B - b_hi.astype(B.dtype)).astype(jnp.bfloat16)
+        # 3-term operand split: the 2-term version's ~2^-17 dropped
+        # residual was the measured ~1.5e-5 explained-variance floor on
+        # this engine (see DensifiedOperator._precise)
+        b_terms = tuple(bf16_terms(B, OPERAND_TERMS))
 
         def local(*args):
-            *mats, bh, bl = args
+            mats = args[: len(parts)]
+            bts = args[len(parts) :]
             acc = None
             for a in mats:
-                term = self._dots(a, bh, dims) + self._dots(a, bl, dims)
+                term = None
+                for bt in bts:
+                    d = self._dots(a, bt, dims)
+                    term = d if term is None else term + d
                 acc = term if acc is None else acc + term
             if not mv_like:
                 acc = jax.lax.psum(acc, ax)
             return acc
 
         if mv_like:
-            in_specs = tuple([P(ax, None)] * len(parts)) + (P(), P())
+            in_specs = tuple([P(ax, None)] * len(parts)) + (
+                P(),
+            ) * len(b_terms)
             out = jax.shard_map(
                 local, mesh=self.mesh, in_specs=in_specs,
                 out_specs=P(ax, None),
-            )(*parts, b_hi, b_lo)
+            )(*parts, *b_terms)
             return out[: self.shape[0]].astype(B.dtype)
         in_specs = tuple([P(ax, None)] * len(parts)) + (
-            P(ax, None), P(ax, None),
-        )
+            P(ax, None),
+        ) * len(b_terms)
         out = jax.shard_map(
             local, mesh=self.mesh, in_specs=in_specs, out_specs=P()
-        )(*parts, b_hi, b_lo)
+        )(*parts, *b_terms)
         return out.astype(B.dtype)
 
     def mv_precise(self, B):

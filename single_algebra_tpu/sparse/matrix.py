@@ -66,13 +66,15 @@ def _stored_map_graph(ell_data, ell_ids, row_nnz, operands, *, fn, is_csr):
     )
 
 
-def _scale_by_row_fn(v, r, c, scale):
-    factor = jnp.take(scale, r, axis=0, mode="clip")
+def _normalize_row_fn(v, r, c, sums, target):
+    s = jnp.take(sums, r, axis=0, mode="clip")
+    factor = jnp.where(s > 0, target / s, 0)
     return jnp.where(factor > 0, v * factor, v)
 
 
-def _scale_by_col_fn(v, r, c, scale):
-    factor = jnp.take(scale, c, axis=0, mode="clip")
+def _normalize_col_fn(v, r, c, sums, target):
+    s = jnp.take(sums, c, axis=0, mode="clip")
+    factor = jnp.where(s > 0, target / s, 0)
     return jnp.where(factor > 0, v * factor, v)
 
 
@@ -832,9 +834,12 @@ class SparseMatrix:
                 f"Length of sums ({sums.shape[0]}) does not match number of "
                 f"{axis}s ({n_axis})"
             )
-        scale = jnp.where(sums > 0, jnp.asarray(target, self.dtype) / sums, 0)
-        fn = _scale_by_row_fn if axis == "row" else _scale_by_col_fn
-        return self.map_stored(fn, scale)
+        # scale synthesis lives INSIDE the fused map graph: the eager
+        # where/divide dispatches cost ~0.5 s of tunnel round-trips per
+        # normalize at 100k rows (measured, probe_config2.py round 4);
+        # passing device-resident sums makes the whole call transfer-free
+        fn = _normalize_row_fn if axis == "row" else _normalize_col_fn
+        return self.map_stored(fn, sums, jnp.asarray(target, self.dtype))
 
     def log1p_normalize(self) -> "SparseMatrix":
         """ln(1 + v) on stored values; implicit zeros stay zero
