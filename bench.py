@@ -59,6 +59,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -68,6 +69,88 @@ import numpy as np
 from single_algebra_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()
+
+# ---------------------------------------------------------------------------
+# Timeout-proofing (VERDICT r4 #1): the round-4 driver run was killed by
+# `timeout` (rc=124) mid-cold-compile and left NO parseable output. Three
+# defenses, so a budget blowout can never again produce an empty record:
+#   1. the headline JSON line is printed the moment the warm measurement
+#      exists (CPU baseline read from the committed BASELINE_LOCAL.json
+#      cache first) — extras (pipelined-graph probe, detail line) run after;
+#   2. SIGTERM/SIGINT/SIGALRM handlers emit the best measurement so far
+#      (warm > cold > nothing-but-an-error) as a valid JSON line;
+#   3. progress milestones land in _STATE as they happen so the handler
+#      always has something true to say.
+# ---------------------------------------------------------------------------
+
+_STATE: dict = {"emitted": False, "stage": "startup"}
+
+
+def _emit(value, vs_baseline, metric, **extra):
+    """Print THE one stdout JSON line (idempotent)."""
+
+    if _STATE["emitted"]:
+        return
+    _STATE["emitted"] = True
+    out = {
+        "metric": metric,
+        "value": round(value, 4) if value is not None else None,
+        "unit": "s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }
+    out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+def _emit_partial(signum, frame):  # pragma: no cover - signal path
+    """Budget blown (SIGTERM from `timeout`) or watchdog fired: emit
+    whatever is measured so far as a valid JSON line, then exit."""
+
+    if _STATE["emitted"]:
+        os._exit(0)
+    cfg = _STATE.get("cfg", {})
+    shape = (
+        f"{cfg.get('n')}x{cfg.get('p')} d={cfg.get('density')} "
+        f"k={cfg.get('k')}" if cfg else "unknown shape"
+    )
+    warm = _STATE.get("warm_e2e")
+    cold = _STATE.get("cold_e2e")
+    vs = None
+    cpu = _STATE.get("cpu")
+    if warm is not None and cpu:
+        vs = cpu["total_1core_s"] / warm
+    if warm is not None:
+        _emit(
+            warm, vs,
+            f"PCA fit_transform warm wall (PARTIAL run, killed at stage "
+            f"'{_STATE['stage']}' after {_STATE.get('warm_runs_done', 0)} "
+            f"warm runs) on {shape}; vs_baseline = measured 1-core CPU / "
+            "this", incomplete=True,
+        )
+    elif cold is not None:
+        _emit(
+            cold, None,
+            f"PCA fit_transform COLD wall only (run killed at stage "
+            f"'{_STATE['stage']}' before any warm run) on {shape}",
+            incomplete=True,
+        )
+    else:
+        _emit(
+            None, None,
+            f"bench killed at stage '{_STATE['stage']}' before any "
+            f"measurement on {shape}", incomplete=True,
+            error=f"signal {signum} during '{_STATE['stage']}'",
+        )
+    os._exit(0)
+
+
+for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+    signal.signal(_sig, _emit_partial)
+
+# self-watchdog: even if the driver's budget is unknown, emit by this
+# deadline rather than risk an empty record (cold compile through the
+# remote-compile tunnel measured ~890 s at the headline shape in r3)
+signal.alarm(int(os.environ.get("BENCH_SELF_DEADLINE_S", "3300")))
 
 # default (headline): the reference's criterion-bench density 0.1 at the
 # largest dense-path shape one chip holds (8 GB bf16). The dense MXU
@@ -133,6 +216,7 @@ def run_tpu(X, k):
 
     from single_algebra_tpu.linalg import DensifiedOperator
 
+    _STATE["stage"] = "load"
     t0 = time.perf_counter()
     dense_path = DensifiedOperator.fits(X.shape)
     # dense engine never touches the sparse device layouts — keep them
@@ -168,13 +252,24 @@ def run_tpu(X, k):
         t_pull = time.perf_counter() - t1 - t_done
         return t_done, t_pull, pca
 
+    _STATE["stage"] = "cold fit (compile)"
     t_cold, t_cold_pull, _ = one_fit()  # includes compile + operator build
     _log(f"cold fit done in {t_cold:.1f}s (+{t_cold_pull:.1f}s T pull)")
+    _STATE["cold_e2e"] = t_cold + t_cold_pull
+    # compile-cache hit heuristic: a .jax_cache hit at any shape completes
+    # the cold fit in well under 120 s even through the tunnel; a miss at
+    # the headline shape measured ~890 s (r3)
+    cache_hit = t_cold < 120.0
+    _STATE["stage"] = "warm fits"
     warms, pulls = [], []
-    for _ in range(5):
+    for i in range(5):
         t_w, t_p, pca = one_fit()
         warms.append(t_w)
         pulls.append(t_p)
+        _STATE["warm_e2e"] = min(
+            w + q for w, q in zip(warms, pulls)
+        )
+        _STATE["warm_runs_done"] = i + 1
     # min-of-5 OVER WHOLE RUNS: tunnel jitter varies ~3x run-to-run, and
     # combining the best fit of one run with the best pull of another
     # would report an end-to-end time no run actually achieved
@@ -185,17 +280,29 @@ def run_tpu(X, k):
         f"warm fit done in {t_warm:.2f}s + {t_pull:.2f}s T pull "
         f"(runs: {[round(w, 3) for w in warms]})"
     )
-    # device-side fit cost under pipelined dispatch: enqueue several fit
-    # graphs back-to-back (JAX async dispatch) and sync once — host RTTs
-    # and state pulls amortize away, leaving the per-fit device graph time
-    # a production host sees when fitting repeatedly (refits, seed sweeps,
-    # masked variants). Distinct seeds keep the executions distinct.
+    return dict(
+        load=t_load, cold=t_cold, warm=t_warm, pull_T=t_pull,
+        pca=pca, m=m, method=method, cache_hit=cache_hit,
+        warm_runs=[round(w, 3) for w in warms],
+    )
+
+
+def measure_pipelined(tpu, k):
+    """Device-side fit cost under pipelined dispatch: enqueue several fit
+    graphs back-to-back (JAX async dispatch) and sync once — host RTTs
+    and state pulls amortize away, leaving the per-fit device graph time
+    a production host sees when fitting repeatedly (refits, seed sweeps,
+    masked variants). Distinct seeds keep the executions distinct.
+
+    Runs AFTER the headline JSON is emitted — a failure or timeout here
+    can no longer cost the round its number."""
+
     from single_algebra_tpu.models.pca import _fit_graph, make_engine_operator
     import jax
 
+    m, pca, method = tpu["m"], tpu["pca"], tpu["method"]
     op = make_engine_operator(m, "auto")
     reps = 4
-    outs = None
 
     def enqueue():
         return [
@@ -214,11 +321,7 @@ def run_tpu(X, k):
     jax.block_until_ready([o[0] for o in outs])
     t_graph = (time.perf_counter() - t0) / reps
     _log(f"pipelined device graph: {t_graph:.3f}s/fit (x{reps})")
-    return dict(
-        load=t_load, cold=t_cold, warm=t_warm, pull_T=t_pull,
-        graph=t_graph, pca=pca,
-        warm_runs=[round(w, 3) for w in warms],
-    )
+    return t_graph
 
 
 def run_cpu_reference(X, k):
@@ -342,13 +445,10 @@ def main():
         n_, p_, d_, k_ = args.shape.split(",")
         cfg = dict(n=int(n_), p=int(p_), density=float(d_), k=int(k_))
 
-    _backend_watchdog(
-        float(os.environ.get("BENCH_INIT_TIMEOUT_S", "300"))
-    )
-    X = make_matrix(cfg["n"], cfg["p"], cfg["density"])
-    _log(f"matrix ready: {X.shape} nnz={X.nnz}")
-    tpu = run_tpu(X, cfg["k"])
+    _STATE["cfg"] = cfg
 
+    # CPU baseline FIRST, from the committed cache — so the headline can
+    # be emitted the instant the warm TPU measurement exists
     key = f"{cfg['n']}x{cfg['p']}x{cfg['density']}x{cfg['k']}"
     cpu = None
     cache = {}
@@ -361,20 +461,34 @@ def main():
                 cpu = None  # stale v1 cache entry (total only)
         except Exception:
             cache = {}
+    _STATE["cpu"] = cpu
+
+    _backend_watchdog(
+        float(os.environ.get("BENCH_INIT_TIMEOUT_S", "300"))
+    )
+    _STATE["stage"] = "matrix gen"
+    X = make_matrix(cfg["n"], cfg["p"], cfg["density"])
+    _log(f"matrix ready: {X.shape} nnz={X.nnz}")
+    tpu = run_tpu(X, cfg["k"])
+
     if cpu is None and not args.skip_cpu:
+        _STATE["stage"] = "cpu 1-core baseline (uncached)"
         total, spmm, dense, _ = run_cpu_reference(X, cfg["k"])
         cpu = {"total_1core_s": total, "spmm_s": spmm, "dense_s": dense}
         cache[key] = cpu
         with open(BASELINE_CACHE, "w") as f:
             json.dump(cache, f)
+        _STATE["cpu"] = cpu
 
     warm_e2e = tpu["warm"] + tpu["pull_T"]
     vs = cpu64 = None
     if cpu:
         cpu64 = project_64core(cpu["spmm_s"], cpu["dense_s"])
         vs = cpu["total_1core_s"] / warm_e2e  # measured / measured
-    out = {
-        "metric": (
+    _emit(
+        warm_e2e,
+        vs,
+        (
             f"PCA fit_transform (randomized k={cfg['k']}, os=10, q=7, QR) "
             f"on {cfg['n']}x{cfg['p']} CSR d={cfg['density']} "
             f"({X.nnz} nnz), warm wall time on "
@@ -384,11 +498,15 @@ def main():
             "vs-projected-64-core comparison is in the stderr detail and "
             "BASELINE.md"
         ),
-        "value": round(warm_e2e, 4),
-        "unit": "s",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }
-    print(json.dumps(out))
+    )
+
+    # ---- extras: everything below is best-effort detail ----
+    _STATE["stage"] = "pipelined graph probe"
+    try:
+        t_graph = measure_pipelined(tpu, cfg["k"])
+    except Exception as e:  # pragma: no cover - detail must not kill us
+        _log(f"pipelined probe failed: {e}")
+        t_graph = None
     print(
         json.dumps(
             {
@@ -419,11 +537,15 @@ def main():
                     "vs_64core_projected_incl_T_pull": (
                         round(cpu64 / warm_e2e, 2) if cpu64 else None
                     ),
-                    "graph_pipelined_s": round(tpu["graph"], 4),
+                    "graph_pipelined_s": (
+                        round(t_graph, 4) if t_graph else None
+                    ),
                     "vs_64core_projected_pipelined": (
-                        round(cpu64 / tpu["graph"], 2) if cpu64 else None
+                        round(cpu64 / t_graph, 2)
+                        if (cpu64 and t_graph) else None
                     ),
                     "warm_runs_s": tpu["warm_runs"],
+                    "compile_cache_hit": tpu["cache_hit"],
                 }
             }
         ),
