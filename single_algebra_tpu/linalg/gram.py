@@ -252,11 +252,21 @@ class GramPCAEngine:
             ws_item = 4
         total += pp * pp * 4 + pp * slab * ws_item * 2
         rb = _gram_block(pp)
-        if rb is not None and pp % rb:
-            # symmetric-path mirror ends with a [ppb, ppb] -> [pp, pp]
-            # slice; both Grams coexist transiently (measured OOM at
-            # 1M x 30k ct=512 where this was uncharged)
-            total += pp * pp * 4
+        if rb is not None:
+            # blocked symmetric path: the nb(nb+1)/2 independent pair
+            # carries (~0.53 ppb^2 f32) coexist with the assembled G
+            # during the scatter/mirror pass — in the rb-aligned case
+            # too, which includes the flagship pp=30720=15*2048 shape
+            # (advisor r4: keying this on pp % rb under-charged it)
+            ppb = -(-pp // rb) * rb
+            nb = ppb // rb
+            total += nb * (nb + 1) // 2 * rb * rb * 4
+            if pp % rb:
+                # plus the [ppb, ppb] assembly buffer: it coexists with
+                # the [pp, pp] slice result (charged in the base term)
+                # during the final slice (measured OOM at 1M x 30k
+                # ct=512 where this was uncharged)
+                total += ppb * ppb * 4
         cache[col_tile] = (plan, total, slab, ntiles)
         return cache[col_tile]
 

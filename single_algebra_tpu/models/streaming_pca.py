@@ -64,24 +64,59 @@ def _prefetch(gen, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
     err: list = []
+    stop = threading.Event()
 
     def run():
         try:
             for item in gen:
-                q.put(item)
+                # bounded put that re-checks the stop flag: if the
+                # consumer abandons the generator mid-stream, a plain
+                # q.put would block forever and pin up to `depth` built
+                # super-slab payloads (hundreds of MB at mesh scale) for
+                # the life of the process (advisor r4)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # re-raised on the consumer thread
             err.append(e)
         finally:
-            q.put(_END)
+            while True:  # never blocks: drop stale items to make room
+                try:
+                    q.put_nowait(_END)
+                    break
+                except queue.Full:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     threading.Thread(target=run, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer closed or raised: release the producer and drop any
+        # queued payloads so their memory is reclaimable immediately
+        stop.set()
+        try:
+            gen.close()
+        except Exception:
+            pass
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _bf16_exact(data: np.ndarray) -> bool:

@@ -68,7 +68,7 @@ def _map_payloads(op: ShardedSpMM, fn):
     ax = op.axis_name
     rs = op.rows_per_shard
 
-    def local(rd, ri, td, ti):
+    def local(rd, ri, td, ti, tn):
         dev = jax.lax.axis_index(ax)
         # row-major slab: positions are global rows, ids are global cols
         gr = dev * rs + jax.lax.broadcasted_iota(jnp.int32, rd.shape, 0)
@@ -77,6 +77,12 @@ def _map_payloads(op: ShardedSpMM, fn):
         gr_t = dev * rs + ti[0]
         gc = jax.lax.broadcasted_iota(jnp.int32, td[0].shape, 0)
         td2 = fn(td[0], gr_t, gc)
+        # re-mask the transposed padding slots (tr_nnz is resident, the
+        # mask fuses into the map for free): a caller-supplied fn that
+        # violates the fn(0) -> 0 contract would otherwise silently
+        # corrupt padded gene slots feeding every psum (advisor r4)
+        rank = jax.lax.broadcasted_iota(jnp.int32, td[0].shape, 1)
+        td2 = jnp.where(rank < tn[0][:, None], td2, 0)
         return rd2, td2[None]
 
     rd2, td2 = jax.shard_map(
@@ -84,9 +90,10 @@ def _map_payloads(op: ShardedSpMM, fn):
         mesh=op.mesh,
         in_specs=(
             P(ax, None), P(ax, None), P(ax, None, None), P(ax, None, None),
+            P(ax, None),
         ),
         out_specs=(P(ax, None), P(ax, None, None)),
-    )(op.row_data, op.row_ids, op.tr_data, op.tr_ids)
+    )(op.row_data, op.row_ids, op.tr_data, op.tr_ids, op.tr_nnz)
     return rd2, td2
 
 
@@ -95,11 +102,40 @@ def mesh_map_stored(op: ShardedSpMM, fn) -> ShardedSpMM:
 
     ``fn`` must map 0 -> 0 for all (row, col) — padding slots carry
     explicit zeros in both layouts (same contract as the single-device
-    ``map_stored``, which only ever touches stored entries).
+    ``map_stored``, which only ever touches stored entries). The
+    transposed layout — the one feeding every per-gene ``psum`` — is
+    re-masked via ``tr_nnz`` regardless, for free inside the fused map;
+    the row-major layout has no per-row nnz on device, so set
+    ``SINGLE_ALGEBRA_TPU_DEBUG=1`` to probe the contract with a zero
+    input instead of silently corrupting padded rows (advisor r4; the
+    probe is opt-in because ``fn`` may close over sharded device arrays,
+    making an always-on probe cost accelerator round trips per call).
     """
 
+    import os
+
+    if os.environ.get("SINGLE_ALGEBRA_TPU_DEBUG"):
+        _check_zero_preserving(fn, op.shape, op.row_data.dtype)
     rd2, td2 = _map_payloads(op, fn)
     return dataclasses.replace(op, row_data=rd2, tr_data=td2)
+
+
+def _check_zero_preserving(fn, shape, dtype) -> None:
+    """Probe ``fn`` with zero values at the index corners; raises when
+    the result is non-zero (padding slots would be corrupted)."""
+
+    n, p = shape
+    v = jnp.zeros((4,), dtype)
+    r = jnp.array([0, 0, n - 1, n - 1], jnp.int32)
+    c = jnp.array([0, p - 1, 0, p - 1], jnp.int32)
+    out = np.asarray(fn(v, r, c))
+    if out.shape != (4,) or (out != 0).any():
+        raise ValueError(
+            "mesh_map_stored: fn must map zero values to zero "
+            "(padding slots hold v=0); got fn(0, r, c) = "
+            f"{out!r}. Non-zero-preserving maps would corrupt padded "
+            "slots — densify or re-think the transform."
+        )
 
 
 def mesh_log1p(op: ShardedSpMM) -> ShardedSpMM:

@@ -78,6 +78,37 @@ def _normalize_col_fn(v, r, c, sums, target):
     return jnp.where(factor > 0, v * factor, v)
 
 
+_WARNED_MAP_FNS: set = set()
+
+
+def _warn_if_percall_fn(fn) -> None:
+    """One-time (per code object) warning for per-call lambdas/local fns
+    passed to ``map_stored``: ``fn`` is a STATIC jit key, so every fresh
+    function object creates a new ``_stored_map_graph`` cache entry that
+    embeds any closed-over device arrays as compiled constants — an
+    unbounded compile-cache/memory leak in long-running services
+    (advisor r4). Module-level fns with data via ``*operands`` hit the
+    trace cache instead."""
+
+    code = getattr(fn, "__code__", None)
+    if code is None or code in _WARNED_MAP_FNS:
+        return
+    name = getattr(fn, "__qualname__", getattr(fn, "__name__", ""))
+    if "<lambda>" in name or "<locals>" in name:
+        _WARNED_MAP_FNS.add(code)
+        import warnings
+
+        warnings.warn(
+            "map_stored received a lambda/locally-defined fn "
+            f"({name!r}); each fresh function object retraces and "
+            "permanently caches a new compiled graph (closed-over "
+            "arrays become embedded constants). Pass a module-level "
+            "function and thread data through *operands for cache "
+            "hits.",
+            stacklevel=3,
+        )
+
+
 def _log1p_fn(v, r, c):
     return jnp.log1p(v)
 
@@ -883,6 +914,7 @@ class SparseMatrix:
         """
 
         operands = tuple(jnp.asarray(o) for o in operands)
+        _warn_if_percall_fn(fn)
 
         def apply(m):
             return _stored_map_graph(
