@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .ops.precise_math import log1p as _plog1p
 from .types import Direction
 
 __all__ = ["normalize", "log1p"]
@@ -55,4 +56,4 @@ def normalize(
 def log1p(arr: jnp.ndarray) -> jnp.ndarray:
     """Elementwise ln(1 + x)."""
 
-    return jnp.log1p(arr)
+    return _plog1p(arr)

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from ..ops.precise_math import expm1 as _pexpm1
+from ..ops.precise_math import log1p as _plog1p
 from ..ops.spmm import ell_spmm
 from .sharded import ShardedSpMM
 
@@ -138,11 +140,15 @@ def _check_zero_preserving(fn, shape, dtype) -> None:
         )
 
 
+def _mesh_log1p_fn(v, r, c):
+    return _plog1p(v)
+
+
 def mesh_log1p(op: ShardedSpMM) -> ShardedSpMM:
     """``ln(1 + x)`` on stored values (reference ``csr.rs:1070-1079``
     semantics: implicit zeros stay zero) — mesh edition."""
 
-    return mesh_map_stored(op, lambda v, r, c: jnp.log1p(v))
+    return mesh_map_stored(op, _mesh_log1p_fn)
 
 
 # ----------------------------------------------------------------------
@@ -211,7 +217,7 @@ def _col_moments_graph(op: ShardedSpMM, *, expm1: bool):
     ax = op.axis_name
 
     def local(td):
-        x = jnp.expm1(td[0]) if expm1 else td[0]
+        x = _pexpm1(td[0]) if expm1 else td[0]
         return jax.lax.psum(
             (jnp.sum(x, axis=1), jnp.sum(x * x, axis=1)), ax
         )

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.precise_math import log1p as _plog1p
+
 __all__ = [
     "normalize_total",
     "normalize_pearson_residuals",
@@ -75,9 +77,9 @@ def _tfidf_fn(v, r, c, row_fac, col_fac, sf, log_tf, log_tfidf):
     traced operands so the jitted map-graph caches on the fn identity."""
 
     tf = v * jnp.take(row_fac, r, axis=0, mode="clip")
-    tf = jnp.where(log_tf, jnp.log1p(tf * sf), tf)
+    tf = jnp.where(log_tf, _plog1p(tf * sf), tf)
     out = tf * jnp.take(col_fac, c, axis=0, mode="clip")
-    return jnp.where(log_tfidf, jnp.log1p(out * sf), out)
+    return jnp.where(log_tfidf, _plog1p(out * sf), out)
 
 
 def _scale_cols_fn(v, r, c, inv_std):

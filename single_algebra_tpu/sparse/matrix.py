@@ -66,16 +66,31 @@ def _stored_map_graph(ell_data, ell_ids, row_nnz, operands, *, fn, is_csr):
     )
 
 
-def _normalize_row_fn(v, r, c, sums, target):
-    s = jnp.take(sums, r, axis=0, mode="clip")
-    factor = jnp.where(s > 0, target / s, 0)
-    return jnp.where(factor > 0, v * factor, v)
+@_partial(jax.jit, static_argnames=("by_major",))
+def _scale_stored_graph(ell_data, ell_ids, row_nnz, sums, target, *, by_major):
+    """Fused line-scaling over one ELL payload (the ``normalize`` core).
 
+    ``by_major=True`` is the hot case (direction == the layout's major
+    axis): the factor is a [n_major, 1] BROADCAST. Routing this through
+    the generic ``map_stored`` machinery instead costs a payload-sized
+    ``take(sums, iota_rows)`` — XLA:TPU lowers that as a real ~50M-slot
+    gather (~450 ms at 30M nnz, measured round 5) where the broadcast
+    multiply is HBM-bound (~25 ms). ``by_major=False`` (minor-axis
+    scaling: the transpose twin, or col-direction on a CSR layout)
+    gathers the [n_minor] factor by the stored ids — a table gather,
+    unavoidable for ELL."""
 
-def _normalize_col_fn(v, r, c, sums, target):
-    s = jnp.take(sums, c, axis=0, mode="clip")
-    factor = jnp.where(s > 0, target / s, 0)
-    return jnp.where(factor > 0, v * factor, v)
+    factor = jnp.where(sums > 0, target / sums, jnp.zeros_like(sums))
+    if by_major:
+        # payload rows are sublane-padded past the logical major count;
+        # padded rows have row_nnz == 0 and are re-zeroed below
+        f = jnp.pad(factor, (0, ell_data.shape[0] - factor.shape[0]))[:, None]
+    else:
+        f = jnp.take(factor, ell_ids, axis=0, mode="clip")
+    new = jnp.where(f > 0, ell_data * f, ell_data)
+    rank = jax.lax.broadcasted_iota(jnp.int32, ell_ids.shape, 1)
+    valid = rank < row_nnz[:, None]
+    return jnp.where(valid, new, jnp.zeros_like(ell_data))
 
 
 _WARNED_MAP_FNS: set = set()
@@ -110,11 +125,18 @@ def _warn_if_percall_fn(fn) -> None:
 
 
 def _log1p_fn(v, r, c):
-    return jnp.log1p(v)
+    # precise_math: this XLA build's f32 log1p is a ~4000-ULP fast
+    # approximation (2e-5 value-parity error vs the reference's libm
+    # ln_1p, csr.rs:1070-1079 — measured round 5)
+    from ..ops.precise_math import log1p as _plog1p
+
+    return _plog1p(v)
 
 
 def _expm1_fn(v, r, c):
-    return jnp.expm1(v)
+    from ..ops.precise_math import expm1 as _pexpm1
+
+    return _pexpm1(v)
 
 
 class SparseMatrix:
@@ -865,12 +887,39 @@ class SparseMatrix:
                 f"Length of sums ({sums.shape[0]}) does not match number of "
                 f"{axis}s ({n_axis})"
             )
-        # scale synthesis lives INSIDE the fused map graph: the eager
+        # scale synthesis lives INSIDE the fused graph: the eager
         # where/divide dispatches cost ~0.5 s of tunnel round-trips per
         # normalize at 100k rows (measured, probe_config2.py round 4);
-        # passing device-resident sums makes the whole call transfer-free
-        fn = _normalize_row_fn if axis == "row" else _normalize_col_fn
-        return self.map_stored(fn, sums, jnp.asarray(target, self.dtype))
+        # passing device-resident sums makes the whole call transfer-free.
+        # Each resident layout gets the specialized scaling graph
+        # (broadcast on the matching-major layout, id-gather on the
+        # other) — same twin-linking contract as map_stored.
+        target = jnp.asarray(target, self.dtype)
+
+        def apply(m):
+            major_is_dir = ("row" if m.format == "csr" else "col") == axis
+            return _scale_stored_graph(
+                m.ell_data, m.ell_ids, m.row_nnz, sums, target,
+                by_major=major_is_dir,
+            )
+
+        out = self._with_data(apply(self))
+        tc = self._transpose_cache
+        if tc is not None:
+            twin = SparseMatrix(
+                apply(tc),
+                tc.ell_ids,
+                tc.row_nnz,
+                tc.shape,
+                tc.nnz,
+                tc.format,
+                h_indptr=tc._h_indptr,
+                h_indices=tc._h_indices,
+                h_data=None,
+            )
+            twin._transpose_cache = out
+            out._transpose_cache = twin
+        return out
 
     def log1p_normalize(self) -> "SparseMatrix":
         """ln(1 + v) on stored values; implicit zeros stay zero
