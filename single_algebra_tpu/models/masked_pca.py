@@ -39,6 +39,7 @@ import numpy as np
 from ..linalg import CenteredOperator, MaskedOperator
 from ..types import SVDMethod
 from .pca import (
+    _LazyPCAState,
     _as_matrix,
     _fit_graph,
     _host_col_stats,
@@ -49,7 +50,7 @@ from .pca import (
 __all__ = ["MaskedSparsePCA", "MaskedSparsePCABuilder"]
 
 
-class MaskedSparsePCA:
+class MaskedSparsePCA(_LazyPCAState):
     def __init__(
         self,
         mask: Sequence[bool],
@@ -75,11 +76,7 @@ class MaskedSparsePCA:
         self.center = center
         self.verbose = verbose
         self.svd_method = svd_method
-        self.components_: Optional[jnp.ndarray] = None
-        self.explained_variance_: Optional[jnp.ndarray] = None
-        self.mean_: Optional[jnp.ndarray] = None
-        self.total_variance_: Optional[float] = None
-        self.noise_variance_: Optional[float] = None
+        self._init_lazy_state()
 
     def _mask_idx(self) -> jnp.ndarray:
         return jnp.asarray(np.where(self.mask)[0].astype(np.int32))
@@ -111,7 +108,8 @@ class MaskedSparsePCA:
             mean_np = (col_sums / n_samples).astype(dt)
         else:
             mean_np = np.zeros(n_cols, dt)
-        self.mean_ = jnp.asarray(mean_np)  # FULL width, reference semantic
+        self.mean_ = mean_np  # FULL width, reference semantic
+        self._mean_dev = jnp.asarray(mean_np)
 
         total_var = None
         if self.center and n_samples > 1:
@@ -162,27 +160,16 @@ class MaskedSparsePCA:
                 lanczos_block=self.lanczos_block,
             )
         self._fitted_transform = T
-        s_np = np.asarray(s_dev, dtype=np.float64)
         self.components_ = vt  # k x p_masked
-        n_minus_1 = max(n_samples - 1, 1)
-        ev_np = s_np**2 / n_minus_1
-        self.explained_variance_ = jnp.asarray(ev_np.astype(dt))
-
-        if total_var is None:
-            total_var = float(ev_np.sum())
-        self.total_variance_ = total_var
-
-        min_dim = min(n_samples, n_features)
-        if k < min_dim:
-            self.noise_variance_ = (total_var - float(ev_np.sum())) / (
-                min_dim - k
-            )
-        else:
-            self.noise_variance_ = 0.0
+        self._set_fit_state(
+            s_dev, total_var, n_samples, min(n_samples, n_features)
+        )
 
         if self.verbose:
+            # verbose forces the (otherwise lazy) singular-value pull
+            ev_np = np.asarray(self.explained_variance_, np.float64)
             print(
-                f"s-dim: {s_np.shape}, components: {k}, "
+                f"s-dim: {(len(ev_np),)}, components: {k}, "
                 f"nfeatures: {n_features}"
             )
             print("PCA completed successfully:")
@@ -191,8 +178,8 @@ class MaskedSparsePCA:
                 f"(using {n_features} features with mask)"
             )
             print(f"  Reduced to: {k} components")
-            if total_var:
-                pct = float(ev_np.sum()) / total_var * 100
+            if self.total_variance_:
+                pct = float(ev_np.sum()) / self.total_variance_ * 100
                 print(f"  Total variance explained: {pct:.2f}%")
             print(f"  Fit took {time.perf_counter() - t0:.3f}s")
         return self
@@ -210,7 +197,7 @@ class MaskedSparsePCA:
         if self.center:
             idx_np = np.where(self.mask)[0]
             op = CenteredOperator(
-                op, jnp.asarray(np.asarray(self.mean_)[idx_np])
+                op, jnp.asarray(self.mean_[idx_np])
             )
         return _project(op, self.components_.T)
 
@@ -240,7 +227,7 @@ class MaskedSparsePCA:
         Rm = T @ self.components_  # [n, p_masked]
         p = self.mask.shape[0]
         base = (
-            jnp.broadcast_to(self.mean_, (T.shape[0], p))
+            jnp.broadcast_to(self._mean_device(), (T.shape[0], p))
             if self.center
             else jnp.zeros((T.shape[0], p), Rm.dtype)
         )
