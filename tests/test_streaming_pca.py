@@ -238,3 +238,50 @@ def test_streaming_inverse_transform_matches_one_shot():
         sk.inverse_transform(sk.transform(dense)) - dense
     )
     assert np.linalg.norm(R - dense) <= 1.02 * err_sk
+
+
+def test_streaming_payload_cache_roundtrip():
+    """partial_fit(chunk, key=...) with a payload_cache: the second fit
+    reuses device payloads (no host rebuild) and reproduces the first
+    fit bit-for-bit — single-device and mesh modes."""
+
+    from single_algebra_tpu.parallel import make_mesh
+
+    X = _matrix(n=700, p=90, density=0.1, seed=9)
+    k = 4
+
+    for mesh in (None, make_mesh(4)):
+        cache: dict = {}
+
+        def run():
+            pca = StreamingSparsePCA(
+                n_components=k, n_features=90, random_seed=3, mesh=mesh,
+                payload_cache=cache,
+            )
+            for r0 in range(0, 700, 250):
+                pca.partial_fit(X[r0 : r0 + 250], key=r0)
+            pca.finalize()
+            return pca
+
+        a = run()
+        assert cache  # populated by the first pass
+        n_keys = len(cache)
+        # poison the host-build path: a cache hit must not rebuild
+        import single_algebra_tpu.models.streaming_pca as spmod
+
+        orig = spmod._slab_payload
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("cache hit must not rebuild payloads")
+
+        spmod._slab_payload = boom
+        try:
+            b = run()
+        finally:
+            spmod._slab_payload = orig
+        assert len(cache) == n_keys
+        np.testing.assert_array_equal(
+            np.asarray(a.explained_variance_),
+            np.asarray(b.explained_variance_),
+        )
+        np.testing.assert_array_equal(a.col_sums(), b.col_sums())
