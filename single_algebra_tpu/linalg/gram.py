@@ -161,27 +161,62 @@ def solve_gram_topk(G, mu, n, seed, *, k, center):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class _CenteredGram:
-    """Symmetric operator ``G - c * mu mu^T`` (rank-1-centered Gram)."""
+    """Symmetric operator ``G - c * mu mu^T`` (rank-1-centered Gram).
+
+    ``mv`` deflates the operand against ``mu`` first: with
+    ``beta = (mu^T B)/||mu||^2`` and ``Bp = B - mu beta``,
+
+        Gc @ B = [G @ Bp - c mu (mu^T Bp)] + (Gc @ mu) beta
+
+    where ``g_mu = Gc @ mu`` is computed once per solve (one extra
+    matvec, cached on the operator's pytree leaves). Why: the direct
+    form stores the f32 intermediate ``G @ B`` at the UNCENTERED scale —
+    entries carry ``c mu_i (mu^T B)_k`` terms that the rank-1 correction
+    then cancels, so every power iteration and the final sigma
+    projection inherit ~``eps32 * |G@B|/|Gc@B|`` relative noise (the
+    measured 6e-7..1.1e-6 exact-G solve plateau, see ``gram_matrix``'s
+    f32-floor note). After deflation ``mu^T Bp ~ 0`` so ``G @ Bp`` is
+    born at the centered scale; the only uncentered-scale rounding left
+    is the one-time ``g_mu``, a single rank-1 direction whose error
+    enters the spectrum via one projection instead of compounding per
+    iteration.
+    """
 
     G: jnp.ndarray
     mu: jnp.ndarray
     c: jnp.ndarray
+    g_mu: jnp.ndarray | None = None  # cached Gc @ mu
+    inv_mu2: jnp.ndarray | None = None  # 1 / max(||mu||^2, tiny)
+
+    def __post_init__(self):
+        if self.g_mu is None:
+            mu2 = jnp.dot(self.mu, self.mu, precision=MATMUL_PRECISION)
+            self.inv_mu2 = jnp.where(mu2 > 0, 1.0 / jnp.maximum(mu2, 1e-30), 0.0)
+            self.g_mu = (
+                jnp.dot(self.G, self.mu, precision=MATMUL_PRECISION)
+                - self.c * self.mu * mu2
+            )
 
     @property
     def shape(self):
         return self.G.shape
 
     def mv(self, B):
-        corr = jnp.dot(self.mu, B, precision=MATMUL_PRECISION)  # [k]
+        beta = (
+            jnp.dot(self.mu, B, precision=MATMUL_PRECISION) * self.inv_mu2
+        )  # [k]
+        Bp = B - self.mu[:, None] * beta[None, :]
+        t = jnp.dot(self.mu, Bp, precision=MATMUL_PRECISION)  # ~0 residual
         return (
-            jnp.dot(self.G, B, precision=MATMUL_PRECISION)
-            - self.c * self.mu[:, None] * corr[None, :]
+            jnp.dot(self.G, Bp, precision=MATMUL_PRECISION)
+            - self.c * self.mu[:, None] * t[None, :]
+            + self.g_mu[:, None] * beta[None, :]
         )
 
     rmv = mv  # symmetric
 
     def tree_flatten(self):
-        return (self.G, self.mu, self.c), ()
+        return (self.G, self.mu, self.c, self.g_mu, self.inv_mu2), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):

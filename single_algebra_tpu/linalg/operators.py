@@ -189,6 +189,22 @@ class CenteredOperator:
 
     ``mu`` has the operator's logical width. Rank-1 corrections keep the
     matrix sparse, matching single-svdlib's implicit centering.
+
+    The ``rmv*`` products use OPERAND DEFLATION: ``A_c^T C`` is computed
+    as ``A^T (C - 1 cbar^T) - mu (1^T (C - 1 cbar^T))`` with
+    ``cbar = (1^T C)/n``. Algebraically this differs from the direct form
+    only by ``(A^T 1 - n mu) cbar^T`` — bounded by ``eps32 * mu * (1^T C)``
+    since ``mu`` is the stored f32 column mean — but numerically it is the
+    difference between a usable and an unusable sigma: the direct form
+    stores the f32 intermediate ``A^T C`` at the UNCENTERED column scale
+    (entries ~``mu_j * (1^T C)_k``) and then cancels it down to the
+    centered scale, flooring the relative accuracy of ``B = Q^T A_c`` at
+    ~``eps32 * mu/sigma`` — the measured 4.8e-6 explained-variance floor
+    of every A-space randomized engine (benchmarks/probe_sharded_acc.py,
+    probe_ev_rescore.py, rounds 4-5). Deflating the operand first keeps
+    every partial sum at the centered scale. Power iterations (``rmv`` /
+    ``rmv_fast``) get the same treatment — one column-sum + broadcast
+    subtract per product, noise next to the SpMM itself.
     """
 
     base: object
@@ -198,13 +214,23 @@ class CenteredOperator:
     def shape(self):
         return self.base.shape
 
+    def _deflate(self, C):
+        """(C - 1 cbar^T, residual column sums) — the residual is the
+        post-deflation ``1^T Cd`` (~n*eps32 roundoff), kept so the rank-1
+        ``mu`` correction stays exact wrt the deflated operand."""
+
+        n = self.base.shape[0]
+        cbar = jnp.sum(C, axis=0) / jnp.asarray(n, C.dtype)
+        Cd = C - cbar[None, :]
+        return Cd, jnp.sum(Cd, axis=0)
+
     def mv(self, B):
         corr = jnp.dot(self.mu, B, precision=MATMUL_PRECISION)  # [k]
         return self.base.mv(B) - corr[None, :]
 
     def rmv(self, C):
-        col_tot = jnp.sum(C, axis=0)  # [k]
-        return self.base.rmv(C) - self.mu[:, None] * col_tot[None, :]
+        Cd, t = self._deflate(C)
+        return self.base.rmv(Cd) - self.mu[:, None] * t[None, :]
 
     def mv_precise(self, B):
         base = getattr(self.base, "mv_precise", self.base.mv)
@@ -213,8 +239,8 @@ class CenteredOperator:
 
     def rmv_precise(self, C):
         base = getattr(self.base, "rmv_precise", self.base.rmv)
-        col_tot = jnp.sum(C, axis=0)
-        return base(C) - self.mu[:, None] * col_tot[None, :]
+        Cd, t = self._deflate(C)
+        return base(Cd) - self.mu[:, None] * t[None, :]
 
     def mv_fast(self, B):
         base = getattr(self.base, "mv_fast", self.base.mv)
@@ -223,8 +249,8 @@ class CenteredOperator:
 
     def rmv_fast(self, C):
         base = getattr(self.base, "rmv_fast", self.base.rmv)
-        col_tot = jnp.sum(C, axis=0)
-        return base(C) - self.mu[:, None] * col_tot[None, :]
+        Cd, t = self._deflate(C)
+        return base(Cd) - self.mu[:, None] * t[None, :]
 
     def tree_flatten(self):
         return (self.base, self.mu), ()

@@ -46,6 +46,19 @@ def cholesky_qr2(Y: jnp.ndarray) -> jnp.ndarray:
     Cholesky factorization positive-definite even when Y is very
     ill-conditioned; the second (unshifted) round restores orthogonality
     to ~sqrt(eps).
+
+    **Column-norm rescue (round 5).** The MXU self-Gram ``Y^T Y`` at
+    HIGHEST precision under-measures the DIAGONAL by a systematic
+    ~2^-16 ≈ 1.4e-5 on TPU (measured at n = 100k: the returned Q's
+    column norms come out 1 + (0.6..0.9)e-5 long while off-diagonals
+    sit at ~4e-9, at every conditioning from 1e2 to 1e8 — the bf16
+    multi-pass decomposition drops the always-positive lo*lo mass of
+    squares). Since ``B = A_c^T Q`` inherits those norms, every
+    A-space randomized engine's explained variance carried a UNIFORM
+    ~1.4e-5 relative bias — the constant per-rank deficit measured in
+    benchmarks/probe_deflation.py, immune to solver budget. The cure is
+    one VPU pass: re-measure the column norms elementwise (unbiased
+    f32 reduce, no MXU decomposition) and rescale.
     """
 
     def round_(Yc, shift):
@@ -68,7 +81,17 @@ def cholesky_qr2(Y: jnp.ndarray) -> jnp.ndarray:
             r, Yc, left_side=False, lower=False
         )
 
-    return round_(round_(Y, True), False)
+    return _vpu_colnorm_rescale(round_(round_(Y, True), False))[0]
+
+
+def _vpu_colnorm_rescale(Q: jnp.ndarray):
+    """(Q with exactly-unit f32 column norms, the norms it had).
+
+    VPU elementwise square + reduce — immune to the MXU self-Gram's
+    systematic ~2^-16 diagonal bias (see :func:`cholesky_qr2`)."""
+
+    nrm = jnp.sqrt(jnp.maximum(jnp.sum(Q * Q, axis=0), 1e-30))
+    return Q * (1.0 / nrm)[None, :], nrm
 
 
 # Householder QR beats CholeskyQR2's extra Gram passes below this many rows
@@ -197,7 +220,11 @@ def _cholesky_qr2_with_r(Y: jnp.ndarray):
 
     q1, r1 = round_(Y, True)
     q2, r2 = round_(q1, False)
-    return q2, jnp.dot(r2, r1, precision=MATMUL_PRECISION)
+    # fold the VPU-measured column norms into R so Q R == Y still holds
+    # and the sigma path downstream sees unbiased norms (see
+    # cholesky_qr2's column-norm-rescue note)
+    qs, nrm = _vpu_colnorm_rescale(q2)
+    return qs, nrm[:, None] * jnp.dot(r2, r1, precision=MATMUL_PRECISION)
 
 
 @partial(jax.jit, static_argnames=("u_based_decision",))
