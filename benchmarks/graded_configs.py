@@ -113,22 +113,48 @@ def main():
         return out
 
     t2 = _timed(pipe)
-    # accuracy: device row sums of the transformed matrix vs host scipy
+    # accuracy, two tiers:
+    #  * value_rel_err — TRUE library parity: the transformed stored
+    #    values pulled to host and compared elementwise against the f64
+    #    scipy pipeline (expected ~1e-7, two f32 roundings per value).
+    #  * rowsum_rel_err_f32sum — the r3/r4 figure: device f32 row sums
+    #    of ~300-term rows vs f64 host sums. Its ~1e-5 level is the f32
+    #    SUMMATION floor of the check itself (eps32*sqrt(300) over
+    #    magnitude-1e1 terms), not a transform defect; kept for
+    #    continuity with a floor note.
     out = pipe()
-    dev_sums = np.asarray(out.sum_row(), np.float64)
     Xh = X.copy()
     s = np.asarray(Xh.sum(axis=1)).ravel()
     scale = np.divide(1e4, s, out=np.zeros_like(s), where=s != 0)
     Xh = sp.diags(scale) @ Xh
     Xh.data = np.log1p(Xh.data)
+    out_h = out.to_scipy().tocsr()
+    ref_csr = Xh.tocsr()
+    ref_csr.sort_indices()
+    out_h.sort_indices()
+    err2_val = float(
+        np.abs(out_h.data.astype(np.float64) - ref_csr.data).max()
+        / max(np.abs(ref_csr.data).max(), 1e-9)
+    )
+    dev_sums = np.asarray(out.sum_row(), np.float64)
     ref_sums = np.asarray(Xh.sum(axis=1)).ravel()
     err2 = float(
         np.abs(dev_sums - ref_sums).max() / max(np.abs(ref_sums).max(), 1e-9)
     )
     print(f"#2 normalize+log1p 30M nnz: {t2*1e3:.0f} ms warm, "
-          f"rowsum rel err {err2:.1e}", file=sys.stderr)
+          f"value rel err {err2_val:.1e}, f32-rowsum err {err2:.1e}",
+          file=sys.stderr)
     res["config2_normalize_log1p_30Mnnz"] = {
-        "warm_s": round(t2, 4), "rowsum_rel_err": err2,
+        "warm_s": round(t2, 4),
+        "value_rel_err": err2_val,
+        "rowsum_rel_err_f32sum": err2,
+        "note": (
+            "value_rel_err = stored values vs f64 scipy pipeline "
+            "(library parity); rowsum_rel_err_f32sum = f32 device row "
+            "sums of ~300-term rows vs f64 sums — that figure's ~1e-5 "
+            "level is the f32 summation floor of the CHECK, not the "
+            "transform"
+        ),
     }
 
     # -- #3 SparsePCA randomized k=50: warm at scale + EV parity ----------

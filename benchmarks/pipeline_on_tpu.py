@@ -116,12 +116,18 @@ def planted_counts(n, p, n_clusters=K_CLUST, seed=0, density=0.05):
 
 
 def scrublet_bench():
-    """Scrublet cold vs warm (VERDICT r3 weak #4): the 287 s r3 figure
-    was one shot with every fresh-shape compile folded in. Here the
-    second call reuses every jitted graph (same matrix -> same payload
-    widths -> same shapes), so warm_s is the steady-state cost and
-    compile_s = cold - warm is the one-time compile+cache overhead.
-    Merges its row into results_pipeline_tpu.json in place."""
+    """Scrublet cold vs warm + detection quality (VERDICT r3 weak #4,
+    r4 weak #5): the 287 s r3 figure was one shot with every fresh-shape
+    compile folded in AND on doublet-free data, so detected_rate=0 read
+    as a broken detector. Here: (a) ~6% of the cells are replaced by
+    PLANTED doublets (sums of two random cells — exactly what scrublet
+    itself simulates), so detection has ground truth; (b) the second
+    call reuses every jitted graph (same matrix -> same payload widths
+    -> same shapes), so warm_s is the steady-state cost and compile_s =
+    cold - warm is the one-time compile+cache overhead. Records AUC of
+    doublet_scores against the planted labels plus the detected rate
+    among planted vs background cells. Merges its row into
+    results_pipeline_tpu.json in place."""
 
     import jax
 
@@ -132,8 +138,18 @@ def scrublet_bench():
     assert dev.platform != "cpu", "this benchmark wants the real chip"
 
     Xs, _, _ = planted_counts(N, P)
-    m = SparseMatrix.from_scipy(Xs)
-    print(f"nnz={Xs.nnz}", flush=True)
+    # plant doublets: replace the last ~6% of rows with sums of two
+    # random distinct cells from the clean majority
+    rng = np.random.default_rng(7)
+    n_doub = int(round(0.06 * N))
+    n_clean = N - n_doub
+    pa = rng.integers(0, n_clean, n_doub)
+    pb = rng.integers(0, n_clean, n_doub)
+    Xd = sp.vstack([Xs[:n_clean], Xs[pa] + Xs[pb]]).tocsr()
+    is_doublet = np.zeros(N, bool)
+    is_doublet[n_clean:] = True
+    m = SparseMatrix.from_scipy(Xd)
+    print(f"nnz={Xd.nnz} planted_doublets={n_doub}", flush=True)
 
     t0 = time.perf_counter()
     sr = sat.scrublet(m, seed=0, verbose=True)
@@ -144,16 +160,41 @@ def scrublet_bench():
     warm = time.perf_counter() - t0
     print(f"warm: {warm:.1f}s", flush=True)
 
+    # AUC of the score against planted truth (rank-sum form, ties split)
+    order = np.argsort(sr.doublet_scores, kind="stable")
+    ranks = np.empty(N, np.float64)
+    ranks[order] = np.arange(1, N + 1)
+    s = np.asarray(sr.doublet_scores, np.float64)
+    # midrank ties
+    for v in np.unique(s):
+        sel = s == v
+        if sel.sum() > 1:
+            ranks[sel] = ranks[sel].mean()
+    n_pos = int(is_doublet.sum())
+    n_neg = N - n_pos
+    auc = (ranks[is_doublet].sum() - n_pos * (n_pos + 1) / 2) / (
+        n_pos * n_neg
+    )
+
     r = {
         "component": "doublets.scrublet",
         "warm_s": round(warm, 4),
+        "planted_doublet_frac": round(n_doub / N, 4),
+        "auc_vs_planted": round(float(auc), 4),
+        "detected_rate_planted": round(
+            float(sr.predicted[is_doublet].mean()), 4
+        ),
+        "detected_rate_background": round(
+            float(sr.predicted[~is_doublet].mean()), 4
+        ),
         "detected_rate": round(float(np.mean(sr.predicted)), 4),
         "cold_s": round(cold, 4),
         "compile_s": round(cold - warm, 4),
         "note": (
-            "warm = second call in-process (all jitted graphs reused); "
-            "compile_s = cold - warm (one-time shape compiles + "
-            "compile-cache writes)"
+            "6% planted doublets (random cell-pair sums); warm = second "
+            "call in-process (all jitted graphs reused); compile_s = "
+            "cold - warm (one-time shape compiles + compile-cache "
+            "writes)"
         ),
     }
     print(json.dumps(r), flush=True)
