@@ -231,7 +231,8 @@ class GramPCAEngine:
     ``bdata[c]``/``blocal[c]`` hold bucket c's transposed tiled payload
     ``[nt * wt_c, R_c]``; ``pos`` maps natural row -> bucketed position;
     ``gidx`` maps bucketed position -> natural row (n = padding sentinel).
-    ``meta = (wt_max, ntiles, ct, exact)`` (wt_max informational);
+    ``meta = (wt_max, ntiles, ct, exact, i8)`` (wt_max informational;
+    ``i8`` = integer values in [-127, 127], gates the int8 MXU Gram);
     ``bwidths`` the per-bucket (wt_c, R_c) pairs (static).
     """
 
@@ -240,7 +241,7 @@ class GramPCAEngine:
     pos: jnp.ndarray  # [n] int32: natural row -> bucketed position
     gidx: jnp.ndarray  # [sum R_c] int32: bucketed position -> row (or n)
     shape: Tuple[int, int]
-    meta: Tuple[int, int, int, bool]
+    meta: Tuple[int, int, int, bool, bool]
     bwidths: Tuple[Tuple[int, int], ...]
 
     COL_TILE = 256  # default; from_matrix picks adaptively (see below)
@@ -282,7 +283,12 @@ class GramPCAEngine:
         # the overcount alone pushed the 1M x 30k north-star shape out of
         # budget and off this engine)
         try:
-            ws_item = 2 if m.values_bf16_exact() else 4
+            if m.values_int8_exact():
+                ws_item = 1  # int8 MXU path densifies to 1-byte slabs
+            elif m.values_bf16_exact():
+                ws_item = 2
+            else:
+                ws_item = 4
         except Exception:
             ws_item = 4
         total += pp * pp * 4 + pp * slab * ws_item * 2
@@ -398,7 +404,7 @@ class GramPCAEngine:
             jnp.asarray(pos.astype(np.int32)),
             jnp.asarray(np.concatenate(gidx_parts).astype(np.int32)),
             (n, p),
-            (wt_max, nt, ct, exact),
+            (wt_max, nt, ct, exact, m.values_int8_exact()),
             tuple(bwidths),
         )
 
@@ -417,7 +423,7 @@ class GramPCAEngine:
 
         from ..ops.pallas.spmm_kernel import tiled_ell_densify_t
 
-        _, nt, ct, _ = self.meta
+        nt, ct = self.meta[1], self.meta[2]
         wt, rc = self.bwidths[b]
         slab = _slab_for(self.shape[0])
         td = jax.lax.dynamic_slice(
@@ -561,10 +567,19 @@ def gram_matrix(
 ) -> jnp.ndarray:
     """``A^T A`` as ``[Pp, Pp]`` f32 — slab densify + MXU contraction.
 
-    Row-order invariant, so bucketing needs no permutation here. bf16
-    slabs (exact for raw-count data) ride the MXU at full speed; for
-    general f32 values the slab stays f32 and the contraction runs at
-    HIGHEST precision (6 bf16 passes, still one data pass overall).
+    Row-order invariant, so bucketing needs no permutation here. Three
+    value tiers, chosen by what the stored values support (gates in
+    ``SparseMatrix.values_int8_exact`` / ``values_bf16_exact``):
+
+    - **int8** (integers in [-127, 127] — raw counts, the dominant scRNA
+      case): slabs densify to 1-byte tiles and contract int8 x int8 ->
+      int32 on the MXU at 2x the bf16 peak with EXACT per-slab products
+      (slab <= 8192 terms x 127^2 < 2^31; the int32 partial folds into
+      the f32 cross-slab carry, the same accumulation class as bf16).
+    - **bf16** (bf16-exact values, e.g. counts <= 256): native-bf16 MXU
+      contraction, exact products.
+    - **f32** (general values): f32 slabs, HIGHEST-precision contraction
+      (6 bf16 passes, still one data pass overall).
 
     **Symmetric-half contraction** (``sym=True``, the default for wide
     Grams): ``D @ D^T`` is symmetric, so only the lower-triangular block
@@ -587,27 +602,44 @@ def gram_matrix(
     """
 
     exact = eng.meta[3]
+    # int8 MXU path: integer values in [-127, 127] (raw counts, the
+    # dominant scRNA case) make int8 x int8 -> int32 slab products EXACT
+    # (slab <= 8192 terms x 127^2 < 2^31) at 2x the bf16 MXU peak and
+    # half the densified-slab HBM traffic; the int32 partial is folded
+    # into the f32 cross-slab carry, same accumulation class as bf16
+    i8 = exact and eng.meta[4] and _slab_for(eng.shape[0]) * 127 ** 2 < 2 ** 31
     pp = eng.p_padded
     slab = _slab_for(eng.shape[0])
 
     def slab_dense(b, i):
+        if i8:
+            return eng._densify(b, i, jnp.int8)
         if exact:
             return eng._densify(b, i, jnp.bfloat16)
         return eng._densify(b, i, jnp.float32)
 
-    def full_dot(D, acc):
+    def _self_dot(D):
+        if i8:
+            return jax.lax.dot_general(
+                D, D,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
         if exact:
-            return acc + jax.lax.dot_general(
+            return jax.lax.dot_general(
                 D, D,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        return acc + jax.lax.dot_general(
+        return jax.lax.dot_general(
             D, D,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+
+    def full_dot(D, acc):
+        return acc + _self_dot(D)
 
     if rb is None:
         rb = _gram_block(pp) if sym else None
@@ -626,6 +658,20 @@ def gram_matrix(
     nb = ppb // rb
     prec = None if exact else jax.lax.Precision.HIGHEST
     pairs = [(r, c) for r in range(nb) for c in range(r + 1)]
+
+    def _pair_dot(a, b):
+        if i8:
+            return jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
 
     # each lower-triangular block pair accumulates in its OWN carry: with
     # a single [pp, pp] carry the per-pair dynamic_update_slice chain
@@ -648,13 +694,7 @@ def gram_matrix(
             ]
             out = []
             for idx, (r, c) in enumerate(pairs):
-                prod = jax.lax.dot_general(
-                    blocks[r], blocks[c],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
-                out.append(S[idx] + prod)
+                out.append(S[idx] + _pair_dot(blocks[r], blocks[c]))
             return tuple(out)
 
         S = jax.lax.fori_loop(0, rc // slab, body, S)

@@ -42,7 +42,7 @@ from ..sparse.matrix import SparseMatrix
 __all__ = ["ShardedGram", "sharded_gram_pca"]
 
 
-def _local_gram(td, tl, *, wt, nt, ct, slab, exact):
+def _local_gram(td, tl, *, wt, nt, ct, slab, exact, i8=False):
     """G contribution of one device's payload [nt*wt, Rs] (sum over its
     Rs/slab sub-slabs)."""
 
@@ -63,6 +63,15 @@ def _local_gram(td, tl, *, wt, nt, ct, slab, exact):
         )
 
     def body(i, G):
+        # int8 tier: exact int8 x int8 -> int32 slab products at 2x the
+        # bf16 MXU peak (slab <= 8192 terms x 127^2 < 2^31), int32
+        # partial folded into the f32 carry — see linalg/gram.py
+        if i8 and exact and slab * 127 ** 2 < 2 ** 31:
+            D = densify(i, jnp.int8)
+            return G + jax.lax.dot_general(
+                D, D, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
         if exact:
             D = densify(i, jnp.bfloat16)
             return G + jax.lax.dot_general(
@@ -121,14 +130,16 @@ class ShardedGram:
     ``[ndev, rs]`` maps each device's natural local row index to its
     bucketed position in the concatenated per-class projection output
     (padding slots point at the appended zero row). ``bwidths`` is the
-    static per-class ``(wc, Rc, slab_c)`` list; ``meta = (nt, ct, exact)``.
+    static per-class ``(wc, Rc, slab_c)`` list; ``meta = (nt, ct, exact,
+    i8)`` (``i8``: integer values in [-127, 127] — the int8 MXU Gram
+    tier, see ``linalg/gram.py``).
     """
 
     bdata: Tuple[jnp.ndarray, ...]
     blocal: Tuple[jnp.ndarray, ...]
     pos_local: jnp.ndarray  # [ndev, rs] int32
     shape: Tuple[int, int]
-    meta: Tuple[int, int, bool]  # nt, ct, exact
+    meta: Tuple[int, int, bool, bool]  # nt, ct, exact, i8
     bwidths: Tuple[Tuple[int, int, int], ...]  # per class: (wc, Rc, slab_c)
     mesh: Mesh
     axis_name: str
@@ -186,6 +197,7 @@ class ShardedGram:
         indptr, indices = m._h_indptr, m._h_indices
         data = m._csr_data_host()
         exact = m.values_bf16_exact()
+        i8 = m.values_int8_exact()
 
         # global width classes: reuse the bucket plan choose_col_tile just
         # computed and cached for this (matrix, col_tile) — re-running the
@@ -248,7 +260,7 @@ class ShardedGram:
             tuple(jax.device_put(a, sh) for a in blocal_np),
             jax.device_put(pos_local.astype(np.int32), sh2),
             (n, p),
-            (nt, ct, exact),
+            (nt, ct, exact, i8),
             bwidths,
             mesh,
             axis_name,
@@ -285,7 +297,7 @@ class ShardedGram:
         """Replicated ``A^T A`` [pp, pp] — local per-class accumulation +
         one psum."""
 
-        nt, ct, exact = self.meta
+        nt, ct, exact, i8 = self.meta
         ax = self.axis_name
         bwidths = self.bwidths
 
@@ -295,7 +307,7 @@ class ShardedGram:
             for b, (c, _, slab_c) in enumerate(bwidths):
                 G = G + _local_gram(
                     bdata[b][0], blocal[b][0],
-                    wt=c, nt=nt, ct=ct, slab=slab_c, exact=exact,
+                    wt=c, nt=nt, ct=ct, slab=slab_c, exact=exact, i8=i8,
                 )
             return jax.lax.psum(G, ax)
 
@@ -321,7 +333,7 @@ class ShardedGram:
         order; no collectives (Vp [pp, k] / corr [k] replicated; the
         bucketed->natural reorder is a per-device local gather)."""
 
-        nt, ct, _ = self.meta
+        nt, ct = self.meta[0], self.meta[1]
         ax = self.axis_name
         bwidths = self.bwidths
 

@@ -375,6 +375,27 @@ class SparseMatrix:
         self._bf16_exact_cache = out
         return out
 
+    def values_int8_exact(self) -> bool:
+        """True when every stored value is an integer in ``[-127, 127]`` —
+        the gate for the int8 MXU Gram path (``linalg/gram.py``): int8 x
+        int8 -> int32 products are EXACT and the v5e int8 MXU peak is 2x
+        bf16, so raw-count matrices (the dominant scRNA case) get their
+        full-data Gram pass at twice the bf16 contraction speed with a
+        per-slab-exact accumulation. One pass, cached per matrix."""
+
+        cached = getattr(self, "_int8_exact_cache", None)
+        if cached is not None:
+            return cached
+        if self._h_data is None:
+            out = bool(_int8_exact_device(self.ell_data))
+        else:
+            v = self._csr_data_host()
+            out = bool(
+                np.all(np.abs(v) <= 127) and not np.any(v != np.rint(v))
+            )
+        self._int8_exact_cache = out
+        return out
+
     def to_scipy(self):
         import scipy.sparse as sp
 
@@ -1037,6 +1058,16 @@ def _bf16_exact_device(ell_data):
 
     hi = jax.lax.optimization_barrier(ell_data.astype(jnp.bfloat16))
     return jnp.all(hi.astype(ell_data.dtype) == ell_data)
+
+
+@jax.jit
+def _int8_exact_device(ell_data):
+    """True when every stored value is an integer in [-127, 127] (padding
+    slots are zero, int8-exact), computed on device."""
+
+    return jnp.all(
+        (jnp.abs(ell_data) <= 127) & (ell_data == jnp.round(ell_data))
+    )
 
 
 @jax.jit

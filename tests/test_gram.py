@@ -163,6 +163,52 @@ def test_gram_inexact_values_f32_path():
     assert np.abs(G[:90, :90] - ref).max() / np.abs(ref).max() < 1e-6
 
 
+def test_gram_int8_path_exact():
+    """Integer values in [-127, 127] gate the int8 MXU Gram path, whose
+    slab products are bit-exact (int8 x int8 -> int32); the whole Gram
+    must match the f64 reference exactly up to f32 cross-slab rounding —
+    at this size, one slab, so exactly."""
+
+    rng = np.random.default_rng(5)
+    X = sp.random(
+        700, 200, density=0.08, format="csr", dtype=np.float32,
+        random_state=rng,
+        data_rvs=lambda s: rng.integers(1, 127, s).astype(np.float32),
+    )
+    m = SparseMatrix.from_scipy(X)
+    assert m.values_int8_exact()
+    eng = GramPCAEngine.from_matrix(m)
+    assert eng.meta[4] is True
+    G = np.asarray(gram_matrix(eng))
+    ref = (X.astype(np.float64).T @ X.astype(np.float64)).toarray()
+    assert np.abs(G[:200, :200] - ref).max() == 0.0
+
+
+def test_gram_int8_gate_rejects():
+    """Values > 127 or non-integers fall back off the int8 path (bf16 /
+    f32 engines) and the result is still correct."""
+
+    rng = np.random.default_rng(6)
+    base = sp.random(
+        300, 80, density=0.1, format="csr", dtype=np.float32,
+        random_state=rng,
+        data_rvs=lambda s: rng.integers(1, 100, s).astype(np.float32),
+    )
+    big = base.copy()
+    big.data[0] = 200.0  # > 127: still bf16-exact, not int8
+    frac = base.copy()
+    frac.data = frac.data + 0.5  # non-integer
+    for Xv, want_i8 in ((big, False), (frac, False)):
+        m = SparseMatrix.from_scipy(Xv)
+        assert m.values_int8_exact() is want_i8
+        eng = GramPCAEngine.from_matrix(m)
+        assert eng.meta[4] is want_i8
+        G = np.asarray(gram_matrix(eng))
+        ref = (Xv.astype(np.float64).T @ Xv.astype(np.float64)).toarray()
+        scale = np.abs(ref).max()
+        assert np.abs(G[:80, :80] - ref).max() / scale < 1e-5
+
+
 def test_gram_warns_on_ignored_lanczos_knobs(counts):
     """engine='gram' maps Lanczos to the exact solve — tuning
     lanczos_steps/lanczos_block there must emit a signal, not silence."""
